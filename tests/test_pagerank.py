@@ -1,0 +1,107 @@
+"""Distributed PageRank vs the NumPy §2.7 oracle on hand-checked graphs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tldr_spark.functions.reference import pagerank_fixpoint
+from tldr_spark.operators.pagerank import pagerank
+
+
+def _run_both(spark, edges, tol=1e-9, damping=0.5, **kw):
+    """Oracle and engine run the SAME contract (same damping/tol -> same
+    iteration count), so scores agree to float-sum noise (<<1e-6).
+    damping=0.5 converges ~4x faster than the 0.85 default — the golden
+    test below still exercises the default."""
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    w = np.array([float(e[2]) if len(e) > 2 else 1.0 for e in edges])
+    expected = pagerank_fixpoint(src, dst, w, damping=damping, tolerance=tol)
+    df = spark.createDataFrame(
+        [(int(s), int(d), float(ww)) for s, d, ww in zip(src, dst, w)],
+        "src long, dst long, weight double",
+    )
+    res = pagerank(df, damping=damping, tolerance=tol, **kw)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    return expected, got, res
+
+
+GRAPHS = {
+    "path4": [(1, 2), (2, 3), (3, 4)],  # dangling tail
+    "star5_dangling_leaves": [(1, 2), (1, 3), (1, 4), (1, 5)],
+    "cycle3": [(0, 1), (1, 2), (2, 0)],
+    "two_components": [(0, 1), (1, 0), (5, 6), (6, 7), (7, 5)],
+    "self_loop_and_dups": [(0, 1), (0, 1), (1, 0), (1, 1), (2, 0)],
+    "weighted_hub": [(1, 0, 5.0), (2, 0, 1.0), (3, 0, 1.0), (0, 1, 1.0), (2, 3, 2.0)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_pagerank_matches_numpy_oracle(spark, name):
+    expected, got, res = _run_both(spark, GRAPHS[name])
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-6), (name, k)
+    # ranks over linked nodes sum to ~1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_shuffle_join_path(spark):
+    expected, got, _ = _run_both(spark, GRAPHS["weighted_hub"], broadcast_ranks=False)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-6)
+
+
+def test_pagerank_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long, weight double")
+    res = pagerank(df)
+    assert res.ranks.count() == 0 and res.n_vertices == 0
+
+
+def test_isolated_vertices_excluded(spark):
+    # isolated vertices never enter the graph (linked-nodes-only N, §2.7)
+    expected, got, res = _run_both(spark, GRAPHS["cycle3"])
+    assert res.n_vertices == 3
+    assert all(got[k] == pytest.approx(1 / 3, abs=1e-6) for k in got)
+
+
+def test_pagerank_default_damping_allclose_1e6(spark):
+    """North-rule gate: engine scores allclose(1e-6) vs the NumPy §2.7
+    fixpoint at the DEFAULT damping and tolerance 1e-6."""
+    expected, got, _ = _run_both(
+        spark, GRAPHS["weighted_hub"], tol=1e-6, damping=0.85
+    )
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-6)
+
+
+def test_golden_sentence_graph_pagerank(spark):
+    """17-node / 272-edge graph from sample.txt via reference ops 3-11;
+    Spark top-3 == {5,7,11} == the committed golden's sentences."""
+    from tldr_spark.functions import reference as R
+
+    sample = open("/root/reference/sample.txt", encoding="utf-8").read().strip()
+    sents = R.tokenize_sentences(sample)
+    bags = [R.default_word_tokenizer(s) for s in sents]
+    kept = R.uniq_sentence_indices(bags)
+    assert kept == list(range(17))
+    mat = R.binary_vectors(bags, R.create_dictionary(sample))
+    src, dst, w = R.edge_list(R.pairwise_weights(mat))
+    assert len(src) == 272
+
+    df = spark.createDataFrame(
+        [(int(s), int(d), float(ww)) for s, d, ww in zip(src, dst, w)],
+        "src long, dst long, weight double",
+    )
+    res = pagerank(df, tolerance=1e-4)  # reference default tolerance
+    top3 = [r["id"] for r in res.ranks.orderBy(F.desc("rank")).limit(3).collect()]
+    assert sorted(top3) == [5, 7, 11]
+
+
+def test_per_iteration_metrics(spark):
+    _, _, res = _run_both(spark, GRAPHS["path4"])
+    assert res.iterations == len(res.metrics)
+    deltas = [m["l1_delta"] for m in res.metrics]
+    assert deltas[-1] <= 1e-9

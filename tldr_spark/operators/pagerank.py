@@ -1,0 +1,175 @@
+"""Distributed weighted PageRank — iterative SpMV over an edge DataFrame.
+
+Implements EXACTLY the fixpoint contract of the reference's pinned
+dependency (alixaxel/pagerank, /root/reference/go.mod:4; call sites
+/root/reference/tldr.go:233-243; semantics SURVEY.md §2.7), generalized
+from a 17-node sentence graph to a web-scale link graph:
+
+  * duplicate (src,dst) edge weights SUM
+  * transition weights normalize by the source's total out-weight
+  * N = linked vertices only (isolated vertices never enter)
+  * each step every vertex receives (1-α)/N + α·(dangling mass)/N
+  * convergence on L1 delta <= tolerance (no iteration cap by default)
+
+Scale design (the part that must survive 1000 executors / 100 TB):
+  * The edge table is normalized ONCE, hash-partitioned by ``src`` and
+    persisted — iterations never re-shuffle the (big) edge side.
+  * Per iteration exactly ONE big shuffle: the V-sized partial-aggregated
+    ``groupBy(dst)``. Map-side partial aggregation is the hub-skew
+    mitigation for power-law in-degree (a hot dst receives at most one
+    partial row per upstream partition — equivalent to salting with
+    salt = partition id, without the second pass).
+  * The rank vector (V rows) is broadcast to the edge join when small
+    (``broadcast_ranks=True``), turning the join map-side only; for
+    V beyond driver memory the shuffle join co-partitions on src and
+    reuses the persisted edge partitioning.
+  * Dangling mass and L1 delta are computed in ONE combined V-row
+    aggregate per iteration (leak for step t+1 rides along with delta
+    of step t).
+  * Lineage is truncated every iteration: ``localCheckpoint`` by default,
+    or durable parquet snapshots + metrics via
+    :class:`tldr_spark.plans.checkpoint.IterativeCheckpoint` for
+    mid-run resume.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from tldr_spark.plans.checkpoint import IterativeCheckpoint
+
+DEFAULT_DAMPING = 0.85  # tldr.go:51
+DEFAULT_TOLERANCE = 1e-6  # north rule tightens the reference's 1e-4
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id: long, rank: double)
+    iterations: int
+    l1_delta: float
+    n_vertices: int
+    n_edges: int
+    metrics: list[dict]
+
+
+def prepare_edges(edges: DataFrame, weight_col: str | None = "weight",
+                  num_partitions: int | None = None) -> DataFrame:
+    """Sum duplicate edges and normalize by source out-weight.
+
+    Returns (src, dst, wn) hash-partitioned by src, ready to persist.
+    """
+    w = F.col(weight_col).cast("double") if weight_col and weight_col in edges.columns else F.lit(1.0)
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"), w.alias("w"))
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    en = e.join(out_w, "src").select("src", "dst", (F.col("w") / F.col("out_w")).alias("wn"))
+    if num_partitions:
+        en = en.repartition(num_partitions, "src")
+    else:
+        en = en.repartition("src")
+    return en
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = DEFAULT_DAMPING,
+    tolerance: float = DEFAULT_TOLERANCE,
+    max_iter: int = 1000,
+    weight_col: str | None = "weight",
+    broadcast_ranks: bool = True,
+    num_partitions: int | None = None,
+    checkpoint: IterativeCheckpoint | None = None,
+    checkpoint_every: int = 5,
+) -> PageRankResult:
+    """PageRank over (src, dst[, weight]) to L1 convergence.
+
+    With ``checkpoint`` set, every ``checkpoint_every``-th iteration writes a
+    durable snapshot + metrics and a restarted call resumes from the newest
+    committed one.
+    """
+    spark = edges.sparkSession
+
+    en = prepare_edges(edges, weight_col, num_partitions).persist()
+    n_edges = en.count()  # materialize the normalized, partitioned edge table
+
+    # linked vertices only (§2.7); is_dangling = no out-edge
+    srcs = en.select(F.col("src").alias("id")).distinct()
+    verts = (
+        en.select(F.col("src").alias("id"))
+        .union(en.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(srcs.withColumn("has_out", F.lit(True)), "id", "left")
+        .select("id", F.coalesce(~F.col("has_out"), F.lit(True)).alias("is_dangling"))
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "id long, rank double")
+        en.unpersist()
+        verts.unpersist()
+        return PageRankResult(empty, 0, 0.0, 0, 0, [])
+
+    inv = 1.0 / n
+    metrics: list[dict] = []
+    start_iter = 0
+
+    resumed = checkpoint.latest() if checkpoint else None
+    if resumed:
+        start_iter, ranks, last_m = resumed
+        leak = last_m["next_leak"]
+        ranks = ranks.persist()
+    else:
+        ranks = verts.select("id", "is_dangling", F.lit(inv).alias("rank")).persist()
+        leak = damping * float(
+            ranks.filter("is_dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+
+    it = start_iter
+    delta = float("inf")
+    base = (1.0 - damping) * inv
+    while it < max_iter:
+        t0 = time.monotonic()
+        it += 1
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = (
+            r.join(en, r["id"] == en["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("wn")).alias("c"))
+        )
+        new_ranks = (
+            ranks.join(contrib, ranks["id"] == contrib["dst"], "left")
+            .select(
+                ranks["id"],
+                ranks["is_dangling"],
+                (damping * F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(base + leak * inv)).alias("rank"),
+                ranks["rank"].alias("rank_old"),
+            )
+        )
+        # lazy checkpoint: the agg below is the single action per iteration —
+        # it materializes the truncated lineage AND collects both scalars
+        new_ranks = new_ranks.localCheckpoint(eager=False)
+        # one combined pass: L1 delta of this step + dangling mass for next
+        agg = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta"),
+            F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dang"),
+        ).collect()[0]
+        delta = float(agg["delta"])
+        leak = damping * float(agg["dang"] or 0.0)
+        wall_ms = (time.monotonic() - t0) * 1000.0
+
+        ranks.unpersist()
+        ranks = new_ranks.drop("rank_old").persist()
+        m = {"l1_delta": delta, "next_leak": leak, "wall_ms": wall_ms, "edges": n_edges}
+        metrics.append({"iteration": it, **m})
+        if checkpoint and (it % checkpoint_every == 0 or delta <= tolerance):
+            ranks = checkpoint.save(it, ranks, m).persist()
+        if delta <= tolerance:
+            break
+
+    result = ranks.select("id", "rank")
+    en.unpersist()
+    verts.unpersist()
+    return PageRankResult(result, it, delta, n, n_edges, metrics)

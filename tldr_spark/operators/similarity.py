@@ -1,0 +1,112 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, per the training-pipeline mandate:
+
+  brute_force_topk   exact cosine top-k via broadcast probe join — the
+                     baseline/verification path. Dot products stay JVM-side
+                     (zip_with + aggregate, whole-stage codegen; no Python).
+
+  lsh_topk           random-hyperplane LSH: sign-bit sketch → bucket join →
+                     exact re-rank within buckets. The scale path — the
+                     candidate join is equi-join on (table, bucket), never
+                     all-pairs. Hyperplanes are seeded NumPy, broadcast as
+                     literal arrays (deterministic, no state).
+
+An IVF variant (train k centroids on a sample, probe nearest cells) has the
+same relational shape as lsh_topk with bucket = argmin centroid; LSH is
+preferred here because it needs no training pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    """JVM-side cosine similarity between two array<float/double> columns."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embs: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(probe_id, neighbor_id, cosine, rank) exact top-k per probe.
+
+    ``probes`` (small) is broadcast against the full embedding table —
+    one pass over the big side, no shuffle of it; the per-probe top-k is a
+    window over probe_id (small cardinality).
+    """
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
+    e = embs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"))
+    scored = (
+        e.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cosine_expr("pv", "ev").alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id of a vector against fixed hyperplanes, JVM-side."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    embs: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(probe_id, neighbor_id, cosine, rank) approximate top-k: candidates
+    share an LSH bucket; exact cosine re-ranks within the bucket."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    e = embs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ev"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pv"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        e.join(F.broadcast(p), "bucket")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cosine_expr("pv", "ev").alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

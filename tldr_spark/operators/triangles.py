@@ -1,0 +1,80 @@
+"""Triangle counting via degree-ordered orientation + wedge closure.
+
+Seeds from the reference's pair-join idea (/root/reference/tldr.go:264-314,
+the dense self-cross-join) re-expressed sparsely (SURVEY.md §2 op-10 →
+"North-rule generalization operators"). The classic MapReduce formulation
+(Suri & Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the Last
+Reducer"): orient every undirected edge from the endpoint with smaller
+(degree, id) to the larger, which bounds every vertex's out-degree by
+O(sqrt(E)) — THE skew mitigation that keeps hub vertices from exploding the
+wedge join on a power-law web graph. Then:
+
+  wedges  = oriented ⋈ oriented on shared lower endpoint (a<b<c in order)
+  closed  = wedges semi-joined against the oriented edge set
+
+Three shuffles total, no iteration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class TriangleResult:
+    total: int
+    per_vertex: DataFrame  # (id: long, triangles: long) — vertices in >=1 triangle
+
+
+def _oriented(edges: DataFrame, by_degree: bool = True) -> DataFrame:
+    """One row per undirected edge, canonically oriented."""
+    und = (
+        edges.select(
+            F.least(F.col("src").cast("long"), F.col("dst").cast("long")).alias("a"),
+            F.greatest(F.col("src").cast("long"), F.col("dst").cast("long")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if not by_degree:
+        return und  # id order: fine for tests/oracle, skew-prone at scale
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    w = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return w.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("a"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("b"),
+    )
+
+
+def triangle_count(edges: DataFrame, by_degree: bool = True) -> TriangleResult:
+    o = _oriented(edges, by_degree).persist()
+    e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+    # closing edge between y and z appears in o as (y,z) or (z,y)
+    closer = o.select(F.col("a").alias("y"), F.col("b").alias("z")).union(
+        o.select(F.col("b").alias("y"), F.col("a").alias("z"))
+    )
+    tris = wedges.join(closer, ["y", "z"])  # (x, y, z) one row per triangle
+    per_vertex = (
+        tris.select(F.col("x").alias("id"))
+        .union(tris.select(F.col("y").alias("id")))
+        .union(tris.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    total = tris.count()
+    o.unpersist()
+    return TriangleResult(total, per_vertex)
