@@ -1,0 +1,190 @@
+"""Benchmark harness. Prints ONE JSON line to stdout (driver contract).
+
+Headline metric (BASELINE.json): PageRank edges/sec per power iteration to
+L1 <= 1e-6 convergence on a deterministic Common-Crawl-style edge table,
+measured at TWO parallelism levels — local[8] vs local[$SPARK_GRAFT_CPUS]
+(the sandbox stand-in for N vs 4N executor clusters; no real cluster here) —
+plus the scaling efficiency between them. Each level runs in its own
+subprocess (own JVM) so `--master` is honest.
+
+Secondary: wall seconds for the other headline operators at
+$SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Graph: scaled from the sf dir's document count (sf0.1 -> 150k vertices,
+~4M edges), generated JVM-side from spark.range with 20% of edges targeting
+a 1k-vertex hub set (power-law-ish in-degree skew) — the same shape the
+engine's salting/partial-agg design exists for. All debug goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LOW_CPUS = int(os.environ.get("TLDR_BENCH_LOW_CPUS", "8"))
+EDGE_MULT = int(os.environ.get("TLDR_BENCH_EDGE_MULT", "800"))  # edges ≈ mult * n_docs
+TOLERANCE = 1e-6
+DAMPING = 0.85
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_edges(spark, n_docs: int):
+    """Deterministic synthetic link graph, JVM-side only."""
+    from pyspark.sql import functions as F
+
+    n_vertices = n_docs * 30
+    n_edges = n_docs * EDGE_MULT
+    hubs = max(1000, n_vertices // 150)
+    e = spark.range(n_edges, numPartitions=None)
+    x = (F.col("id") * 2654435761) % 4294967296
+    src = (x % n_vertices).alias("src")
+    dst = (
+        F.when(F.col("id") % 5 < 1, ((x / 7).cast("long")) % hubs)
+        .otherwise(((x / 13).cast("long")) % n_vertices)
+        .alias("dst")
+    )
+    return (
+        e.select(src, dst, (F.lit(1.0) + (F.col("id") % 3).cast("double")).alias("weight"))
+        .filter(F.col("src") != F.col("dst"))
+    ), n_edges
+
+
+def run_pagerank(cpus: int) -> dict:
+    """Subprocess worker: one parallelism level, returns metrics dict."""
+    from tldr_spark.operators.pagerank import pagerank
+    from tldr_spark.session import build_session
+
+    spark = build_session(f"bench-pr-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    try:
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        edges, _ = bench_edges(spark, n_docs)
+        t0 = time.monotonic()
+        res = pagerank(edges, damping=DAMPING, tolerance=TOLERANCE, max_iter=200)
+        wall = time.monotonic() - t0
+        iter_walls = [m["wall_ms"] for m in res.metrics]
+        # steady-state per-iteration time: drop the first 3 (cache warm-up,
+        # initial AQE planning) before averaging
+        steady = iter_walls[3:] or iter_walls
+        per_iter_s = sum(steady) / len(steady) / 1000.0
+        return {
+            "cpus": cpus,
+            "n_vertices": res.n_vertices,
+            "n_edges": res.n_edges,
+            "iterations": res.iterations,
+            "l1_delta": res.l1_delta,
+            "wall_s": round(wall, 2),
+            "per_iter_s": round(per_iter_s, 4),
+            "edges_per_sec_per_iter": round(res.n_edges / per_iter_s, 1),
+        }
+    finally:
+        spark.stop()
+
+
+def run_secondary() -> dict:
+    """One-shot operator timings at SF_DIR on local[CPUS]."""
+    from pyspark.sql import functions as F
+
+    from tldr_spark.operators.components import connected_components
+    from tldr_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from tldr_spark.operators.similarity import brute_force_topk
+    from tldr_spark.operators.textstats import quality_score
+    from tldr_spark.operators.triangles import triangle_count
+    from tldr_spark.session import build_session
+    from tldr_spark.sources.tables import derive_edges, load
+
+    spark = build_session("bench-secondary", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    out: dict[str, float] = {}
+    try:
+        edges = derive_edges(spark, SF_DIR).persist()
+        edges.count()
+        docs = load(spark, SF_DIR, "documents").persist()
+        docs.count()
+        embs = load(spark, SF_DIR, "embeddings").persist()
+        embs.count()
+
+        def t(name, fn):
+            t0 = time.monotonic()
+            fn()
+            out[name] = round(time.monotonic() - t0, 3)
+            log(f"  {name}: {out[name]}s")
+
+        t("cc", lambda: connected_components(edges).assignments.count())
+        t("triangles", lambda: triangle_count(edges).per_vertex.count())
+        t("dedup_exact", lambda: exact_dedup(docs).count())
+        t("minhash_lsh", lambda: minhash_lsh_pairs(docs).count())
+        t("ann_brute_topk", lambda: brute_force_topk(embs, embs.filter("vec_id < 20"), k=10).count())
+        t("quality_score", lambda: quality_score(docs).count())
+        t(
+            "degree_topk",
+            lambda: edges.groupBy("dst").count().orderBy(F.desc("count")).limit(20).collect(),
+        )
+    finally:
+        spark.stop()
+    return out
+
+
+def main() -> int:
+    if len(sys.argv) > 2 and sys.argv[1] == "--pagerank-worker":
+        print(json.dumps(run_pagerank(int(sys.argv[2]))))
+        return 0
+
+    results = {}
+    for cpus in (LOW_CPUS, CPUS):
+        log(f"pagerank bench at local[{cpus}] ...")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pagerank-worker", str(cpus)],
+            capture_output=True,
+            text=True,
+            env={**os.environ},
+            check=False,
+        )
+        if proc.returncode != 0:
+            log(proc.stderr[-2000:])
+            raise RuntimeError(f"pagerank worker local[{cpus}] failed")
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        log(f"  -> {results[cpus]}")
+
+    lo, hi = results[LOW_CPUS], results[CPUS]
+    speedup = lo["per_iter_s"] / hi["per_iter_s"]
+    efficiency = speedup / (CPUS / LOW_CPUS)
+
+    log("secondary operator benches ...")
+    secondary = run_secondary()
+
+    queries = {
+        f"pagerank_local{LOW_CPUS}": lo["wall_s"],
+        f"pagerank_local{CPUS}": hi["wall_s"],
+        **secondary,
+    }
+    out = {
+        "metric": "pagerank_edges_per_sec_per_iter_to_1e-6",
+        "value": hi["edges_per_sec_per_iter"],
+        "unit": "edges/sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "n_edges": hi["n_edges"],
+        "n_vertices": hi["n_vertices"],
+        "iterations": hi["iterations"],
+        "edges_per_sec_per_iter_low": lo["edges_per_sec_per_iter"],
+        "edges_per_sec_per_iter_high": hi["edges_per_sec_per_iter"],
+        "parallelism_low": LOW_CPUS,
+        "parallelism_high": CPUS,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,207 @@
+"""Training-pipeline operators: dedup, similarity, textstats, multimodal,
+distributed summarize — against testdata tables and Python oracles."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+# --- dedup -----------------------------------------------------------------
+
+def test_exact_dedup(spark, docs):
+    from tldr_spark.operators.dedup import exact_dedup
+
+    res = exact_dedup(docs)
+    texts = [r["text"] for r in docs.collect()]
+    assert res.count() == len(set(texts))
+    assert res.agg(F.sum("dup_count")).collect()[0][0] == len(texts)
+
+
+def test_ngram_jaccard_vs_python(spark, docs):
+    from tldr_spark.operators.dedup import ngram_jaccard_pairs
+
+    sample = docs.filter("doc_id < 40")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(sample, n=3, threshold=0.2).collect()
+    }
+
+    rows = {r["doc_id"]: r["text"] for r in sample.collect()}
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expected = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        A, B = sh(rows[a]), sh(rows[b])
+        if A and B:
+            j = len(A & B) / len(A | B)
+            if j >= 0.2:
+                expected[(a, b)] = j
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-9)
+
+
+def test_minhash_lsh_recall(spark, docs):
+    """Every pair with true Jaccard >= 0.6 must be an LSH candidate
+    (4 independent minhashes at band size 1 -> miss prob (1-j)^4 <= 2.6%;
+    on this deterministic corpus: zero misses, asserted exactly)."""
+    from tldr_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    sample = docs.filter("doc_id < 60")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(sample, n=3, threshold=0.6).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(sample, n=3).collect()
+    }
+    assert truth <= cand
+
+
+def test_simhash_similar_docs_close(spark):
+    from tldr_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    s = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(s[0], s[1]) < ham(s[0], s[2])
+
+
+def test_embedding_near_dups_and_selfsim(spark, embs):
+    from tldr_spark.operators.dedup import embedding_near_dups
+
+    sample = embs.filter("vec_id < 50")
+    pairs = embedding_near_dups(sample, threshold=0.99).collect()
+    import numpy as np
+
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in sample.collect()}
+    expected = set()
+    for a, b in itertools.combinations(sorted(rows), 2):
+        va, vb = rows[a], rows[b]
+        cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        if cos >= 0.99:
+            expected.add((a, b))
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == expected
+
+
+# --- similarity ------------------------------------------------------------
+
+def test_brute_force_topk_matches_numpy(spark, embs):
+    import numpy as np
+
+    from tldr_spark.operators.similarity import brute_force_topk
+
+    probes = embs.filter("vec_id < 3")
+    got = brute_force_topk(embs, probes, k=5).collect()
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in embs.collect()}
+    for pid in [0, 1, 2]:
+        p = rows[pid]
+        scored = sorted(
+            (
+                (-(p @ v / (np.linalg.norm(p) * np.linalg.norm(v))), nid)
+                for nid, v in rows.items()
+                if nid != pid
+            ),
+        )[:5]
+        expected = [nid for _, nid in scored]
+        mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["probe_id"] == pid]
+        assert mine == expected
+
+
+def test_lsh_topk_reasonable_recall(spark, embs):
+    from tldr_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    probes = embs.filter("vec_id < 10")
+    exact = brute_force_topk(embs, probes, k=5).collect()
+    # near-random embeddings are LSH-adversarial: amplify (4 planes, 8
+    # tables -> expected recall ~0.65 at neighbor cosine ~0.6)
+    approx = lsh_topk(embs, probes, k=5, n_planes=4, n_tables=8).collect()
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in approx}
+    assert len(e & a) / len(e) >= 0.4
+
+
+# --- textstats ---------------------------------------------------------
+
+def test_token_count_matches_python(spark, docs):
+    from tldr_spark.operators.textstats import token_count
+
+    got = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    for r in docs.collect():
+        assert got[r["doc_id"]] == len(r["text"].split())
+
+
+def test_quality_and_langid_run(spark, docs):
+    from tldr_spark.operators.textstats import lang_id, quality_score
+
+    q = quality_score(docs)
+    assert q.filter("quality < 0 OR quality > 3").count() == 0
+    li = lang_id(docs)
+    assert li.count() == docs.count()
+    assert set(r["lang_pred"] for r in li.collect()) <= {"en", "de", "fr"}
+
+
+def test_fingerprint_order_invariant(spark):
+    from tldr_spark.operators.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "c b a a"), (2, "a b d")], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+# --- multimodal plumbing -----------------------------------------------
+
+def test_media_features_and_frames(spark):
+    from tldr_spark.operators.multimodal import extract_media_features, frame_sample, synth_media
+
+    media = synth_media(spark, 12)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert r["width"] >= 16 and r["n_bytes"] > 17
+    frames = frame_sample(media.filter("kind = 'video'"), every_n=2)
+    assert frames.count() > 0
+
+
+# --- distributed summarize ----------------------------------------------
+
+def test_summarize_documents_matches_oracle(spark):
+    from tldr_spark.functions.reference import SummarizeConfig, summarize
+    from tldr_spark.operators.summarize import summarize_documents
+
+    sample_txt = open("/root/reference/sample.txt", encoding="utf-8").read()
+    corpus = [(0, sample_txt), (1, "One one. Two two! Three? Four four four."), (2, "")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r["summary"] for r in summarize_documents(df, 3).collect()}
+    for doc_id, text in corpus:
+        assert got[doc_id] == "\n\n".join(summarize(text, 3, SummarizeConfig()))
+    # doc 0 reproduces the committed golden through the DISTRIBUTED path
+    golden = open("/root/reference/result.txt", encoding="utf-8").read().strip()
+    assert got[0] == golden

@@ -175,8 +175,8 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: s
     """
     t = tokens(docs, id_col, text_col).select("id", "token").distinct()
     h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
-    bit = F.col("b")
-    contrib = F.when(((F.col("th")).bitwiseAND(F.shiftleft(F.lit(1).cast("long"), bit)) != 0), 1).otherwise(-1)
+    # shiftleft with a COLUMN bit count needs the SQL form
+    contrib = F.expr("CASE WHEN (th & shiftleft(CAST(1 AS BIGINT), b)) != 0 THEN 1 ELSE -1 END")
     per_bit = (
         t.select("id", h.alias("th"))
         .select("id", "th", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
@@ -185,7 +185,7 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: s
     )
     return per_bit.groupBy("id").agg(
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b"))).otherwise(0)
+            F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")
         ).alias("simhash")
     )
 

@@ -84,29 +84,47 @@ def lsh_topk(
     embs: DataFrame,
     probes: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(probe_id, neighbor_id, cosine, rank) approximate top-k: candidates
-    share an LSH bucket; exact cosine re-ranks within the bucket."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    e = embs.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("ev"),
-        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    """(probe_id, neighbor_id, cosine, rank) approximate top-k.
+
+    OR-amplified multi-table LSH: ``n_tables`` independent plane sets, a
+    candidate shares a (table, bucket) with the probe in ANY table — the
+    standard recall/cost dial (recall 1-(1-p^planes)^tables). Candidates are
+    deduped before exact cosine re-rank. The big side is scanned once; each
+    table's bucket is one more JVM-side expression column, not a pass.
+    """
+    e_buckets = [
+        lsh_bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed + t)).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    tb = F.explode(
+        F.array(*[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bucket"))
+            for t in range(n_tables)
+        ])
+    ).alias("tb")
+    e = (
+        embs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"), *e_buckets)
+        .select("neighbor_id", "ev", tb)
+        .select("neighbor_id", "ev", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     )
-    p = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("pv"),
-        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    p = (
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"), *e_buckets)
+        .select("probe_id", "pv", tb)
+        .select("probe_id", "pv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     )
-    scored = (
-        e.join(F.broadcast(p), "bucket")
+    cand = (
+        e.join(F.broadcast(p), ["tbl", "bucket"])
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", cosine_expr("pv", "ev").alias("cosine"))
+        .select("probe_id", "neighbor_id", "pv", "ev")
+        .dropDuplicates(["probe_id", "neighbor_id"])
     )
+    scored = cand.select("probe_id", "neighbor_id", cosine_expr("pv", "ev").alias("cosine"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -60,8 +60,14 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """(doc_id, lang_pred, en_hits, de_hits, fr_hits) — stopword-hit
     heuristic; argmax with deterministic en > de > fr priority on ties."""
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+
+    # NB: F.filter treats a two-arg lambda as (element, index) — a default
+    # arg like `lambda t, sw=sw:` silently binds sw to the INDEX column
+    def _hit(sw: list[str]):
+        return lambda t: t.isin(sw)
+
     hits = {
-        lang: F.size(F.filter(toks, lambda t, sw=sw: t.isin(sw))).cast("long")
+        lang: F.size(F.filter(toks, _hit(sw))).cast("long")
         for lang, sw in STOPWORDS.items()
     }
     pred = (
