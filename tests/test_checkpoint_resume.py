@@ -1,0 +1,65 @@
+"""Checkpoint/resume: a PageRank run killed mid-way resumes from the last
+committed snapshot and reaches the SAME fixpoint (north rule: 'resumable
+from checkpoint with per-partition lineage + metrics')."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tldr_spark.operators.pagerank import pagerank
+from tldr_spark.plans.checkpoint import IterativeCheckpoint
+
+EDGES = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (0, 3), (5, 0)]
+
+
+def _edges_df(spark):
+    return spark.createDataFrame(
+        [(a, b, 1.0) for a, b in EDGES], "src long, dst long, weight double"
+    )
+
+
+def test_resume_reaches_identical_fixpoint(spark, tmp_path):
+    full = pagerank(_edges_df(spark), damping=0.5, tolerance=1e-10)
+    want = {r["id"]: r["rank"] for r in full.ranks.collect()}
+
+    # phase 1: "crash" after a few iterations (max_iter caps the run)
+    ck = IterativeCheckpoint(spark, str(tmp_path / "ck"))
+    partial = pagerank(
+        _edges_df(spark), damping=0.5, tolerance=1e-10, max_iter=6,
+        checkpoint=ck, checkpoint_every=2,
+    )
+    assert partial.iterations == 6
+    latest = ck.latest()
+    assert latest is not None and latest[0] == 6
+
+    # phase 2: restart with the same checkpoint root -> resumes at iter 6
+    resumed = pagerank(
+        _edges_df(spark), damping=0.5, tolerance=1e-10,
+        checkpoint=ck, checkpoint_every=2,
+    )
+    got = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
+    assert resumed.metrics[0]["iteration"] == 7  # continued, not restarted
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_metadata_commit_protocol(spark, tmp_path):
+    ck = IterativeCheckpoint(spark, str(tmp_path / "ck2"))
+    pagerank(
+        _edges_df(spark), damping=0.5, tolerance=1e-10, max_iter=4,
+        checkpoint=ck, checkpoint_every=2,
+    )
+    meta = json.load(open(os.path.join(str(tmp_path / "ck2"), "metadata.json")))
+    snaps = {s["iteration"]: s for s in meta["snapshots"]}
+    assert set(snaps) == {2, 4}
+    for s in snaps.values():
+        assert s["committed"] is True
+        assert s["partitions"], "per-partition lineage recorded"
+        assert "l1_delta" in s["metrics"] and "wall_ms" in s["metrics"]
+    hist = ck.metrics_history()
+    assert [h["iteration"] for h in hist] == [2, 4]
+    # deltas shrink monotonically across snapshots
+    assert hist[-1]["l1_delta"] < hist[0]["l1_delta"]
