@@ -284,9 +284,37 @@ def q_triangles_total(spark, sf_dir):
     return res.per_vertex.agg((F.coalesce(F.sum("triangles"), F.lit(0)) / 3).cast("long").alias("triangles"))
 
 
-# -- label propagation: rows-only (sync-LPA argmax not cleanly SQL-recursive) -
+# -- label propagation (sync, 4 rounds, min-label tie-break) ------------------
 
-@_q("lpa_labels", None)
+_LPA_SQL = f"""WITH RECURSIVE {_E},
+  und AS (SELECT DISTINCT src AS u, dst AS v
+          FROM (SELECT src, dst FROM e UNION SELECT dst, src FROM e)),
+  lp(it, id, label) AS (
+    SELECT 0, u, u FROM (SELECT DISTINCT u FROM und)
+    UNION ALL
+    SELECT it + 1, id, new_label FROM (
+      SELECT t.it AS it, c.u AS id,
+             MIN(c.label) FILTER (WHERE c.cnt = m.mc) AS new_label
+      FROM (SELECT MAX(it) AS it FROM lp) t
+      CROSS JOIN (
+        SELECT und.u, p.label, COUNT(*) AS cnt
+        FROM und JOIN lp p ON p.id = und.v
+        GROUP BY und.u, p.label
+      ) c
+      JOIN (
+        SELECT u, MAX(cnt) AS mc FROM (
+          SELECT und.u, p2.label, COUNT(*) AS cnt
+          FROM und JOIN lp p2 ON p2.id = und.v
+          GROUP BY und.u, p2.label
+        ) GROUP BY u
+      ) m ON m.u = c.u
+      GROUP BY t.it, c.u, m.mc
+    ) WHERE it < 4
+  )
+SELECT id AS vertex, label FROM lp WHERE it = 4"""
+
+
+@_q("lpa_labels", _LPA_SQL)
 def q_lpa_labels(spark, sf_dir):
     from tldr_spark.operators.labelprop import label_propagation
 
@@ -419,6 +447,39 @@ def q_pairwise_hamming(spark, sf_dir):
         .join(sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
         .select("id_a", "id_b", (F.col("sa") + F.col("sb") - 2 * F.col("i")).alias("hamming"))
     )
+
+
+# -- dedup: CSIS substring containment (op-7) ----------------------------------
+
+@_q(
+    "containment_pairs",
+    """SELECT a.doc_id AS id_contained, b.doc_id AS id_container
+       FROM documents a JOIN documents b
+         ON a.doc_id <> b.doc_id AND position(substr(a.text, 1, 60) IN b.text) > 0
+       WHERE a.doc_id < 200 AND b.doc_id < 200""",
+)
+def q_containment_pairs(spark, sf_dir):
+    # 60-char-prefix containment: the CSIS shape (util.go:182-202) with
+    # enough hits on this corpus to make the oracle comparison non-trivial
+    d = _docs(spark, sf_dir).filter("doc_id < 200")
+    a = d.select(F.col("doc_id").alias("id_contained"), F.substring("text", 1, 60).alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_container"), F.col("text").alias("tb"))
+    return (
+        a.join(b, F.col("id_contained") != F.col("id_container"))
+        .filter(F.expr("contains(tb, ta)"))
+        .select("id_contained", "id_container")
+    )
+
+
+# -- dedup: Jaro near-dup pairs (op-6 at scale; no SQL Jaro -> rows-only) -------
+
+@_q("jaro_dedup_pairs", None)
+def q_jaro_dedup_pairs(spark, sf_dir):
+    from tldr_spark.operators.dedup import jaro_pairs
+
+    # corpus max Jaro ≈ 0.68; τ=0.6 yields non-trivial pairs (τ <= 2/3 ->
+    # no length bound exists, so this runs the full bounded-subset join)
+    return jaro_pairs(_docs(spark, sf_dir).filter("doc_id < 80"), threshold=0.6)
 
 
 # -- dedup: exact --------------------------------------------------------------

@@ -23,6 +23,7 @@ numeric hash, no UDF needed.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
@@ -159,6 +160,58 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Jaro near-dup pairs — the reference's pass-1 dedup (util.go:159-180) at
+# corpus scale: candidate pairs from length buckets (Jaro >= τ implies
+# similar byte lengths: m <= min(|a|,|b|) and score <= (2m/|short| + 1)/3,
+# so τ=0.85 needs |long|/|short| <= ~1.8 — bucket by log-length and compare
+# adjacent buckets only), then the EXACT reference Jaro in an Arrow-batched
+# pandas UDF. Never an unbucketed all-pairs comparison.
+# ---------------------------------------------------------------------------
+
+def jaro_pairs(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, jaro) pairs with reference-exact Jaro >= threshold.
+
+    Length bound: score <= (1 + r + 1)/3 with r = |short|/|long|, so
+    score >= τ implies r >= 3τ-2. For τ > 2/3 that prunes to a bucket
+    window of ceil(2·log2(1/(3τ-2))) half-octave buckets; for τ <= 2/3 no
+    length bound exists and the join is the full candidate set (callers
+    should pre-bucket some other way at scale — e.g. LSH candidates).
+    """
+    import math
+
+    from pyspark.sql.types import DoubleType
+
+    from tldr_spark.functions.reference import jaro_distance
+
+    @F.pandas_udf(DoubleType())
+    def jaro_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([jaro_distance(x or "", y or "") for x, y in zip(a, b)])
+
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.floor(F.log2(F.length(text_col) + 1) * 2).alias("bkt"),
+    )
+    a = d.select(F.col("id").alias("id_a"), F.col("t").alias("ta"), F.col("bkt").alias("ba"))
+    b = d.select(F.col("id").alias("id_b"), F.col("t").alias("tb"), F.col("bkt").alias("bb"))
+    cond = F.col("id_a") < F.col("id_b")
+    if threshold > 2.0 / 3.0:
+        win = math.ceil(2 * math.log2(1.0 / (3.0 * threshold - 2.0)))
+        cond = cond & (F.abs(F.col("bb") - F.col("ba")) <= win)
+    cand = a.join(b, cond)
+    return (
+        cand.withColumn("jaro", jaro_udf("ta", "tb"))
+        .filter(F.col("jaro") >= threshold)
+        .select("id_a", "id_b", "jaro")
+    )
 
 
 # ---------------------------------------------------------------------------
