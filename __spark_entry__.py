@@ -597,12 +597,14 @@ _COS = (
     "embedding_near_dups",
     f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_COS} >= 0.95""",
+    WHERE {_COS} >= 0.45""",
 )
 def q_embedding_near_dups(spark, sf_dir):
     from tldr_spark.operators.dedup import embedding_near_dups
 
-    return embedding_near_dups(load(spark, sf_dir, "embeddings"), threshold=0.95).select(
+    # corpus max cosine ≈ 0.51 (near-random vectors); τ=0.45 makes the
+    # oracle comparison non-trivial while keeping the near-dup shape
+    return embedding_near_dups(load(spark, sf_dir, "embeddings"), threshold=0.45).select(
         "id_a", "id_b"
     )
 

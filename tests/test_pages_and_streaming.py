@@ -100,3 +100,28 @@ def test_streaming_windowed_degree(spark, tmp_path):
     rows = spark.sql("SELECT dst, in_deg, in_weight FROM deg_stream").collect()
     got = {(r["dst"], r["in_deg"], r["in_weight"]) for r in rows}
     assert (2, 2, 2.0) in got and (4, 1, 2.0) in got
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    from tldr_spark.streaming.stateful_dedup import streaming_exact_dedup
+
+    landing = str(tmp_path / "docs_landing")
+    spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(landing)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(landing)
+    dedup = streaming_exact_dedup(stream)
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_stream").collect()}
+    # one survivor per distinct text, first-seen doc id
+    assert rows == {0, 2}

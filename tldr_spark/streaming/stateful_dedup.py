@@ -1,0 +1,49 @@
+"""Custom stateful streaming operator: first-seen-wins exact dedup.
+
+The streaming counterpart of ``operators.dedup.exact_dedup`` — as crawl
+batches land, only the FIRST document per content digest passes through;
+re-crawls and mirrors are dropped with a running duplicate count. State is
+one small record per digest group, managed by Structured Streaming's state
+store (``applyInPandasWithState``, Arrow-batched — the prescribed shape for
+custom stateful operators the built-in windowed aggs can't express).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "text_md5 string, doc_id long, dup_count long"
+STATE_SCHEMA = "seen boolean, first_doc_id long, dups long"
+
+
+def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (text_md5,) = key
+    seen, first_id, dups = state.get if state.exists else (False, None, 0)
+    out_first = None
+    for pdf in pdfs:
+        for doc_id in pdf["doc_id"]:
+            if not seen:
+                seen, first_id, out_first = True, int(doc_id), int(doc_id)
+            else:
+                dups += 1
+    state.update((seen, first_id, dups))
+    if out_first is not None:
+        yield pd.DataFrame([(text_md5, out_first, dups)], columns=["text_md5", "doc_id", "dup_count"])
+
+
+def streaming_exact_dedup(docs_stream: DataFrame) -> DataFrame:
+    """docs_stream: streaming (doc_id long, text string) → first-seen rows
+    (text_md5, doc_id, dup_count). Emits a row only the first time a digest
+    appears; later duplicates update state silently."""
+    keyed = docs_stream.select("doc_id", F.md5("text").alias("text_md5"))
+    return keyed.groupBy("text_md5").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
