@@ -156,3 +156,33 @@ def test_vector_set_ops_equivalents():
     wj = R.pairwise_weights(np.vstack([a, b]), "jaccard")
     # c = equal positions = 2 -> 1 - 2/(8-2) = 2/3
     assert abs(wj[0, 1] - (1 - 2 / (2 * 4 - 2))) < 1e-12
+
+
+def test_custom_algorithm_hook():
+    # edge_cases_test.go:175-185: custom algorithm always picks sentence 0
+    cfg = R.SummarizeConfig(
+        algorithm="custom",
+        custom_algorithm=lambda src, dst, w: [0],
+        sentences=["First sentence", "Second sentence"],
+    )
+    out = R.summarize("", 1, cfg)
+    assert out == ["First sentence"]
+
+
+def test_custom_weighing_hook():
+    # edge_cases_test.go:188-199: constant max weight still yields a result
+    cfg = R.SummarizeConfig(
+        weighing="custom",
+        custom_weighing=lambda a, b: 1.0,
+        sentences=["First sentence", "Second sentence"],
+    )
+    out = R.summarize("", 1, cfg)
+    assert len(out) == 1
+
+
+def test_custom_word_tokenizer_hook():
+    # edge_cases_test.go:202-214: constant tokens -> identical vectors ->
+    # zero hamming weights -> no edges above threshold -> empty result
+    cfg = R.SummarizeConfig(word_tokenizer=lambda s: ["custom", "tokens"])
+    out = R.summarize("This is a test sentence. And another one.", 1, cfg)
+    assert out == []

@@ -362,6 +362,13 @@ class SummarizeConfig:
     sentences_distance_threshold: float = DEFAULT_SENTENCES_DISTANCE_THRESHOLD
     dictionary: dict[str, int] | None = None
     sentences: list[str] | None = field(default=None)  # pre-split entry point
+    # injection hooks (tldr.go:97-107): swap the ranking algorithm
+    # (algorithm="custom"), the pair weighing (weighing="custom"), or the
+    # word tokenizer. Hook callables must be top-level functions when used
+    # with the distributed summarizer (they ship to executors via pickle).
+    custom_algorithm: object = None  # f(src, dst, w arrays) -> list[int]
+    custom_weighing: object = None  # f(vec_a, vec_b) -> float, per pair
+    word_tokenizer: object = None  # f(sentence) -> list[str]
 
 
 def summarize(text: str, num: int, cfg: SummarizeConfig | None = None) -> list[str]:
@@ -372,7 +379,8 @@ def summarize(text: str, num: int, cfg: SummarizeConfig | None = None) -> list[s
         return []
 
     sentences = cfg.sentences if cfg.sentences else tokenize_sentences(text)
-    bags = [default_word_tokenizer(s) for s in sentences]
+    tokenizer = cfg.word_tokenizer or default_word_tokenizer
+    bags = [tokenizer(s) for s in sentences]
     kept = uniq_sentence_indices(bags, cfg.sentences_distance_threshold)
     sentences = [sentences[i] for i in kept]
     bags = [bags[i] for i in kept]
@@ -382,10 +390,20 @@ def summarize(text: str, num: int, cfg: SummarizeConfig | None = None) -> list[s
         dict_ = create_dictionary(text if text else " ".join(sentences).strip())
 
     mat = binary_vectors(bags, dict_)
-    weights = pairwise_weights(mat, cfg.weighing)
+    if cfg.weighing == "custom" and cfg.custom_weighing is not None:
+        n = mat.shape[0]
+        weights = np.zeros((n, n))
+        for i in range(n):
+            for j in range(n):
+                if i != j:
+                    weights[i, j] = cfg.custom_weighing(mat[i], mat[j])
+    else:
+        weights = pairwise_weights(mat, cfg.weighing)
     src, dst, w = edge_list(weights, cfg.threshold)
 
-    if cfg.algorithm == "centrality":
+    if cfg.algorithm == "custom" and cfg.custom_algorithm is not None:
+        ranks = list(cfg.custom_algorithm(src, dst, w))
+    elif cfg.algorithm == "centrality":
         ranks = centrality_ranks(src, dst, w)
     else:  # "pagerank", unknown names fall back (tldr.go:136-137)
         scores = pagerank_fixpoint(src, dst, w, cfg.damping, cfg.tolerance)
