@@ -25,14 +25,22 @@ def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     seen, first_id, dups = state.get if state.exists else (False, None, 0)
     out_first = None
     for pdf in pdfs:
-        for doc_id in pdf["doc_id"]:
-            if not seen:
-                seen, first_id, out_first = True, int(doc_id), int(doc_id)
-            else:
-                dups += 1
+        ids = [int(x) for x in pdf["doc_id"]]
+        if not ids:
+            continue
+        if not seen:
+            # earlier BATCH wins; within a batch row order is not
+            # deterministic (file-source split order), so take min doc_id
+            seen = True
+            first_id = out_first = min(ids)
+            dups += len(ids) - 1
+        else:
+            dups += len(ids)
     state.update((seen, first_id, dups))
     if out_first is not None:
-        yield pd.DataFrame([(text_md5, out_first, dups)], columns=["text_md5", "doc_id", "dup_count"])
+        yield pd.DataFrame(
+            [(text_md5, out_first, dups)], columns=["text_md5", "doc_id", "dup_count"]
+        )
 
 
 def streaming_exact_dedup(docs_stream: DataFrame) -> DataFrame:
