@@ -482,6 +482,29 @@ def q_jaro_dedup_pairs(spark, sf_dir):
     return jaro_pairs(_docs(spark, sf_dir).filter("doc_id < 80"), threshold=0.6)
 
 
+# -- dedup: textbook Jaro (standard formulation, bit-identical to DuckDB's
+# -- jaro_similarity; quantized with a power-of-two scale) ----------------------
+
+@_q(
+    "jaro_textbook_pairs",
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(ROUND(jaro_similarity(a.text, b.text) * 1073741824) AS BIGINT) AS jaro_q
+       FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+       WHERE a.doc_id < 80 AND b.doc_id < 80
+         AND jaro_similarity(a.text, b.text) >= 0.6""",
+)
+def q_jaro_textbook_pairs(spark, sf_dir):
+    from tldr_spark.operators.dedup import jaro_pairs
+
+    return jaro_pairs(
+        _docs(spark, sf_dir).filter("doc_id < 80"), threshold=0.6, variant="textbook"
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaro") * 1073741824).cast("long").alias("jaro_q"),
+    )
+
+
 # -- dedup: exact --------------------------------------------------------------
 
 @_q(
@@ -680,6 +703,53 @@ def q_lang_pred(spark, sf_dir):
     from tldr_spark.operators.textstats import lang_id
 
     return lang_id(_docs(spark, sf_dir))
+
+
+@_q(
+    "quality_scores",
+    r"""SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(FLOOR(CASE WHEN length(text) > 0
+                THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1000.0
+                     / length(text)
+                ELSE 0 END) AS BIGINT) AS punct_ratio_x1000,
+           CAST(FLOOR(CASE WHEN n_tok > 0 THEN n_stop * 1000.0 / n_tok ELSE 0 END) AS BIGINT)
+               AS stopword_ratio_x1000,
+           CAST((CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END)
+              + (CASE WHEN FLOOR(CASE WHEN length(text) > 0
+                     THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1000.0
+                          / length(text) ELSE 0 END) < 100 THEN 1 ELSE 0 END)
+              + (CASE WHEN FLOOR(CASE WHEN n_tok > 0 THEN n_stop * 1000.0 / n_tok ELSE 0 END) >= 20
+                 THEN 1 ELSE 0 END) AS INTEGER) AS quality
+       FROM (
+         SELECT doc_id, text,
+                len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tok,
+                len(list_filter(string_split_regex(trim(text), '\s+'),
+                    t -> lower(t) IN ('the','and','of','to','a','in','is','that','it','was')))
+                    AS n_stop
+         FROM documents) t""",
+)
+def q_quality_scores(spark, sf_dir):
+    from tldr_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+# -- multimodal plumbing (decode stubbed: deterministic synthetic media; the
+# -- mapInPandas schema/batching/1->many shapes are the real, tested part) -----
+
+@_q("media_features", None)
+def q_media_features(spark, sf_dir):
+    from tldr_spark.operators.multimodal import extract_media_features, synth_media
+
+    return extract_media_features(synth_media(spark, n=64))
+
+
+@_q("media_frame_sample", None)
+def q_media_frame_sample(spark, sf_dir):
+    from tldr_spark.operators.multimodal import frame_sample, synth_media
+
+    return frame_sample(synth_media(spark, n=64), every_n=2)
 
 
 @_q(

@@ -39,3 +39,39 @@ def test_jaro_bucket_bound_sound(spark):
         [(0, "ab"), (1, "ab" * 200)], "doc_id long, text string"
     )
     assert jaro_pairs(df, threshold=0.85).count() == 0
+
+
+def test_textbook_jaro_matches_duckdb_bitwise():
+    # the textbook variant is the SQL-oracle-checkable one: it must agree
+    # with DuckDB's jaro_similarity to the last ulp
+    import random
+
+    import duckdb
+
+    from tldr_spark.operators.dedup import textbook_jaro
+
+    con = duckdb.connect()
+    rng = random.Random(123)
+    words = "the quick brown fox jumps over lazy dog ein zwei drei le la".split()
+    for _ in range(500):
+        a = " ".join(rng.choices(words, k=rng.randint(1, 25)))
+        b = " ".join(rng.choices(words, k=rng.randint(1, 25)))
+        d = con.execute("select jaro_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert textbook_jaro(a, b) == d, (a, b)
+
+
+def test_jaro_pairs_textbook_variant(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dogs"),
+        (2, "entirely different words appear here instead"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaro"]
+        for r in jaro_pairs(df, threshold=0.9, variant="textbook").collect()
+    }
+    from tldr_spark.operators.dedup import textbook_jaro
+
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] == textbook_jaro(rows[0][1], rows[1][1])
