@@ -205,3 +205,45 @@ def test_summarize_documents_matches_oracle(spark):
     # doc 0 reproduces the committed golden through the DISTRIBUTED path
     golden = open("/root/reference/result.txt", encoding="utf-8").read().strip()
     assert got[0] == golden
+
+
+def _upper_tokenizer(sentence):
+    # top-level so it pickles to executors
+    from tldr_spark.functions.reference import default_word_tokenizer
+
+    return [t.upper() for t in default_word_tokenizer(sentence)]
+
+
+def test_summarize_documents_presplit_and_full_config(spark):
+    # pre-split entry point (tldr.go:20,354): sentences bypass the tokenizer
+    from pyspark.sql import functions as F
+
+    from tldr_spark.functions.reference import SummarizeConfig, summarize
+    from tldr_spark.operators.summarize import summarize_documents
+
+    sents = [
+        "Mary had a little lamb,",
+        "it's fleece was white as snow,",
+        "and everywhere that Mary went,",
+        "that lamb was sure to go.",
+    ]
+    df = spark.createDataFrame([(0, sents)], "doc_id long, sentences array<string>")
+    got = summarize_documents(df, 1, sentences_col="sentences").collect()[0]
+    expected = summarize("", 1, SummarizeConfig(sentences=list(sents)))
+    assert got["summary"] == "\n\n".join(expected)
+    # sentences_test.go:23 expects exactly this sentence for the pre-split API
+    assert got["summary"] == "it's fleece was white as snow,"
+
+    # full config surface distributedly: centrality + jaccard + char budget
+    # + injected dictionary + custom tokenizer hook, vs the local kernel
+    sample_txt = open("/root/reference/sample.txt", encoding="utf-8").read()
+    cfg = SummarizeConfig(
+        algorithm="centrality",
+        weighing="jaccard",
+        max_characters=120,
+        word_tokenizer=_upper_tokenizer,
+    )
+    tdf = spark.createDataFrame([(0, sample_txt)], "doc_id long, text string")
+    got2 = summarize_documents(tdf, 3, config=cfg).collect()[0]["summary"]
+    assert got2 == "\n\n".join(summarize(sample_txt, 3, cfg))
+    assert sum(len(s) for s in got2.split("\n\n")) <= 120

@@ -36,19 +36,45 @@ def summarize_documents(
     max_characters: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    config: SummarizeConfig | None = None,
+    sentences_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, summary, n_sentences); summary = selected sentences joined
-    by "\\n\\n" (the reference test fixtures' join, tldr_test.go:56)."""
+    by "\\n\\n" (the reference test fixtures' join, tldr_test.go:56).
+
+    ``config`` exposes the FULL reference Bag surface distributedly
+    (tldr.go:26-36,81-107): damping/tolerance/threshold/
+    sentences_distance_threshold, an injected dictionary (SetDictionary),
+    and the custom algorithm/weighing/tokenizer hooks — hook callables must
+    be top-level functions (they ship to executors via pickle). When given,
+    it overrides the scalar keyword shortcuts.
+
+    ``sentences_col`` (array<string>) is the pre-split entry point
+    (tldr.go:20,354, sentences_test.go): per-document sentence lists bypass
+    the sentence tokenizer; the dictionary is then built from the re-joined
+    sentences exactly as tldr.go:120-123 does.
+    """
+    from dataclasses import replace
+
+    base = config or SummarizeConfig(
+        algorithm=algorithm, weighing=weighing, max_characters=max_characters
+    )
+    cols = [id_col] + ([sentences_col] if sentences_col else [text_col])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cfg = SummarizeConfig(
-            algorithm=algorithm, weighing=weighing, max_characters=max_characters
-        )
         for pdf in batches:
             out = []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                sents = summarize(text or "", num, cfg)
-                out.append((doc_id, "\n\n".join(sents), len(sents)))
+            if sentences_col:
+                for doc_id, sents_in in zip(pdf[id_col], pdf[sentences_col]):
+                    # Arrow delivers array<string> cells as numpy arrays
+                    sl = [] if sents_in is None else [str(s) for s in sents_in]
+                    cfg = replace(base, sentences=sl)
+                    sents = summarize("", num, cfg)
+                    out.append((doc_id, "\n\n".join(sents), len(sents)))
+            else:
+                for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                    sents = summarize(text or "", num, base)
+                    out.append((doc_id, "\n\n".join(sents), len(sents)))
             yield pd.DataFrame(out, columns=["doc_id", "summary", "n_sentences"])
 
-    return docs.select(id_col, text_col).mapInPandas(run, _SCHEMA)
+    return docs.select(*cols).mapInPandas(run, _SCHEMA)
