@@ -322,6 +322,182 @@ def q_lpa_labels(spark, sf_dir):
     return res.labels.select(F.col("id").alias("vertex"), "label")
 
 
+# -- BFS hop distances from the out-hub seed set ------------------------------
+
+_BFS_SQL = f"""WITH RECURSIVE {_E},
+  g AS (SELECT DISTINCT src, dst FROM e),
+  seeds AS (SELECT DISTINCT v AS id
+            FROM (SELECT src AS v FROM e UNION SELECT dst FROM e) WHERE v % 50 = 0),
+  bf(id, dist) AS (
+    SELECT id, 0 FROM seeds
+    UNION
+    SELECT g.dst, b.dist + 1 FROM bf b JOIN g ON g.src = b.id WHERE b.dist < 40
+  )
+SELECT id AS vertex, CAST(MIN(dist) AS INTEGER) AS dist FROM bf GROUP BY id"""
+
+
+@_q("bfs_hops", _BFS_SQL)
+def q_bfs_hops(spark, sf_dir):
+    from tldr_spark.operators.bfs import bfs_distances
+
+    e = derive_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .filter(F.col("id") % 50 == 0)
+        .distinct()
+    )
+    res = bfs_distances(e, seeds, directed=True)
+    return res.distances.select(F.col("id").alias("vertex"), "dist")
+
+
+# -- personalized PageRank (teleport restricted to the seed set) --------------
+
+_PPR_SQL = f"""WITH RECURSIVE {_E},
+  norm AS (SELECT src, dst, SUM(weight) AS w FROM e GROUP BY src, dst),
+  outw AS (SELECT src, SUM(w) AS ow FROM norm GROUP BY src),
+  en AS (SELECT n.src, n.dst, n.w / o.ow AS wn FROM norm n JOIN outw o USING (src)),
+  verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+  ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM verts WHERE v % 50 = 0),
+  pr(it, id, rank, dang, p) AS (
+    SELECT 0, v.v,
+           CASE WHEN v.v % 50 = 0 THEN 1.0 / ns.s ELSE CAST(0 AS DOUBLE) END,
+           o.src IS NULL,
+           CASE WHEN v.v % 50 = 0 THEN 1.0 / ns.s ELSE CAST(0 AS DOUBLE) END
+    FROM verts v CROSS JOIN ns
+    LEFT JOIN (SELECT DISTINCT src FROM en) o ON o.src = v.v
+    UNION ALL
+    SELECT it + 1, id, new_rank, dang, p FROM (
+      SELECT t.it AS it, v.id AS id, v.dang AS dang, v.p AS p,
+             {DAMPING} * COALESCE(c.contrib, CAST(0 AS DOUBLE))
+               + ((1.0 - {DAMPING}) + {DAMPING} * t.leak) * v.p AS new_rank
+      FROM (SELECT MAX(it) AS it,
+                   SUM(CASE WHEN dang THEN rank ELSE CAST(0 AS DOUBLE) END) AS leak
+            FROM pr) t
+      CROSS JOIN (SELECT id, dang, p FROM pr) v
+      LEFT JOIN (SELECT en.dst AS id, SUM(pp.rank * en.wn) AS contrib
+                 FROM pr pp JOIN en ON en.src = pp.id GROUP BY en.dst) c ON c.id = v.id
+    ) WHERE it < 15
+  )
+SELECT id AS vertex, CAST(ROUND(rank * 1048576) AS BIGINT) AS rank_q
+FROM pr WHERE it = 15"""
+
+
+@_q("ppr_fixed15", _PPR_SQL)
+def q_ppr_fixed15(spark, sf_dir):
+    from tldr_spark.operators.pagerank import personalized_pagerank
+
+    e = derive_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .filter(F.col("id") % 50 == 0)
+        .distinct()
+    )
+    res = personalized_pagerank(e, seeds, damping=DAMPING, tolerance=-1.0, max_iter=15)
+    return res.ranks.select(
+        F.col("id").alias("vertex"),
+        F.round(F.col("rank") * 1048576).cast("long").alias("rank_q"),
+    )
+
+
+# -- HITS hub/authority (fixed 10 rounds; CTE chain mirrors the exact
+# -- L1-normalized half-step order of operators/hits.py) ----------------------
+
+def _hits_sql(n_iter: int = 10) -> str:
+    # every stage CTE is MATERIALIZED: DuckDB otherwise inlines each
+    # reference, and a 10-round chain expands exponentially (fd exhaustion
+    # re-opening the parquet per inlined scan)
+    parts = [
+        _E,
+        "g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)",
+        "verts AS MATERIALIZED (SELECT DISTINCT v AS id FROM (SELECT src AS v FROM e UNION SELECT dst FROM e))",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "s0 AS MATERIALIZED (SELECT id, 1.0 / nv.n AS hub, 1.0 / nv.n AS auth FROM verts CROSS JOIN nv)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"s{i - 1}"
+        parts.append(
+            f"""ra{i} AS MATERIALIZED (SELECT g.dst AS id, SUM(h.hub) AS s
+               FROM g JOIN {p} h ON h.id = g.src GROUP BY g.dst)"""
+        )
+        parts.append(f"ta{i} AS (SELECT SUM(s) AS t FROM ra{i})")
+        parts.append(
+            f"""a{i} AS MATERIALIZED (SELECT c.id, c.hub,
+                 COALESCE(r.s, CAST(0 AS DOUBLE)) / ta{i}.t AS auth
+               FROM {p} c LEFT JOIN ra{i} r ON r.id = c.id CROSS JOIN ta{i})"""
+        )
+        parts.append(
+            f"""rh{i} AS MATERIALIZED (SELECT g.src AS id, SUM(a.auth) AS s
+               FROM g JOIN a{i} a ON a.id = g.dst GROUP BY g.src)"""
+        )
+        parts.append(f"th{i} AS (SELECT SUM(s) AS t FROM rh{i})")
+        parts.append(
+            f"""s{i} AS MATERIALIZED (SELECT c.id,
+                 COALESCE(r.s, CAST(0 AS DOUBLE)) / th{i}.t AS hub, c.auth
+               FROM a{i} c LEFT JOIN rh{i} r ON r.id = c.id CROSS JOIN th{i})"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""\nSELECT id AS vertex,
+           CAST(ROUND(hub * 1048576) AS BIGINT) AS hub_q,
+           CAST(ROUND(auth * 1048576) AS BIGINT) AS auth_q
+    FROM s{n_iter}"""
+    )
+
+
+@_q("hits_fixed10", _hits_sql(10))
+def q_hits_fixed10(spark, sf_dir):
+    from tldr_spark.operators.hits import hits
+
+    res = hits(derive_edges(spark, sf_dir), iterations=10)
+    return res.scores.select(
+        F.col("id").alias("vertex"),
+        F.round(F.col("hub") * 1048576).cast("long").alias("hub_q"),
+        F.round(F.col("auth") * 1048576).cast("long").alias("auth_q"),
+    )
+
+
+# -- k-core (k=3; fixed-round peeling chain mirrors operators/kcore.py) -------
+
+def _kcore_sql(k: int = 3, rounds: int = 12) -> str:
+    parts = [
+        _E,
+        """und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+             SELECT src AS u, dst AS v FROM e WHERE src <> dst
+             UNION SELECT dst, src FROM e WHERE src <> dst))""",
+        "v0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"v{i - 1}"
+        parts.append(
+            f"""v{i} AS MATERIALIZED (SELECT und.u AS id FROM und
+               JOIN {p} a ON a.id = und.u
+               JOIN {p} b ON b.id = und.v
+               GROUP BY und.u HAVING COUNT(*) >= {k})"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""\nSELECT und.u AS vertex, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM und
+    JOIN v{rounds} a ON a.id = und.u
+    JOIN v{rounds} b ON b.id = und.v
+    GROUP BY und.u"""
+    )
+
+
+@_q("kcore_k3", _kcore_sql(3, 12))
+def q_kcore_k3(spark, sf_dir):
+    from tldr_spark.operators.kcore import k_core
+
+    # converges well inside the oracle's 12 fixed rounds at sf<=0.1 (peeling
+    # is monotone, so a converged result equals any later fixed round)
+    res = k_core(derive_edges(spark, sf_dir), k=3, max_rounds=12)
+    return res.vertices.select(
+        F.col("id").alias("vertex"), F.col("degree").cast("long").alias("degree")
+    )
+
+
 # -- centrality ranking (op-14, deterministic §5.4 order) ---------------------
 
 @_q(

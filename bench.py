@@ -153,6 +153,22 @@ def run_secondary() -> dict:
 
         t("cc", lambda: connected_components(edges).assignments.count())
         t("triangles", lambda: triangle_count(edges).per_vertex.count())
+
+        from tldr_spark.operators.bfs import bfs_distances
+        from tldr_spark.operators.hits import hits
+        from tldr_spark.operators.kcore import k_core
+        from tldr_spark.operators.pagerank import personalized_pagerank
+
+        seeds = (
+            edges.select(F.col("src").alias("id"))
+            .filter(F.col("id") % 50 == 0)
+            .distinct()
+        )
+        t("bfs", lambda: bfs_distances(edges, seeds).distances.count())
+        t("hits10", lambda: hits(edges, iterations=10).scores.count())
+        t("kcore3", lambda: k_core(edges, 3).vertices.count())
+        t("ppr15", lambda: personalized_pagerank(
+            edges, seeds, tolerance=-1.0, max_iter=15).ranks.count())
         t("dedup_exact", lambda: exact_dedup(docs).count())
         t("minhash_lsh", lambda: minhash_lsh_pairs(docs).count())
         t("ann_brute_topk", lambda: brute_force_topk(embs, embs.filter("vec_id < 20"), k=10).count())

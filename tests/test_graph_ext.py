@@ -1,0 +1,207 @@
+"""Extended link-graph operators: BFS distances, personalized PageRank,
+HITS, k-core — each vs a brute-force / NumPy oracle on deterministic
+synthetic graphs."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _rand_graph(seed: int, n: int, m: int) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    return [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+        if a != b
+    ]
+
+
+# --- BFS ----------------------------------------------------------------
+
+def _bfs_oracle(edges, seeds, directed=True):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        if not directed:
+            adj[d].add(s)
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return dist
+
+
+def test_bfs_matches_oracle(spark):
+    from tldr_spark.operators.bfs import bfs_distances
+
+    edges = _rand_graph(5, 40, 120)
+    seeds = [0, 7]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "id long")
+    for directed in (True, False):
+        got = {
+            r["id"]: r["dist"]
+            for r in bfs_distances(e, s, directed=directed).distances.collect()
+        }
+        assert got == _bfs_oracle(edges, seeds, directed)
+
+
+def test_bfs_unreachable_absent(spark):
+    from tldr_spark.operators.bfs import bfs_distances
+
+    e = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    s = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["dist"] for r in bfs_distances(e, s).distances.collect()}
+    assert got == {0: 0, 1: 1}
+
+
+# --- personalized PageRank ----------------------------------------------
+
+def _ppr_oracle(edges, seeds, damping, n_iter):
+    # dense power iteration mirroring operators/pagerank.py semantics:
+    # duplicate edges sum, out-weight normalize, dangling mass -> teleport
+    # vector, init at p
+    w = {}
+    for s, d, wt in edges:
+        w[(s, d)] = w.get((s, d), 0.0) + wt
+    verts = sorted({v for e in w for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    M = np.zeros((n, n))
+    for (s, d), wt in w.items():
+        M[idx[s], idx[d]] = wt
+    out = M.sum(axis=1)
+    dangling = out == 0
+    Mn = np.zeros_like(M)
+    np.divide(M, out[:, None], out=Mn, where=out[:, None] > 0)
+    p = np.zeros(n)
+    sv = [v for v in seeds if v in idx]
+    for v in sv:
+        p[idx[v]] = 1.0 / len(sv)
+    r = p.copy()
+    for _ in range(n_iter):
+        leak = r[dangling].sum()
+        r = damping * (Mn.T @ r) + ((1 - damping) + damping * leak) * p
+    return {v: r[idx[v]] for v in verts}
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    from tldr_spark.operators.pagerank import personalized_pagerank
+
+    edges = [(s, d, 1.0 + (s + d) % 3) for s, d in _rand_graph(9, 30, 90)]
+    edges += [(1, 2, 5.0), (1, 2, 1.0)]  # duplicate edge: weights must sum
+    seeds = [0, 3, 11]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    s = spark.createDataFrame([(x,) for x in seeds], "id long")
+    res = personalized_pagerank(e, s, tolerance=-1.0, max_iter=25)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    exp = _ppr_oracle(edges, seeds, 0.85, 25)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_converges_and_localizes(spark):
+    from tldr_spark.operators.pagerank import personalized_pagerank
+
+    # two disjoint cliques; seeds in clique A -> clique B gets rank 0
+    a = [(i, j, 1.0) for i in range(4) for j in range(4) if i != j]
+    b = [(i, j, 1.0) for i in range(10, 14) for j in range(10, 14) if i != j]
+    e = spark.createDataFrame(a + b, "src long, dst long, weight double")
+    s = spark.createDataFrame([(0,)], "id long")
+    res = personalized_pagerank(e, s, tolerance=1e-10)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    assert res.l1_delta <= 1e-10
+    assert all(got[v] == 0.0 for v in range(10, 14))
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# --- HITS ---------------------------------------------------------------
+
+def _hits_oracle(edges, n_iter):
+    es = sorted(set(edges))
+    verts = sorted({v for e in es for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n))
+    for s, d in es:
+        A[idx[s], idx[d]] = 1.0
+    hub = np.full(n, 1.0 / n)
+    auth = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        auth = A.T @ hub
+        auth = auth / auth.sum()
+        hub = A @ auth
+        hub = hub / hub.sum()
+    return {v: (hub[idx[v]], auth[idx[v]]) for v in verts}
+
+
+def test_hits_matches_numpy(spark):
+    from tldr_spark.operators.hits import hits
+
+    edges = _rand_graph(3, 25, 80)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    res = hits(e, iterations=10)
+    got = {r["id"]: (r["hub"], r["auth"]) for r in res.scores.collect()}
+    exp = _hits_oracle(edges, 10)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v][0] - exp[v][0]) < 1e-9
+        assert abs(got[v][1] - exp[v][1]) < 1e-9
+
+
+def test_hits_star(spark):
+    from tldr_spark.operators.hits import hits
+
+    # star: 1..4 -> 0; 0 is the sole authority, spokes are the hubs
+    e = spark.createDataFrame([(i, 0) for i in range(1, 5)], "src long, dst long")
+    got = {r["id"]: r for r in hits(e, iterations=5).scores.collect()}
+    assert got[0]["auth"] == 1.0 and got[0]["hub"] == 0.0
+    for i in range(1, 5):
+        assert abs(got[i]["hub"] - 0.25) < 1e-12 and got[i]["auth"] == 0.0
+
+
+# --- k-core -------------------------------------------------------------
+
+def _kcore_oracle(edges, k):
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    alive = set(adj)
+    changed = True
+    while changed:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        changed = bool(drop)
+        alive -= drop
+    return {v: len(adj[v] & alive) for v in alive}
+
+
+def test_kcore_matches_oracle(spark):
+    from tldr_spark.operators.kcore import k_core
+
+    edges = _rand_graph(17, 30, 140) + [(0, 0)]  # self-loop must be ignored
+    e = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 4):
+        res = k_core(e, k)
+        got = {r["id"]: r["degree"] for r in res.vertices.collect()}
+        assert got == _kcore_oracle(edges, k), k
+
+
+def test_kcore_clique_plus_tail(spark):
+    from tldr_spark.operators.kcore import k_core
+
+    clique = [(i, j) for i in range(4) for j in range(4) if i < j]
+    tail = [(3, 9), (9, 10)]
+    e = spark.createDataFrame(clique + tail, "src long, dst long")
+    got = {r["id"] for r in k_core(e, 3).vertices.collect()}
+    assert got == {0, 1, 2, 3}
