@@ -498,6 +498,95 @@ def q_kcore_k3(spark, sf_dir):
     )
 
 
+# -- link-structure similarity / local density --------------------------------
+
+_UND_SQL = """und AS MATERIALIZED (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM e WHERE src <> dst GROUP BY 1, 2)"""
+
+_SD_SQL = "sd AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst)"
+
+
+@_q(
+    "clustering_coeff",
+    f"""WITH {_E}, {_UND_SQL},
+    tri AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1 JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pv AS MATERIALIZED (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+      ) GROUP BY id),
+    nbr AS MATERIALIZED (SELECT a AS id, b AS nb FROM und UNION SELECT b, a FROM und),
+    deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM nbr GROUP BY id HAVING COUNT(*) >= 2)
+    SELECT d.id AS vertex, d.degree,
+           COALESCE(p.triangles, 0) AS triangles,
+           CAST(ROUND(2.0 * COALESCE(p.triangles, 0)
+                / (d.degree * (d.degree - 1)) * 1048576) AS BIGINT) AS coeff_q
+    FROM deg d LEFT JOIN pv p ON p.id = d.id""",
+)
+def q_clustering_coeff(spark, sf_dir):
+    from tldr_spark.operators.linksim import clustering_coefficient
+
+    return clustering_coefficient(derive_edges(spark, sf_dir)).select(
+        F.col("id").alias("vertex"),
+        "degree",
+        "triangles",
+        F.round(F.col("coeff") * 1048576).cast("long").alias("coeff_q"),
+    )
+
+
+@_q(
+    "cocitation_pairs",
+    f"""WITH {_E}, {_SD_SQL}
+    SELECT a.dst AS id_a, b.dst AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common_sources
+    FROM sd a JOIN sd b ON a.src = b.src AND a.dst < b.dst
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+)
+def q_cocitation_pairs(spark, sf_dir):
+    from tldr_spark.operators.linksim import cocitation
+
+    return cocitation(derive_edges(spark, sf_dir), min_count=2)
+
+
+@_q(
+    "bib_coupling_pairs",
+    f"""WITH {_E}, {_SD_SQL}
+    SELECT a.src AS id_a, b.src AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common_targets
+    FROM sd a JOIN sd b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+)
+def q_bib_coupling_pairs(spark, sf_dir):
+    from tldr_spark.operators.linksim import bibliographic_coupling
+
+    return bibliographic_coupling(derive_edges(spark, sf_dir), min_count=2)
+
+
+@_q(
+    "common_neighbor_jaccard",
+    f"""WITH {_E}, {_SD_SQL},
+    nbr AS MATERIALIZED (SELECT DISTINCT id, nb FROM (
+      SELECT src AS id, dst AS nb FROM sd UNION SELECT dst, src FROM sd)),
+    sz AS (SELECT id, COUNT(*) AS sz FROM nbr GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+              FROM nbr a JOIN nbr b ON a.nb = b.nb AND a.id < b.id GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           CAST(ROUND(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) * 1048576) AS BIGINT)
+             AS jaccard_q
+    FROM inter i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b""",
+)
+def q_common_neighbor_jaccard(spark, sf_dir):
+    from tldr_spark.operators.linksim import common_neighbor_jaccard
+
+    return common_neighbor_jaccard(derive_edges(spark, sf_dir)).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard") * 1048576).cast("long").alias("jaccard_q"),
+    )
+
+
 # -- centrality ranking (op-14, deterministic §5.4 order) ---------------------
 
 @_q(

@@ -205,3 +205,72 @@ def test_kcore_clique_plus_tail(spark):
     e = spark.createDataFrame(clique + tail, "src long, dst long")
     got = {r["id"] for r in k_core(e, 3).vertices.collect()}
     assert got == {0, 1, 2, 3}
+
+
+# --- link-structure similarity ------------------------------------------
+
+def test_clustering_coefficient_matches_brute(spark):
+    from itertools import combinations
+
+    from tldr_spark.operators.linksim import clustering_coefficient
+
+    edges = _rand_graph(21, 20, 70)
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    exp = {}
+    for v, ns in adj.items():
+        if len(ns) < 2:
+            continue
+        t = sum(1 for a, b in combinations(sorted(ns), 2) if b in adj.get(a, ()))
+        exp[v] = (len(ns), t, 2.0 * t / (len(ns) * (len(ns) - 1)))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: (r["degree"], r["triangles"], r["coeff"])
+        for r in clustering_coefficient(e).collect()
+    }
+    assert got.keys() == exp.keys()
+    for v in exp:
+        assert got[v][0] == exp[v][0] and got[v][1] == exp[v][1], v
+        assert abs(got[v][2] - exp[v][2]) < 1e-12
+
+
+def test_cocitation_and_coupling(spark):
+    from tldr_spark.operators.linksim import bibliographic_coupling, cocitation
+
+    # sources 0,1 both cite 10 and 11; source 2 cites 10 only
+    edges = [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10), (0, 10)]  # dup edge
+    e = spark.createDataFrame(edges, "src long, dst long")
+    cc = {(r["id_a"], r["id_b"]): r["n_common_sources"] for r in cocitation(e).collect()}
+    assert cc == {(10, 11): 2}
+    bc = {
+        (r["id_a"], r["id_b"]): r["n_common_targets"]
+        for r in bibliographic_coupling(e).collect()
+    }
+    assert bc == {(0, 1): 2}
+
+
+def test_common_neighbor_jaccard(spark):
+    from itertools import combinations
+
+    from tldr_spark.operators.linksim import common_neighbor_jaccard
+
+    edges = _rand_graph(31, 18, 60)
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    exp = {}
+    for a, b in combinations(sorted(adj), 2):
+        i = len(adj[a] & adj[b])
+        if i:
+            exp[(a, b)] = i / len(adj[a] | adj[b])
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in common_neighbor_jaccard(e).collect()
+    }
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12

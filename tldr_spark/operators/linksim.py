@@ -1,0 +1,121 @@
+"""Link-structure similarity & local-density analytics over the edge table:
+
+  clustering_coefficient   per-vertex local density 2T/(d(d-1)) — triangle
+                           counts from the degree-oriented wedge join
+                           (operators/triangles.py) joined to degrees
+  cocitation               pairs of pages cited BY the same sources
+                           (Small 1973) — the similarity signal behind
+                           "related pages"; one self-join on src
+  bibliographic_coupling   pairs of pages citing the same targets
+                           (Kessler 1963) — dual of co-citation; one
+                           self-join on dst
+  common_neighbor_jaccard  |N(a)∩N(b)| / |N(a)∪N(b)| over undirected
+                           neighbor sets — link-prediction similarity
+
+All pure DataFrame algebra (no UDFs, whole-stage codegen end to end). The
+pair joins shuffle on the shared endpoint — sparse (only vertices with a
+common neighbor meet), never an all-pairs product; hub endpoints are the
+skew axis, mitigated by AQE skew-join or pre-filtering `max_degree`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _simple_directed(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _undirected_neighbors(edges: DataFrame) -> DataFrame:
+    """(id, nb) — distinct undirected adjacency."""
+    e = _simple_directed(edges)
+    return (
+        e.select(F.col("src").alias("id"), F.col("dst").alias("nb"))
+        .union(e.select(F.col("dst").alias("id"), F.col("src").alias("nb")))
+        .distinct()
+    )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, degree, triangles, coeff) for vertices with degree >= 2;
+    coeff = 2·triangles / (degree·(degree−1)) on the undirected simple
+    graph; vertices in no triangle get coeff 0."""
+    from tldr_spark.operators.triangles import triangle_count
+
+    nb = _undirected_neighbors(edges)
+    deg = nb.groupBy("id").agg(F.count(F.lit(1)).alias("degree")).filter("degree >= 2")
+    tri = triangle_count(edges).per_vertex
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            (
+                2.0 * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).alias("coeff"),
+        )
+    )
+
+
+def cocitation(edges: DataFrame, min_count: int = 2) -> DataFrame:
+    """(id_a, id_b, n_common_sources), id_a < id_b: pages cited together by
+    at least ``min_count`` distinct sources."""
+    e = _simple_directed(edges)
+    a = e.select("src", F.col("dst").alias("id_a"))
+    b = e.select("src", F.col("dst").alias("id_b"))
+    return (
+        a.join(b, "src")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common_sources"))
+        .filter(F.col("n_common_sources") >= min_count)
+    )
+
+
+def bibliographic_coupling(edges: DataFrame, min_count: int = 2) -> DataFrame:
+    """(id_a, id_b, n_common_targets), id_a < id_b: pages whose out-links
+    overlap in at least ``min_count`` targets."""
+    e = _simple_directed(edges)
+    a = e.select("dst", F.col("src").alias("id_a"))
+    b = e.select("dst", F.col("src").alias("id_b"))
+    return (
+        a.join(b, "dst")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common_targets"))
+        .filter(F.col("n_common_targets") >= min_count)
+    )
+
+
+def common_neighbor_jaccard(edges: DataFrame, threshold: float = 0.0) -> DataFrame:
+    """(id_a, id_b, jaccard), id_a < id_b, over undirected neighbor sets;
+    only pairs with >= 1 common neighbor appear (Jaccard 0 pairs are
+    meaningless for link prediction and would be all-pairs)."""
+    nb = _undirected_neighbors(edges).persist()
+    sz = nb.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = nb.select(F.col("id").alias("id_a"), "nb")
+    b = nb.select(F.col("id").alias("id_b"), "nb")
+    inter = (
+        a.join(b, "nb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
