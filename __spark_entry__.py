@@ -351,6 +351,47 @@ def q_bfs_hops(spark, sf_dir):
     return res.distances.select(F.col("id").alias("vertex"), "dist")
 
 
+# -- weighted shortest paths from the out-hub seed set ------------------------
+
+_SSSP_SQL = f"""WITH RECURSIVE {_E},
+  g AS MATERIALIZED (SELECT src, dst, MIN(weight) AS w FROM e GROUP BY src, dst),
+  seeds AS MATERIALIZED (SELECT DISTINCT v AS id
+            FROM (SELECT src AS v FROM e UNION SELECT dst FROM e) WHERE v % 50 = 0),
+  sp(it, id, dist) AS (
+    SELECT 0, id, CAST(0 AS DOUBLE) FROM seeds
+    UNION ALL
+    SELECT t.it + 1, x.id, x.d
+    FROM (SELECT MAX(it) AS it FROM sp) t,
+         (SELECT id, MIN(d) AS d FROM (
+            SELECT id, dist AS d FROM sp
+            UNION ALL
+            SELECT g.dst AS id, p.dist + g.w AS d FROM sp p JOIN g ON g.src = p.id
+          ) GROUP BY id) x
+    WHERE t.it < 12
+  )
+SELECT id AS vertex, CAST(dist AS BIGINT) AS dist FROM sp WHERE it = 12"""
+
+
+@_q("sssp_hub_dist", _SSSP_SQL)
+def q_sssp_hub_dist(spark, sf_dir):
+    from tldr_spark.operators.sssp import sssp
+
+    e = derive_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .filter(F.col("id") % 50 == 0)
+        .distinct()
+    )
+    # converges in 6 rounds at sf<=0.1 (relaxation is monotone, so the
+    # converged result equals the oracle's fixed round 12); weights are
+    # integers {1,2,3}, so path sums cast to BIGINT exactly
+    res = sssp(e, seeds)
+    return res.distances.select(
+        F.col("id").alias("vertex"), F.col("dist").cast("long").alias("dist")
+    )
+
+
 # -- personalized PageRank (teleport restricted to the seed set) --------------
 
 _PPR_SQL = f"""WITH RECURSIVE {_E},

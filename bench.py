@@ -165,6 +165,8 @@ def run_secondary() -> dict:
             .distinct()
         )
         t("bfs", lambda: bfs_distances(edges, seeds).distances.count())
+        from tldr_spark.operators.sssp import sssp
+        t("sssp", lambda: sssp(edges, seeds).distances.count())
         t("hits10", lambda: hits(edges, iterations=10).scores.count())
         t("kcore3", lambda: k_core(edges, 3).vertices.count())
         t("ppr15", lambda: personalized_pagerank(
