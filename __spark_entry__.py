@@ -628,6 +628,53 @@ def q_common_neighbor_jaccard(spark, sf_dir):
     )
 
 
+# -- whole-graph summary profile ----------------------------------------------
+
+@_q(
+    "graph_summary",
+    f"""WITH {_E}, {_SD_SQL},
+    und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                         FROM sd GROUP BY 1, 2),
+    deg AS (SELECT id, COUNT(*) AS d FROM (
+              SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM sd),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM (
+            SELECT DISTINCT x FROM (SELECT src AS x FROM sd UNION SELECT dst FROM sd))),
+    rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+           FROM sd a WHERE EXISTS (SELECT 1 FROM sd b
+                                   WHERE b.src = a.dst AND b.dst = a.src)),
+    uc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_und_edges FROM und),
+    tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+           FROM und e1 JOIN und e2 ON e2.a = e1.b
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    wg AS (SELECT CAST(COALESCE(SUM(d * (d - 1) / 2.0), 0) AS BIGINT) AS wedges FROM deg)
+    SELECT n_vertices, n_edges, n_reciprocal, n_und_edges, triangles, wedges,
+           CAST(ROUND(CAST(n_reciprocal AS DOUBLE) / n_edges * 1048576) AS BIGINT)
+             AS reciprocity_q,
+           CAST(ROUND(CASE WHEN wedges > 0
+                THEN 3.0 * triangles / wedges ELSE 0 END * 1048576) AS BIGINT)
+             AS transitivity_q,
+           CAST(ROUND(CAST(n_edges AS DOUBLE)
+                / (n_vertices * (n_vertices - 1.0)) * 1048576) AS BIGINT) AS density_q
+    FROM m, v, rc, uc, tr, wg""",
+)
+def q_graph_summary(spark, sf_dir):
+    from tldr_spark.operators.stats import graph_summary
+
+    g = graph_summary(derive_edges(spark, sf_dir))
+    return g.select(
+        "n_vertices",
+        "n_edges",
+        "n_reciprocal",
+        "n_und_edges",
+        "triangles",
+        "wedges",
+        F.round(F.col("reciprocity") * 1048576).cast("long").alias("reciprocity_q"),
+        F.round(F.col("transitivity") * 1048576).cast("long").alias("transitivity_q"),
+        F.round(F.col("density") * 1048576).cast("long").alias("density_q"),
+    )
+
+
 # -- centrality ranking (op-14, deterministic §5.4 order) ---------------------
 
 @_q(

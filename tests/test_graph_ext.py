@@ -274,3 +274,41 @@ def test_common_neighbor_jaccard(spark):
     assert got.keys() == exp.keys()
     for k in exp:
         assert abs(got[k] - exp[k]) < 1e-12
+
+
+# --- graph summary stats ------------------------------------------------
+
+def test_graph_summary_matches_brute(spark):
+    from itertools import combinations
+
+    from tldr_spark.operators.stats import graph_summary
+
+    edges = _rand_graph(47, 22, 90)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    row = graph_summary(e).collect()[0]
+
+    sd = {(s, d) for s, d in edges}
+    verts = {v for p in sd for v in p}
+    und = {(min(a, b), max(a, b)) for a, b in sd}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b in und
+        for c in adj[a] & adj[b]
+        if c > b
+    )
+    wedges = sum(len(ns) * (len(ns) - 1) // 2 for ns in adj.values())
+    recip = sum(1 for s, d in sd if (d, s) in sd)
+
+    assert row["n_vertices"] == len(verts)
+    assert row["n_edges"] == len(sd)
+    assert row["n_reciprocal"] == recip
+    assert row["n_und_edges"] == len(und)
+    assert row["triangles"] == tri
+    assert row["wedges"] == wedges
+    assert abs(row["reciprocity"] - recip / len(sd)) < 1e-12
+    assert abs(row["transitivity"] - 3.0 * tri / wedges) < 1e-12
+    assert abs(row["density"] - len(sd) / (len(verts) * (len(verts) - 1))) < 1e-12

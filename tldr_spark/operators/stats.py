@@ -1,0 +1,93 @@
+"""Whole-graph summary statistics — the one-row profile a crawl operator
+reads before anything else:
+
+  n_vertices / n_edges    simple directed graph size
+  reciprocity             fraction of directed edges whose reverse also
+                          exists (link-exchange signal on the web)
+  transitivity            global clustering coefficient 3·triangles/wedges
+  density                 |E| / (|V|·(|V|−1))
+
+Everything is single-pass aggregates + the existing triangle machinery;
+the scalars meet in broadcast crossJoins (all 1-row), so the result is one
+dataflow — no driver-side collect-and-recombine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One row: (n_vertices, n_edges, n_reciprocal, n_und_edges, triangles,
+    wedges, reciprocity, transitivity, density)."""
+    from tldr_spark.operators.triangles import _oriented
+
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    ecnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    vcnt = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+
+    und = _oriented(e, by_degree=False).persist()
+    undcnt = und.agg(F.count(F.lit(1)).alias("n_und_edges"))
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.coalesce(F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0.0))
+        .cast("long")
+        .alias("wedges")
+    )
+    # one triangle closes 3 wedges; count triangles with the oriented wedge
+    # join directly (id order suffices for a count — no skew concern in the
+    # one-shot stats pass at test scale; swap _oriented(by_degree=True) on
+    # power-law graphs)
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    closer = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tris = (
+        e1.join(e2, "x")
+        .filter(F.col("y") < F.col("z"))
+        .join(closer, ["y", "z"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+    out = (
+        ecnt.crossJoin(vcnt)
+        .crossJoin(recip)
+        .crossJoin(undcnt)
+        .crossJoin(tris)
+        .crossJoin(wedges)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_reciprocal",
+            "n_und_edges",
+            "triangles",
+            "wedges",
+            (F.col("n_reciprocal") / F.col("n_edges")).alias("reciprocity"),
+            F.when(F.col("wedges") > 0, 3.0 * F.col("triangles") / F.col("wedges"))
+            .otherwise(0.0)
+            .alias("transitivity"),
+            (
+                F.col("n_edges")
+                / (F.col("n_vertices") * (F.col("n_vertices") - F.lit(1.0)))
+            ).alias("density"),
+        )
+    )
+    return out
