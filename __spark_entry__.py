@@ -628,6 +628,35 @@ def q_common_neighbor_jaccard(spark, sf_dir):
     )
 
 
+# -- deterministic random walks (graph-embedding corpus generator) ------------
+
+_WALKS_SQL = f"""WITH RECURSIVE {_E},
+  g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+  adj AS MATERIALIZED (SELECT src, dst,
+          ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn FROM g),
+  deg AS MATERIALIZED (SELECT src, MAX(rn) AS outdeg FROM adj GROUP BY src),
+  rw(start, walk, step, vertex) AS (
+    SELECT src, k.k, 0, src FROM deg, (SELECT UNNEST(generate_series(0, 1)) AS k) k
+    UNION ALL
+    SELECT r.start, r.walk, r.step + 1, a.dst
+    FROM rw r
+    JOIN deg d ON d.src = r.vertex
+    JOIN adj a ON a.src = r.vertex
+     AND a.rn = 1 + (CAST(concat('0x', substr(md5(
+           concat(r.start, '-', r.walk, '-', r.step)), 1, 8)) AS BIGINT) % d.outdeg)
+    WHERE r.step < 8
+  )
+SELECT start, CAST(walk AS INTEGER) AS walk, CAST(step AS INTEGER) AS step, vertex
+FROM rw"""
+
+
+@_q("random_walks", _WALKS_SQL)
+def q_random_walks(spark, sf_dir):
+    from tldr_spark.operators.walks import random_walks
+
+    return random_walks(derive_edges(spark, sf_dir), walk_length=8, walks_per_vertex=2)
+
+
 # -- whole-graph summary profile ----------------------------------------------
 
 @_q(

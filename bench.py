@@ -167,6 +167,8 @@ def run_secondary() -> dict:
         t("bfs", lambda: bfs_distances(edges, seeds).distances.count())
         from tldr_spark.operators.sssp import sssp
         t("sssp", lambda: sssp(edges, seeds).distances.count())
+        from tldr_spark.operators.walks import random_walks
+        t("walks8x2", lambda: random_walks(edges, walk_length=8, walks_per_vertex=2).count())
         t("hits10", lambda: hits(edges, iterations=10).scores.count())
         t("kcore3", lambda: k_core(edges, 3).vertices.count())
         t("ppr15", lambda: personalized_pagerank(

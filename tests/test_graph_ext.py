@@ -312,3 +312,58 @@ def test_graph_summary_matches_brute(spark):
     assert abs(row["reciprocity"] - recip / len(sd)) < 1e-12
     assert abs(row["transitivity"] - 3.0 * tri / wedges) < 1e-12
     assert abs(row["density"] - len(sd) / (len(verts) * (len(verts) - 1))) < 1e-12
+
+
+# --- deterministic random walks -----------------------------------------
+
+def _walks_oracle(edges, walk_length, walks_per_vertex):
+    import hashlib
+
+    adj = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, [])
+        if d not in adj[s]:
+            adj[s].append(d)
+    for s in adj:
+        adj[s].sort()
+    rows = []
+    for start in sorted(adj):
+        for k in range(walks_per_vertex):
+            cur = start
+            rows.append((start, k, 0, cur))
+            for t in range(walk_length):
+                if cur not in adj:
+                    break
+                h = int(hashlib.md5(f"{start}-{k}-{t}".encode()).hexdigest()[:8], 16)
+                cur = adj[cur][h % len(adj[cur])]
+                rows.append((start, k, t + 1, cur))
+    return sorted(rows)
+
+
+def test_random_walks_deterministic_and_match_oracle(spark):
+    from tldr_spark.operators.walks import random_walks
+
+    edges = _rand_graph(53, 25, 80)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["start"], r["walk"], r["step"], r["vertex"])
+        for r in random_walks(e, walk_length=6, walks_per_vertex=2).collect()
+    )
+    assert got == _walks_oracle(edges, 6, 2)
+    # bit-determinism: a second run is identical
+    got2 = sorted(
+        (r["start"], r["walk"], r["step"], r["vertex"])
+        for r in random_walks(e, walk_length=6, walks_per_vertex=2).collect()
+    )
+    assert got2 == got
+
+
+def test_random_walks_stop_at_dangling(spark):
+    from tldr_spark.operators.walks import random_walks
+
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")  # 2 dangles
+    got = sorted(
+        (r["start"], r["walk"], r["step"], r["vertex"])
+        for r in random_walks(e, walk_length=5, walks_per_vertex=1).collect()
+    )
+    assert got == [(0, 0, 0, 0), (0, 0, 1, 1), (0, 0, 2, 2), (1, 0, 0, 1), (1, 0, 1, 2)]
