@@ -135,20 +135,30 @@ def ngram_jaccard_pairs(
 
     |A∩B| by inner-joining shingle sets on gram (shuffle on gram — sparse,
     no all-pairs), |A∪B| = |A|+|B|-|A∩B|. With ``candidates`` given (e.g.
-    LSH output) the join is semi-restricted to them first.
+    LSH output) the shingle table is first semi-joined down to documents
+    that appear in any candidate pair, and pair rows are semi-restricted to
+    the candidate set BEFORE the aggregation — the restriction reaches the
+    expensive stages, it is not a post-filter. (The result is lazy; callers
+    verifying many thresholds over the same corpus should persist the
+    shingle table themselves.)
     """
-    sh = shingles(docs, n, id_col, text_col).persist()
+    sh = shingles(docs, n, id_col, text_col)
+    cand = None
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b")
+        ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .union(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh = sh.join(ids, "id", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "gram")
     b = sh.select(F.col("id").alias("id_b"), "gram")
-    inter = (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    pairs = a.join(b, "gram").filter(F.col("id_a") < F.col("id_b"))
+    if cand is not None:
+        pairs = pairs.join(cand, ["id_a", "id_b"], "left_semi")
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
     out = (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
@@ -239,10 +249,19 @@ def jaro_pairs(
     def jaro_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series([scorer(x or "", y or "") for x, y in zip(a, b)])
 
+    # the bucket metric MUST be the length the scorer uses, or the prune
+    # bound is unsound: the reference variant scores lowercased UTF-8 BYTES
+    # (util.go operates on Go strings = bytes), the textbook variant scores
+    # raw characters
+    ln = (
+        F.octet_length(F.lower(F.col(text_col)))
+        if variant == "reference"
+        else F.length(F.col(text_col))
+    )
     d = docs.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("t"),
-        F.floor(F.log2(F.length(text_col) + 1) * 2).alias("bkt"),
+        F.floor(F.log2(ln + 1) * 2).alias("bkt"),
     )
     a = d.select(F.col("id").alias("id_a"), F.col("t").alias("ta"), F.col("bkt").alias("ba"))
     b = d.select(F.col("id").alias("id_b"), F.col("t").alias("tb"), F.col("bkt").alias("bb"))

@@ -64,6 +64,7 @@ def hits(edges: DataFrame, iterations: int = 10, broadcast_scores: bool = True) 
     ).persist()
 
     auth = None
+    old_auth = None
     for _ in range(iterations):
         h = F.broadcast(hub) if broadcast_scores else hub
         ra = (
@@ -91,9 +92,14 @@ def hits(edges: DataFrame, iterations: int = 10, broadcast_scores: bool = True) 
             .localCheckpoint(eager=False)
             .persist()
         )
-        new_hub.count()
+        new_hub.count()  # materializes this round's auth checkpoint too
         hub.unpersist()
         hub = new_hub
+        # the previous round's auth was consumed by this round's hub step;
+        # only the FINAL auth is read again (in the output join)
+        if old_auth is not None:
+            old_auth.unpersist()
+        old_auth = auth
 
     scores = (
         verts.join(hub, "id", "left")

@@ -196,7 +196,9 @@ def pagerank(
         m = {"l1_delta": delta, "wall_ms": wall_ms, "edges": n_edges}
         metrics.append({"iteration": it, **m})
         if checkpoint and (it % checkpoint_every == 0 or delta <= tolerance):
-            ranks = checkpoint.save(it, ranks, m).persist()
+            saved = checkpoint.save(it, ranks, m)  # durable write is an action
+            ranks.unpersist()
+            ranks = saved.persist()
         if delta <= tolerance:
             break
 

@@ -67,14 +67,19 @@ def triangle_count(edges: DataFrame, by_degree: bool = True) -> TriangleResult:
     closer = o.select(F.col("a").alias("y"), F.col("b").alias("z")).union(
         o.select(F.col("b").alias("y"), F.col("a").alias("z"))
     )
-    tris = wedges.join(closer, ["y", "z"])  # (x, y, z) one row per triangle
+    # one row per triangle; cache it so total AND per_vertex pay the wedge
+    # join once, then checkpoint the (small, V-bounded) per-vertex result so
+    # the big intermediates can be released before returning
+    tris = wedges.join(closer, ["y", "z"]).persist()
+    total = tris.count()
     per_vertex = (
         tris.select(F.col("x").alias("id"))
         .union(tris.select(F.col("y").alias("id")))
         .union(tris.select(F.col("z").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
+        .localCheckpoint(eager=True)
     )
-    total = tris.count()
+    tris.unpersist()
     o.unpersist()
     return TriangleResult(total, per_vertex)

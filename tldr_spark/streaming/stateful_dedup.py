@@ -23,19 +23,27 @@ STATE_SCHEMA = "seen boolean, first_doc_id long, dups long"
 def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     (text_md5,) = key
     seen, first_id, dups = state.get if state.exists else (False, None, 0)
-    out_first = None
+    # earlier BATCH wins; within a batch neither row order NOR Arrow chunk
+    # order is deterministic (file-source split order), so drain EVERY chunk
+    # of this microbatch before picking min doc_id — min over only the first
+    # chunk would make the survivor depend on chunking
+    batch_min = None
+    batch_n = 0
     for pdf in pdfs:
         ids = [int(x) for x in pdf["doc_id"]]
         if not ids:
             continue
+        m = min(ids)
+        batch_min = m if batch_min is None else min(batch_min, m)
+        batch_n += len(ids)
+    out_first = None
+    if batch_n:
         if not seen:
-            # earlier BATCH wins; within a batch row order is not
-            # deterministic (file-source split order), so take min doc_id
             seen = True
-            first_id = out_first = min(ids)
-            dups += len(ids) - 1
+            first_id = out_first = batch_min
+            dups += batch_n - 1
         else:
-            dups += len(ids)
+            dups += batch_n
     state.update((seen, first_id, dups))
     if out_first is not None:
         yield pd.DataFrame(
