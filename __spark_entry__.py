@@ -351,6 +351,36 @@ def q_bfs_hops(spark, sf_dir):
     return res.distances.select(F.col("id").alias("vertex"), "dist")
 
 
+# -- k-hop ego network around the out-hub seed set ----------------------------
+
+_EGO_SQL = f"""WITH RECURSIVE {_E},
+  g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+  seeds AS (SELECT DISTINCT v AS id
+            FROM (SELECT src AS v FROM e UNION SELECT dst FROM e) WHERE v % 50 = 0),
+  bf(id, dist) AS (
+    SELECT id, 0 FROM seeds
+    UNION
+    SELECT g.dst, b.dist + 1 FROM bf b JOIN g ON g.src = b.id WHERE b.dist < 2
+  ),
+  reach AS (SELECT DISTINCT id FROM bf)
+SELECT e.src, e.dst, e.weight
+FROM e JOIN reach r1 ON r1.id = e.src JOIN reach r2 ON r2.id = e.dst"""
+
+
+@_q("ego_subgraph_2hop", _EGO_SQL)
+def q_ego_subgraph_2hop(spark, sf_dir):
+    from tldr_spark.operators.bfs import ego_subgraph
+
+    e = derive_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .filter(F.col("id") % 50 == 0)
+        .distinct()
+    )
+    return ego_subgraph(e, seeds, k=2)
+
+
 # -- weighted shortest paths from the out-hub seed set ------------------------
 
 _SSSP_SQL = f"""WITH RECURSIVE {_E},

@@ -367,3 +367,15 @@ def test_random_walks_stop_at_dangling(spark):
         for r in random_walks(e, walk_length=5, walks_per_vertex=1).collect()
     )
     assert got == [(0, 0, 0, 0), (0, 0, 1, 1), (0, 0, 2, 2), (1, 0, 0, 1), (1, 0, 1, 2)]
+
+
+def test_ego_subgraph(spark):
+    from tldr_spark.operators.bfs import ego_subgraph
+
+    edges = _rand_graph(61, 30, 90)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(0,)], "id long")
+    got = {(r["src"], r["dst"]) for r in ego_subgraph(e, s, k=2).collect()}
+    reach = {v for v, d in _bfs_oracle(edges, [0]).items() if d <= 2}
+    exp = {(a, b) for a, b in edges if a in reach and b in reach}
+    assert got == exp

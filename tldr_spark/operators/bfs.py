@@ -65,3 +65,23 @@ def bfs_distances(
         frontier = nxt
     e.unpersist()
     return BfsResult(visited.withColumn("dist", F.col("dist").cast("int")), level)
+
+
+def ego_subgraph(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    directed: bool = True,
+) -> DataFrame:
+    """The k-hop ego network: edges of the original graph whose BOTH
+    endpoints lie within ``k`` hops of the seed set — the neighborhood
+    extraction primitive (crawl frontier scoping, sampled training
+    subgraphs). Two semi-joins against the (small) reachable set; the big
+    edge table is scanned once."""
+    reach = bfs_distances(edges, seeds, max_levels=k, directed=directed).distances
+    ids = reach.select("id")
+    return (
+        edges.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select(*edges.columns)
+    )
