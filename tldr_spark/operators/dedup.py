@@ -130,6 +130,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     candidates: DataFrame | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) pairs with Jaccard(shingles) >= threshold.
 
@@ -138,11 +139,12 @@ def ngram_jaccard_pairs(
     LSH output) the shingle table is first semi-joined down to documents
     that appear in any candidate pair, and pair rows are semi-restricted to
     the candidate set BEFORE the aggregation — the restriction reaches the
-    expensive stages, it is not a post-filter. (The result is lazy; callers
-    verifying many thresholds over the same corpus should persist the
-    shingle table themselves.)
+    expensive stages, it is not a post-filter. Callers verifying many
+    thresholds over the same corpus should build ``shingles()`` once,
+    persist it, and pass it as ``shingles_df`` — the one cache whose
+    lifetime only the caller can manage.
     """
-    sh = shingles(docs, n, id_col, text_col)
+    sh = shingles_df if shingles_df is not None else shingles(docs, n, id_col, text_col)
     cand = None
     if candidates is not None:
         cand = candidates.select("id_a", "id_b")

@@ -98,7 +98,10 @@ def common_neighbor_jaccard(edges: DataFrame, threshold: float = 0.0) -> DataFra
     """(id_a, id_b, jaccard), id_a < id_b, over undirected neighbor sets;
     only pairs with >= 1 common neighbor appear (Jaccard 0 pairs are
     meaningless for link prediction and would be all-pairs)."""
-    nb = _undirected_neighbors(edges).persist()
+    # no persist: the result is lazy and a pinned cache would outlive it;
+    # within one action Catalyst's ReuseExchange dedupes the shared
+    # distinct-neighbors exchange across the three branches
+    nb = _undirected_neighbors(edges)
     sz = nb.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = nb.select(F.col("id").alias("id_a"), "nb")
     b = nb.select(F.col("id").alias("id_b"), "nb")

@@ -50,8 +50,12 @@ def random_walks(
     if starts is None:
         starts = deg.select(F.col("src").alias("id"))
     ks = F.explode(F.array(*[F.lit(k) for k in range(walks_per_vertex)])).alias("walk")
-    state = starts.select(F.col("id").cast("long").alias("start"), ks).select(
-        "start", "walk", F.lit(0).alias("step"), F.col("start").alias("vertex")
+    # eagerly checkpointed like every later frame: the returned union must
+    # not lazily depend on adj/deg after they are unpersisted below
+    state = (
+        starts.select(F.col("id").cast("long").alias("start"), ks)
+        .select("start", "walk", F.lit(0).alias("step"), F.col("start").alias("vertex"))
+        .localCheckpoint(eager=True)
     )
 
     degj = deg.select(F.col("src").alias("dv"), "outdeg")
