@@ -105,3 +105,36 @@ def test_per_iteration_metrics(spark):
     assert res.iterations == len(res.metrics)
     deltas = [m["l1_delta"] for m in res.metrics]
     assert deltas[-1] <= 1e-9
+
+
+def test_warm_start_converges_faster_to_same_fixpoint(spark):
+    from tldr_spark.operators.pagerank import pagerank
+
+    edges = [
+        (s, d, 1.0 + (s * d) % 3)
+        for s in range(20)
+        for d in range(20)
+        if s != d and (s * 7 + d * 3) % 5 == 0
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    cold = pagerank(df, tolerance=1e-10)
+    warm = pagerank(df, tolerance=1e-10, init_ranks=cold.ranks)
+    assert warm.iterations < cold.iterations
+    assert warm.iterations <= 2  # seeded at the fixpoint: immediate converge
+    got_c = {r["id"]: r["rank"] for r in cold.ranks.collect()}
+    got_w = {r["id"]: r["rank"] for r in warm.ranks.collect()}
+    assert set(got_c) == set(got_w)
+    for v in got_c:
+        assert abs(got_c[v] - got_w[v]) < 1e-8
+
+    # delta graph: add a few edges, warm-start from the old fixpoint; the
+    # result must equal the cold fixpoint of the NEW graph
+    edges2 = edges + [(0, 19, 2.0), (19, 0, 1.0), (5, 18, 3.0)]
+    df2 = spark.createDataFrame(edges2, "src long, dst long, weight double")
+    cold2 = pagerank(df2, tolerance=1e-10)
+    warm2 = pagerank(df2, tolerance=1e-10, init_ranks=cold.ranks)
+    g2c = {r["id"]: r["rank"] for r in cold2.ranks.collect()}
+    g2w = {r["id"]: r["rank"] for r in warm2.ranks.collect()}
+    for v in g2c:
+        assert abs(g2c[v] - g2w[v]) < 1e-8
+    assert warm2.iterations <= cold2.iterations

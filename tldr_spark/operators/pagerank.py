@@ -97,12 +97,21 @@ def pagerank(
     checkpoint: IterativeCheckpoint | None = None,
     checkpoint_every: int = 5,
     assume_distinct_edges: bool = False,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """PageRank over (src, dst[, weight]) to L1 convergence.
 
     With ``checkpoint`` set, every ``checkpoint_every``-th iteration writes a
     durable snapshot + metrics and a restarted call resumes from the newest
     committed one.
+
+    ``init_ranks`` (id, rank) warm-starts the iteration — the incremental
+    recompute path after a crawl delta: seed with the previous graph's
+    converged ranks and convergence takes a handful of iterations instead
+    of starting from uniform. Vertices absent from ``init_ranks`` start at
+    1/N; the warm vector is renormalized to sum 1 over the current vertex
+    set, preserving the §2.7 invariant. A committed ``checkpoint`` snapshot
+    takes precedence.
     """
     spark = edges.sparkSession
 
@@ -140,6 +149,18 @@ def pagerank(
     if resumed:
         start_iter, ranks, _last_m = resumed
         ranks = ranks.persist()
+    elif init_ranks is not None:
+        warm = verts.join(
+            init_ranks.select(F.col("id").cast("long"), F.col("rank").alias("r0")),
+            "id",
+            "left",
+        ).select("id", "is_dangling", F.coalesce("r0", F.lit(inv)).alias("rank"))
+        tot = warm.agg(F.sum("rank").alias("t"))
+        ranks = (
+            warm.crossJoin(F.broadcast(tot))
+            .select("id", "is_dangling", (F.col("rank") / F.col("t")).alias("rank"))
+            .persist()
+        )
     else:
         ranks = verts.select("id", "is_dangling", F.lit(inv).alias("rank")).persist()
 
