@@ -1177,6 +1177,25 @@ def q_fingerprints(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+# -- north-star end-to-end: synthetic Common-Crawl pages -> href extraction ->
+# -- link graph -> PageRank top-20 (rows-only: html bytes come from the
+# -- deterministic python generator, not SQL-reproducible) ----------------------
+
+@_q("pages_linkgraph_top20", None)
+def q_pages_linkgraph_top20(spark, sf_dir):
+    from tldr_spark.operators.pagerank import pagerank
+    from tldr_spark.sources.synth_pages import generate_pages, pages_to_edges
+
+    pages = generate_pages(spark, n_pages=1000, num_partitions=8)
+    edges = pages_to_edges(pages)
+    res = pagerank(edges, damping=DAMPING, tolerance=1e-6)
+    return (
+        res.ranks.orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+        .select(F.col("id").alias("vertex"), "rank")
+    )
+
+
 # -- distributed LexRank summarize (rows-only: goldens pin semantics) -----------
 
 @_q("summarize_docs", None)
