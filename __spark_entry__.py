@@ -267,6 +267,29 @@ def q_cc_sizes(spark, sf_dir):
     return res.assignments.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
 
 
+# -- strongly connected components (bow-tie decomposition) --------------------
+
+_SCC_SQL = f"""WITH RECURSIVE {_E},
+  g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+  verts AS (SELECT DISTINCT v AS id FROM (SELECT src AS v FROM g UNION SELECT dst FROM g)),
+  fw(u, v) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT f.u, g.dst FROM fw f JOIN g ON g.src = f.v
+  )
+SELECT a.u AS vertex, MIN(a.v) AS component
+FROM fw a JOIN fw b ON b.u = a.v AND b.v = a.u
+GROUP BY a.u"""
+
+
+@_q("scc_assign", _SCC_SQL)
+def q_scc_assign(spark, sf_dir):
+    from tldr_spark.operators.scc import strongly_connected_components
+
+    res = strongly_connected_components(derive_edges(spark, sf_dir))
+    return res.assignments.select(F.col("id").alias("vertex"), "component")
+
+
 # -- triangles (op-10 generalization) ----------------------------------------
 
 @_q(

@@ -152,6 +152,8 @@ def run_secondary() -> dict:
             log(f"  {name}: {out[name]}s")
 
         t("cc", lambda: connected_components(edges).assignments.count())
+        from tldr_spark.operators.scc import strongly_connected_components
+        t("scc", lambda: strongly_connected_components(edges).assignments.count())
         t("triangles", lambda: triangle_count(edges).per_vertex.count())
 
         from tldr_spark.operators.bfs import bfs_distances

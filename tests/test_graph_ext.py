@@ -379,3 +379,50 @@ def test_ego_subgraph(spark):
     reach = {v for v, d in _bfs_oracle(edges, [0]).items() if d <= 2}
     exp = {(a, b) for a, b in edges if a in reach and b in reach}
     assert got == exp
+
+
+# --- strongly connected components --------------------------------------
+
+def _scc_oracle(edges):
+    verts = sorted({v for p in edges for v in p if p[0] != p[1]})
+    adj = {v: set() for v in verts}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+
+    def reach(s):
+        seen, stack = {s}, [s]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        return seen
+
+    fw = {v: reach(v) for v in verts}
+    return {
+        v: min(u for u in fw[v] if v in fw[u])
+        for v in verts
+    }
+
+
+def test_scc_matches_brute(spark):
+    from tldr_spark.operators.scc import strongly_connected_components
+
+    for seed in (7, 19, 33):
+        edges = _rand_graph(seed, 18, 45)
+        e = spark.createDataFrame(edges, "src long, dst long")
+        res = strongly_connected_components(e)
+        got = {r["id"]: r["component"] for r in res.assignments.collect()}
+        assert got == _scc_oracle(edges), seed
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    from tldr_spark.operators.scc import strongly_connected_components
+
+    # cycle A (0,1,2), bridge 2->10, cycle B (10,11), dangler 11->20
+    edges = [(0, 1), (1, 2), (2, 0), (2, 10), (10, 11), (11, 10), (11, 20)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"] for r in strongly_connected_components(e).assignments.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20}

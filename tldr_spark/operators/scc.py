@@ -1,0 +1,131 @@
+"""Strongly connected components — the bow-tie decomposition primitive of
+web-graph analysis (Broder et al., WWW'00).
+
+Coloring algorithm (Orzan 2004, as used in distributed SCC systems):
+
+  1. forward MAX-color propagation to fixpoint over the remaining
+     subgraph: every vertex's color becomes the largest vertex id that
+     reaches it
+  2. vertices with color == own id are roots; the SCC of root r is the set
+     of vertices with color r that reach r BACKWARD through vertices of the
+     same color — collected by a backward flood seeded at the roots
+  3. peel those SCCs off and repeat on the remainder
+
+Every pass settles at least the root SCC of every color class, so the
+outer loop runs few passes on web graphs (most mass sits in one giant SCC
++ singletons). Inner floods are O(diameter-of-SCC-subgraph) rounds of one
+join + max-aggregate each — the same per-round shape as PageRank, lineage
+truncated per round. Component labels are normalized to the SCC's MIN
+vertex id (deterministic, orientation-free).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class SccResult:
+    assignments: DataFrame  # (id: long, component: long) component = min id in SCC
+    passes: int
+
+
+def _propagate_max(er: DataFrame, color: DataFrame, forward: bool) -> DataFrame:
+    """Fixpoint of color(v) = max(color(v), max color over in-(or out-)
+    neighbors). Returns (id, color)."""
+    src, dst = ("src", "dst") if forward else ("dst", "src")
+    color = color.persist()
+    color.count()
+    while True:
+        upd = (
+            color.join(er, color["id"] == er[src])
+            .groupBy(F.col(dst).alias("id"))
+            .agg(F.max("color").alias("in_color"))
+        )
+        new = (
+            color.join(upd, "id", "left")
+            .select(
+                "id",
+                F.greatest(F.col("color"), F.coalesce("in_color", F.lit(-1))).alias("color"),
+                (F.coalesce("in_color", F.lit(-1)) > F.col("color")).alias("chg"),
+            )
+            .localCheckpoint(eager=False)
+            .persist()
+        )
+        n_chg = new.filter("chg").count()
+        color.unpersist()
+        color = new.drop("chg")
+        if n_chg == 0:
+            return color
+
+
+def strongly_connected_components(edges: DataFrame, max_passes: int = 100) -> SccResult:
+    """(id, component): component = min vertex id of the SCC. Vertices in
+    no cycle are singleton components (their own id)."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    e.count()
+    remaining = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+
+    assigned = spark.createDataFrame([], "id long, root long")
+    passes = 0
+    while passes < max_passes and not remaining.isEmpty():
+        passes += 1
+        er = (
+            e.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        color = _propagate_max(er, remaining.select("id", F.col("id").alias("color")), True)
+
+        # backward flood from roots within each color class: member(v) iff
+        # color(v) = c and v reaches root c via same-colored vertices
+        cl = color.persist()
+        member = cl.filter(F.col("id") == F.col("color")).select("id", F.col("color").alias("root")).persist()
+        member.count()
+        frontier = member
+        while True:
+            step = (
+                frontier.join(er, frontier["id"] == er["dst"])
+                .select(F.col("src").alias("id"), "root")
+                .distinct()
+                .join(cl, "id")
+                .filter(F.col("color") == F.col("root"))
+                .select("id", "root")
+                .join(member, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if step.isEmpty():
+                break
+            nm = member.union(step).localCheckpoint(eager=False).persist()
+            nm.count()
+            member.unpersist()
+            member = nm
+            frontier = step
+
+        assigned = assigned.union(member).localCheckpoint(eager=True)
+        new_remaining = remaining.join(member.select("id"), "id", "left_anti").localCheckpoint(eager=False).persist()
+        new_remaining.count()
+        remaining.unpersist()
+        cl.unpersist()
+        member.unpersist()
+        remaining = new_remaining
+
+    # normalize: component label = min member id per root group
+    mins = assigned.groupBy("root").agg(F.min("id").alias("component"))
+    out = assigned.join(mins, "root").select("id", "component")
+    e.unpersist()
+    remaining.unpersist()
+    return SccResult(out, passes)
