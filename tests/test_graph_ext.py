@@ -426,3 +426,18 @@ def test_scc_two_cycles_and_bridge(spark):
     e = spark.createDataFrame(edges, "src long, dst long")
     got = {r["id"]: r["component"] for r in strongly_connected_components(e).assignments.collect()}
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20}
+
+
+def test_scc_raises_when_pass_budget_exhausted(spark):
+    import pytest
+
+    from tldr_spark.operators.scc import strongly_connected_components
+
+    # descending chain peels exactly one root per pass
+    chain = [(i + 1, i) for i in range(6)]
+    e = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="max_passes"):
+        strongly_connected_components(e, max_passes=3)
+    got = {r["id"]: r["component"] for r in
+           strongly_connected_components(e, max_passes=10).assignments.collect()}
+    assert got == {i: i for i in range(7)}

@@ -138,3 +138,14 @@ def test_warm_start_converges_faster_to_same_fixpoint(spark):
     for v in g2c:
         assert abs(g2c[v] - g2w[v]) < 1e-8
     assert warm2.iterations <= cold2.iterations
+
+
+def test_warm_start_rejects_degenerate_seed(spark):
+    import pytest
+
+    from tldr_spark.operators.pagerank import pagerank
+
+    df = spark.createDataFrame([(0, 1, 1.0), (1, 0, 1.0)], "src long, dst long, weight double")
+    zeros = spark.createDataFrame([(0, 0.0), (1, 0.0)], "id long, rank double")
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(df, init_ranks=zeros)

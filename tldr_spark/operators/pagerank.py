@@ -155,12 +155,15 @@ def pagerank(
             "id",
             "left",
         ).select("id", "is_dangling", F.coalesce("r0", F.lit(inv)).alias("rank"))
-        tot = warm.agg(F.sum("rank").alias("t"))
-        ranks = (
-            warm.crossJoin(F.broadcast(tot))
-            .select("id", "is_dangling", (F.col("rank") / F.col("t")).alias("rank"))
-            .persist()
-        )
+        # one-time init: validate eagerly and bake the normalizer in as a
+        # literal (a degenerate seed summing to <= 0 would otherwise yield
+        # all-null ranks that silently iterate to max_iter)
+        t = float(warm.agg(F.sum("rank")).collect()[0][0] or 0.0)
+        if not t > 0.0:
+            raise ValueError(f"init_ranks must sum to a positive value over the vertex set, got {t}")
+        ranks = warm.select(
+            "id", "is_dangling", (F.col("rank") / F.lit(t)).alias("rank")
+        ).persist()
     else:
         ranks = verts.select("id", "is_dangling", F.lit(inv).alias("rank")).persist()
 

@@ -32,16 +32,15 @@ class SccResult:
     passes: int
 
 
-def _propagate_max(er: DataFrame, color: DataFrame, forward: bool) -> DataFrame:
-    """Fixpoint of color(v) = max(color(v), max color over in-(or out-)
-    neighbors). Returns (id, color)."""
-    src, dst = ("src", "dst") if forward else ("dst", "src")
+def _propagate_max(er: DataFrame, color: DataFrame) -> DataFrame:
+    """Fixpoint of color(v) = max(color(v), max color over in-neighbors)
+    following src→dst edges. Returns (id, color)."""
     color = color.persist()
     color.count()
     while True:
         upd = (
-            color.join(er, color["id"] == er[src])
-            .groupBy(F.col(dst).alias("id"))
+            color.join(er, color["id"] == er["src"])
+            .groupBy(F.col("dst").alias("id"))
             .agg(F.max("color").alias("in_color"))
         )
         new = (
@@ -79,7 +78,10 @@ def strongly_connected_components(edges: DataFrame, max_passes: int = 100) -> Sc
         .persist()
     )
 
-    assigned = spark.createDataFrame([], "id long, root long")
+    # per-pass member frames accumulate in a list and union ONCE after the
+    # loop — unioning into a growing eagerly-checkpointed frame would
+    # re-materialize all previously assigned rows every pass (O(P·V))
+    member_frames: list[DataFrame] = []
     passes = 0
     while passes < max_passes and not remaining.isEmpty():
         passes += 1
@@ -88,7 +90,7 @@ def strongly_connected_components(edges: DataFrame, max_passes: int = 100) -> Sc
             .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
-        color = _propagate_max(er, remaining.select("id", F.col("id").alias("color")), True)
+        color = _propagate_max(er, remaining.select("id", F.col("id").alias("color")))
 
         # backward flood from roots within each color class: member(v) iff
         # color(v) = c and v reaches root c via same-colored vertices
@@ -115,17 +117,32 @@ def strongly_connected_components(edges: DataFrame, max_passes: int = 100) -> Sc
             member = nm
             frontier = step
 
-        assigned = assigned.union(member).localCheckpoint(eager=True)
+        member_frames.append(member)  # stays materialized for the final union
         new_remaining = remaining.join(member.select("id"), "id", "left_anti").localCheckpoint(eager=False).persist()
         new_remaining.count()
         remaining.unpersist()
         cl.unpersist()
-        member.unpersist()
         remaining = new_remaining
 
+    if not remaining.isEmpty():
+        n_left = remaining.count()
+        raise RuntimeError(
+            f"SCC did not settle within max_passes={max_passes}: {n_left} vertices "
+            "unassigned. Pathological long-chain graphs peel O(1) roots per pass — "
+            "raise max_passes for such inputs."
+        )
+
+    if member_frames:
+        from functools import reduce
+
+        assigned = reduce(DataFrame.union, member_frames)
+    else:
+        assigned = spark.createDataFrame([], "id long, root long")
     # normalize: component label = min member id per root group
     mins = assigned.groupBy("root").agg(F.min("id").alias("component"))
-    out = assigned.join(mins, "root").select("id", "component")
+    out = assigned.join(mins, "root").select("id", "component").localCheckpoint(eager=True)
+    for m in member_frames:
+        m.unpersist()
     e.unpersist()
     remaining.unpersist()
     return SccResult(out, passes)
