@@ -592,6 +592,47 @@ def q_kcore_k3(spark, sf_dir):
     )
 
 
+_LPA_W_SQL = f"""WITH RECURSIVE {_E},
+  symw AS MATERIALIZED (
+    SELECT u, v, SUM(w) AS w FROM (
+      SELECT src AS u, dst AS v, weight AS w FROM e WHERE src <> dst
+      UNION ALL SELECT dst, src, weight FROM e WHERE src <> dst
+    ) GROUP BY u, v),
+  lp(it, id, label) AS (
+    SELECT 0, u, u FROM (SELECT DISTINCT u FROM symw)
+    UNION ALL
+    SELECT it + 1, id, new_label FROM (
+      SELECT t.it AS it, c.u AS id,
+             MIN(c.label) FILTER (WHERE c.cnt = m.mc) AS new_label
+      FROM (SELECT MAX(it) AS it FROM lp) t
+      CROSS JOIN (
+        SELECT symw.u, p.label, SUM(symw.w) AS cnt
+        FROM symw JOIN lp p ON p.id = symw.v
+        GROUP BY symw.u, p.label
+      ) c
+      JOIN (
+        SELECT u, MAX(cnt) AS mc FROM (
+          SELECT symw.u, p2.label, SUM(symw.w) AS cnt
+          FROM symw JOIN lp p2 ON p2.id = symw.v
+          GROUP BY symw.u, p2.label
+        ) GROUP BY u
+      ) m ON m.u = c.u
+      GROUP BY t.it, c.u, m.mc
+    ) WHERE it < 4
+  )
+SELECT id AS vertex, label FROM lp WHERE it = 4"""
+
+
+@_q("lpa_weighted", _LPA_W_SQL)
+def q_lpa_weighted(spark, sf_dir):
+    # weight sums are integer-valued doubles (weights in {1,2,3}), so the
+    # argmax-equality comparisons are exact in both engines
+    from tldr_spark.operators.labelprop import label_propagation
+
+    res = label_propagation(derive_edges(spark, sf_dir), max_rounds=4, weight_col="weight")
+    return res.labels.select(F.col("id").alias("vertex"), "label")
+
+
 # -- link-structure similarity / local density --------------------------------
 
 _UND_SQL = """und AS MATERIALIZED (

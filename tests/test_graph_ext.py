@@ -441,3 +441,43 @@ def test_scc_raises_when_pass_budget_exhausted(spark):
     got = {r["id"]: r["component"] for r in
            strongly_connected_components(e, max_passes=10).assignments.collect()}
     assert got == {i: i for i in range(7)}
+
+
+def test_weighted_lpa_matches_brute(spark):
+    from tldr_spark.operators.labelprop import label_propagation
+
+    rng = np.random.default_rng(71)
+    edges = [
+        (int(a), int(b), float(w))
+        for a, b, w in zip(
+            rng.integers(0, 15, 50), rng.integers(0, 15, 50), rng.integers(1, 6, 50)
+        )
+        if a != b
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    res = label_propagation(e, max_rounds=4, weight_col="weight")
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+
+    # brute force: symmetrized summed weights; argmax weight, min-label tie
+    wsum = {}
+    for s, d, w in edges:
+        wsum[(s, d)] = wsum.get((s, d), 0.0) + w
+        wsum[(d, s)] = wsum.get((d, s), 0.0) + w
+    verts = sorted({v for p in wsum for v in p})
+    labels = {v: v for v in verts}
+    for _ in range(4):
+        new = {}
+        for u in verts:
+            acc = {}
+            for (a, b), w in wsum.items():
+                if a == u:
+                    acc[labels[b]] = acc.get(labels[b], 0.0) + w
+            if acc:
+                best = max(acc.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[u] = best[0]
+            else:
+                new[u] = labels[u]
+        if new == labels:
+            break
+        labels = new
+    assert got == labels

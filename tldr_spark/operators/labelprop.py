@@ -28,14 +28,37 @@ class LabelPropResult:
 
 
 def label_propagation(
-    edges: DataFrame, max_rounds: int = 10, vertices: DataFrame | None = None
+    edges: DataFrame,
+    max_rounds: int = 10,
+    vertices: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> LabelPropResult:
-    e = (
-        edges.select(F.col("src").cast("long").alias("u"), F.col("dst").cast("long").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
+    """Unweighted by default (labels counted per neighbor, duplicate edges
+    collapsed); with ``weight_col`` the argmax runs over SUMMED edge
+    weights per label — duplicate and reciprocal edge weights add, the
+    weighted-community variant."""
+    if weight_col is not None:
+        e = (
+            edges.select(
+                F.col("src").cast("long").alias("u"),
+                F.col("dst").cast("long").alias("v"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .filter(F.col("u") != F.col("v"))
+        )
+        sym = (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+            .persist()
+        )
+    else:
+        e = (
+            edges.select(F.col("src").cast("long").alias("u"), F.col("dst").cast("long").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
 
     verts = sym.select(F.col("u").alias("id")).distinct()
     if vertices is not None:
@@ -47,8 +70,14 @@ def label_propagation(
     rounds, converged = 0, False
     while rounds < max_rounds:
         rounds += 1
-        msgs = sym.join(labels, sym["v"] == labels["id"]).select(sym["u"], labels["label"])
-        counts = msgs.groupBy("u", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        if weight_col is not None:
+            msgs = sym.join(labels, sym["v"] == labels["id"]).select(
+                sym["u"], labels["label"], sym["w"]
+            )
+            counts = msgs.groupBy("u", "label").agg(F.sum("w").alias("cnt"))
+        else:
+            msgs = sym.join(labels, sym["v"] == labels["id"]).select(sym["u"], labels["label"])
+            counts = msgs.groupBy("u", "label").agg(F.count(F.lit(1)).alias("cnt"))
         # argmax(cnt) with min-label tie-break, as one algebraic aggregate
         best = counts.groupBy("u").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("s")
