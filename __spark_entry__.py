@@ -798,6 +798,33 @@ def q_graph_summary(spark, sf_dir):
     )
 
 
+@_q(
+    "degree_assortativity",
+    f"""WITH {_E}, {_SD_SQL},
+    outd AS (SELECT src, COUNT(*) AS x FROM sd GROUP BY src),
+    ind  AS (SELECT dst, COUNT(*) AS y FROM sd GROUP BY dst),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM sd JOIN outd USING (src) JOIN ind USING (dst))
+    SELECT m, sxy, sx, sy, sxx, syy,
+           CAST(ROUND(CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0
+                THEN CAST(m * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE))
+                ELSE 0 END * 1048576) AS BIGINT) AS assortativity_q
+    FROM a""",
+)
+def q_degree_assortativity(spark, sf_dir):
+    from tldr_spark.operators.stats import degree_assortativity
+
+    return degree_assortativity(derive_edges(spark, sf_dir)).select(
+        "m", "sxy", "sx", "sy", "sxx", "syy",
+        F.round(F.col("assortativity") * 1048576).cast("long").alias("assortativity_q"),
+    )
+
+
 # -- centrality ranking (op-14, deterministic §5.4 order) ---------------------
 
 @_q(

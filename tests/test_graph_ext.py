@@ -481,3 +481,21 @@ def test_weighted_lpa_matches_brute(spark):
             break
         labels = new
     assert got == labels
+
+
+def test_degree_assortativity_matches_numpy(spark):
+    from tldr_spark.operators.stats import degree_assortativity
+
+    edges = _rand_graph(83, 20, 80)
+    sd = sorted({(s, d) for s, d in edges})
+    outd, ind = {}, {}
+    for s, d in sd:
+        outd[s] = outd.get(s, 0) + 1
+        ind[d] = ind.get(d, 0) + 1
+    xs = np.array([outd[s] for s, d in sd], dtype=float)
+    ys = np.array([ind[d] for s, d in sd], dtype=float)
+    exp = np.corrcoef(xs, ys)[0, 1]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    row = degree_assortativity(e).collect()[0]
+    assert row["m"] == len(sd)
+    assert abs(row["assortativity"] - exp) < 1e-9

@@ -17,6 +17,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One row: (m, sxy, sx, sy, sxx, syy, assortativity) — Pearson
+    correlation of (out-degree(src), in-degree(dst)) across the simple
+    directed edges (Newman 2002, the out-in convention for directed webs).
+    The five sums are exact integers (degrees are ints), so cross-engine
+    parity holds bit-for-bit up to the final division."""
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
+    pairs = e.join(outd, "src").join(ind, "dst")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    m, sxy, sx, sy, sxx, syy = (F.col(c) for c in ["m", "sxy", "sx", "sy", "sxx", "syy"])
+    num = (m * sxy - sx * sy).cast("double")
+    den = F.sqrt((m * sxx - sx * sx).cast("double") * (m * syy - sy * sy).cast("double"))
+    out = agg.select(
+        "m", "sxy", "sx", "sy", "sxx", "syy",
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)).alias("assortativity"),
+    )
+    return out
+
+
 def graph_summary(edges: DataFrame) -> DataFrame:
     """One row: (n_vertices, n_edges, n_reciprocal, n_und_edges, triangles,
     wedges, reciprocity, transitivity, density)."""
