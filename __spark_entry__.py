@@ -374,6 +374,41 @@ def q_bfs_hops(spark, sf_dir):
     return res.distances.select(F.col("id").alias("vertex"), "dist")
 
 
+# -- harmonic centrality for a probe sample -----------------------------------
+
+_HARMONIC_SQL = f"""WITH RECURSIVE {_E},
+  g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+  probes AS (SELECT DISTINCT v AS id
+             FROM (SELECT src AS v FROM e UNION SELECT dst FROM e) WHERE v % 100 = 0),
+  bf(probe, id, dist) AS (
+    SELECT id, id, 0 FROM probes
+    UNION
+    SELECT b.probe, g.dst, b.dist + 1 FROM bf b JOIN g ON g.src = b.id WHERE b.dist < 40
+  ),
+  m AS (SELECT probe, id, MIN(dist) AS dist FROM bf GROUP BY probe, id)
+SELECT probe,
+       CAST(ROUND(SUM(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0 END) * 1048576) AS BIGINT)
+         AS harmonic_q
+FROM m GROUP BY probe"""
+
+
+@_q("harmonic_centrality", _HARMONIC_SQL)
+def q_harmonic_centrality(spark, sf_dir):
+    from tldr_spark.operators.bfs import harmonic_centrality
+
+    e = derive_edges(spark, sf_dir)
+    probes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .filter(F.col("id") % 100 == 0)
+        .distinct()
+    )
+    return harmonic_centrality(e, probes).select(
+        "probe",
+        F.round(F.col("harmonic") * 1048576).cast("long").alias("harmonic_q"),
+    )
+
+
 # -- k-hop ego network around the out-hub seed set ----------------------------
 
 _EGO_SQL = f"""WITH RECURSIVE {_E},

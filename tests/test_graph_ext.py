@@ -499,3 +499,25 @@ def test_degree_assortativity_matches_numpy(spark):
     row = degree_assortativity(e).collect()[0]
     assert row["m"] == len(sd)
     assert abs(row["assortativity"] - exp) < 1e-9
+
+
+def test_harmonic_centrality_matches_brute(spark):
+    from tldr_spark.operators.bfs import harmonic_centrality, labeled_bfs
+
+    edges = _rand_graph(91, 25, 70)
+    probes = [0, 3, 24]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    p = spark.createDataFrame([(x,) for x in probes], "id long")
+    got_d = {
+        (r["probe"], r["id"]): r["dist"] for r in labeled_bfs(e, p).collect()
+    }
+    exp_d = {}
+    for pr in probes:
+        for v, d in _bfs_oracle(edges, [pr]).items():
+            exp_d[(pr, v)] = d
+    assert got_d == exp_d
+
+    got_h = {r["probe"]: r["harmonic"] for r in harmonic_centrality(e, p).collect()}
+    for pr in probes:
+        exp = sum(1.0 / d for (q, v), d in exp_d.items() if q == pr and d > 0)
+        assert abs(got_h[pr] - exp) < 1e-9, pr

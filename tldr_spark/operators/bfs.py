@@ -67,6 +67,72 @@ def bfs_distances(
     return BfsResult(visited.withColumn("dist", F.col("dist").cast("int")), level)
 
 
+def labeled_bfs(
+    edges: DataFrame,
+    probes: DataFrame,
+    max_levels: int = 50,
+    directed: bool = True,
+) -> DataFrame:
+    """(probe, id, dist) — PER-PROBE hop distances, all probes flooded in
+    one pass with a composite (probe, id) frontier key (multi-source
+    :func:`bfs_distances` collapses seeds into one wave; this keeps them
+    apart). State size is |probes| × reach — meant for bounded probe sets
+    (centrality sampling), not all-pairs."""
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().persist()
+    e.count()
+
+    visited = (
+        probes.select(F.col("id").cast("long").alias("probe"))
+        .distinct()
+        .select("probe", F.col("probe").alias("id"), F.lit(0).alias("dist"))
+        .persist()
+    )
+    frontier = visited
+    level = 0
+    while level < max_levels:
+        level += 1
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select("probe", F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("probe", "id"), ["probe", "id"], "left_anti")
+            .select("probe", "id", F.lit(level).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        nv = visited.union(nxt).localCheckpoint(eager=False).persist()
+        nv.count()
+        visited.unpersist()
+        visited = nv
+        frontier = nxt
+    e.unpersist()
+    return visited.withColumn("dist", F.col("dist").cast("int"))
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    probes: DataFrame,
+    max_levels: int = 50,
+    directed: bool = True,
+) -> DataFrame:
+    """(probe, harmonic) — Σ_{v reachable, v≠probe} 1/dist(probe, v), the
+    centrality that stays finite on disconnected graphs (Boldi & Vigna
+    2014). Probes reaching nothing score 0.0."""
+    d = labeled_bfs(edges, probes, max_levels, directed)
+    return (
+        d.groupBy("probe")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dist") > 0, 1.0 / F.col("dist"))), F.lit(0.0)
+            ).alias("harmonic")
+        )
+    )
+
+
 def ego_subgraph(
     edges: DataFrame,
     seeds: DataFrame,
