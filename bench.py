@@ -183,6 +183,13 @@ def run_secondary() -> dict:
             "degree_topk",
             lambda: edges.groupBy("dst").count().orderBy(F.desc("count")).limit(20).collect(),
         )
+        # the V-too-big-to-broadcast iteration path, on a quarter-size graph
+        from tldr_spark.operators.pagerank import pagerank
+        n_docs = docs.count()
+        bedges, _ = bench_edges(spark, max(1, n_docs // 4))
+        t("pagerank_shuffle_join_quarter", lambda: pagerank(
+            bedges, tolerance=1e-6, broadcast_ranks=False, assume_distinct_edges=True
+        ).ranks.count())
     finally:
         spark.stop()
     return out
