@@ -409,6 +409,41 @@ def q_harmonic_centrality(spark, sf_dir):
     )
 
 
+_CLOSENESS_SQL = f"""WITH RECURSIVE {_E},
+  g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+  probes AS (SELECT DISTINCT v AS id
+             FROM (SELECT src AS v FROM e UNION SELECT dst FROM e) WHERE v % 100 = 0),
+  bf(probe, id, dist) AS (
+    SELECT id, id, 0 FROM probes
+    UNION
+    SELECT b.probe, g.dst, b.dist + 1 FROM bf b JOIN g ON g.src = b.id WHERE b.dist < 40
+  ),
+  m AS (SELECT probe, id, MIN(dist) AS dist FROM bf GROUP BY probe, id)
+SELECT probe, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+       CAST(ROUND(CASE WHEN SUM(dist) > 0
+            THEN CAST(COUNT(*) - 1 AS DOUBLE) / SUM(dist) ELSE 0 END * 1048576) AS BIGINT)
+         AS closeness_q
+FROM m GROUP BY probe"""
+
+
+@_q("closeness_centrality", _CLOSENESS_SQL)
+def q_closeness_centrality(spark, sf_dir):
+    from tldr_spark.operators.bfs import closeness_centrality
+
+    e = derive_edges(spark, sf_dir)
+    probes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .filter(F.col("id") % 100 == 0)
+        .distinct()
+    )
+    return closeness_centrality(e, probes).select(
+        "probe",
+        "n_reached",
+        F.round(F.col("closeness") * 1048576).cast("long").alias("closeness_q"),
+    )
+
+
 # -- k-hop ego network around the out-hub seed set ----------------------------
 
 _EGO_SQL = f"""WITH RECURSIVE {_E},

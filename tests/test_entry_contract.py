@@ -20,8 +20,8 @@ def test_every_oracle_has_a_query():
     m = _entry()
     qs, osql = m.queries(), m.oracle_sql()
     assert set(osql) <= set(qs)
-    assert len(qs) >= 54
-    assert len(osql) >= 47
+    assert len(qs) >= 55
+    assert len(osql) >= 48
 
 
 def test_oracle_sql_is_wellformed():

@@ -521,3 +521,21 @@ def test_harmonic_centrality_matches_brute(spark):
     for pr in probes:
         exp = sum(1.0 / d for (q, v), d in exp_d.items() if q == pr and d > 0)
         assert abs(got_h[pr] - exp) < 1e-9, pr
+
+
+def test_closeness_centrality_matches_brute(spark):
+    from tldr_spark.operators.bfs import closeness_centrality
+
+    edges = _rand_graph(97, 25, 70)
+    probes = [0, 7]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    p = spark.createDataFrame([(x,) for x in probes], "id long")
+    got = {r["probe"]: (r["n_reached"], r["closeness"])
+           for r in closeness_centrality(e, p).collect()}
+    for pr in probes:
+        d = _bfs_oracle(edges, [pr])
+        n = len(d) - 1
+        sd = sum(d.values())
+        exp = n / sd if sd > 0 else 0.0
+        assert got[pr][0] == n
+        assert abs(got[pr][1] - exp) < 1e-12

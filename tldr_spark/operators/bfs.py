@@ -133,6 +133,29 @@ def harmonic_centrality(
     )
 
 
+def closeness_centrality(
+    edges: DataFrame,
+    probes: DataFrame,
+    max_levels: int = 50,
+    directed: bool = True,
+) -> DataFrame:
+    """(probe, n_reached, closeness) — Bavelas closeness restricted to the
+    reachable set: (n_reached − 1) / Σ dist (0.0 when nothing is reached).
+    Same one-flood labeled BFS as :func:`harmonic_centrality`."""
+    d = labeled_bfs(edges, probes, max_levels, directed)
+    agg = d.groupBy("probe").agg(
+        (F.count(F.lit(1)) - 1).alias("n_reached"),
+        F.sum("dist").alias("sd"),
+    )
+    return agg.select(
+        "probe",
+        F.col("n_reached").cast("long").alias("n_reached"),
+        F.when(F.col("sd") > 0, F.col("n_reached") / F.col("sd"))
+        .otherwise(0.0)
+        .alias("closeness"),
+    )
+
+
 def ego_subgraph(
     edges: DataFrame,
     seeds: DataFrame,
