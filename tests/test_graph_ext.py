@@ -428,6 +428,25 @@ def test_scc_two_cycles_and_bridge(spark):
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20}
 
 
+def test_scc_negative_vertex_ids(spark):
+    """Hashed 64-bit ids can be negative; the max-propagation must treat a
+    missing in-neighbor aggregate as a no-op, not clamp colors to a -1
+    sentinel (which corrupts any all-negative color class)."""
+    from tldr_spark.operators.scc import strongly_connected_components
+
+    # all-negative cycle + all-negative dangler + mixed-sign cycle
+    edges = [(-5, -3), (-3, -5), (-3, -9), (-20, 4), (4, -20)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"] for r in strongly_connected_components(e).assignments.collect()}
+    assert got == {-5: -5, -3: -5, -9: -9, -20: -20, 4: -20}
+
+    for seed in (3, 11):
+        edges = [(a - 9, b - 9) for a, b in _rand_graph(seed, 18, 45)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["id"]: r["component"] for r in strongly_connected_components(e).assignments.collect()}
+        assert got == _scc_oracle(edges), seed
+
+
 def test_scc_raises_when_pass_budget_exhausted(spark):
     import pytest
 

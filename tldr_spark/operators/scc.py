@@ -43,12 +43,16 @@ def _propagate_max(er: DataFrame, color: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.max("color").alias("in_color"))
         )
+        # missing in-neighbor aggregate is a NO-OP (coalesce to own color),
+        # not a -1 sentinel: a sentinel would clamp negative vertex ids'
+        # colors up to -1 and corrupt components for the hashed-64-bit id
+        # domain where negatives are legal
         new = (
             color.join(upd, "id", "left")
             .select(
                 "id",
-                F.greatest(F.col("color"), F.coalesce("in_color", F.lit(-1))).alias("color"),
-                (F.coalesce("in_color", F.lit(-1)) > F.col("color")).alias("chg"),
+                F.greatest(F.col("color"), F.coalesce("in_color", F.col("color"))).alias("color"),
+                (F.col("in_color").isNotNull() & (F.col("in_color") > F.col("color"))).alias("chg"),
             )
             .localCheckpoint(eager=False)
             .persist()
