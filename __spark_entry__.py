@@ -176,7 +176,8 @@ def q_top_in_degree(spark, sf_dir):
 
 # -- PageRank (op-13): fixed-iteration parity vs recursive-CTE oracle -------
 
-_PR_SQL = f"""WITH RECURSIVE {_E},
+def _pr_sql(n_iter: int) -> str:
+    return f"""WITH RECURSIVE {_E},
   norm AS (SELECT src, dst, SUM(weight) AS w FROM e GROUP BY src, dst),
   outw AS (SELECT src, SUM(w) AS ow FROM norm GROUP BY src),
   en AS (SELECT n.src, n.dst, n.w / o.ow AS wn FROM norm n JOIN outw o USING (src)),
@@ -198,13 +199,13 @@ _PR_SQL = f"""WITH RECURSIVE {_E},
       CROSS JOIN (SELECT id, dang FROM pr) v
       LEFT JOIN (SELECT en.dst AS id, SUM(p.rank * en.wn) AS contrib
                  FROM pr p JOIN en ON en.src = p.id GROUP BY en.dst) c ON c.id = v.id
-    ) WHERE it < 20
+    ) WHERE it < {n_iter}
   )
 SELECT id AS vertex, CAST(ROUND(rank * 1048576) AS BIGINT) AS rank_q
-FROM pr WHERE it = 20"""
+FROM pr WHERE it = {n_iter}"""
 
 
-@_q("pagerank_fixed20", _PR_SQL)
+@_q("pagerank_fixed20", _pr_sql(20))
 def q_pagerank_fixed20(spark, sf_dir):
     from tldr_spark.operators.pagerank import pagerank
 
@@ -220,12 +221,19 @@ def q_pagerank_fixed20(spark, sf_dir):
     )
 
 
-@_q("pagerank_converged", None)  # iterative-to-convergence: rows-only check
+@_q("pagerank_converged", _pr_sql(150))
 def q_pagerank_converged(spark, sf_dir):
+    """Iterative-to-CONVERGENCE path vs a fixed-iteration oracle: the Spark
+    side iterates until L1 <= 1e-12 (~90 rounds at sf0.01, distance to the
+    true fixpoint ~ 5.7*tol); the oracle's fixed 150 rounds sit ~1e-16 from
+    the fixpoint, so both land in the same 2^-20 quantization bucket."""
     from tldr_spark.operators.pagerank import pagerank
 
-    res = pagerank(derive_edges(spark, sf_dir), damping=DAMPING, tolerance=1e-6)
-    return res.ranks.select(F.col("id").alias("vertex"), "rank")
+    res = pagerank(derive_edges(spark, sf_dir), damping=DAMPING, tolerance=1e-12, max_iter=200)
+    return res.ranks.select(
+        F.col("id").alias("vertex"),
+        F.round(F.col("rank") * 1048576).cast("long").alias("rank_q"),
+    )
 
 
 # -- connected components (small-star/large-star) ----------------------------
@@ -370,7 +378,9 @@ def q_bfs_hops(spark, sf_dir):
         .filter(F.col("id") % 50 == 0)
         .distinct()
     )
-    res = bfs_distances(e, seeds, directed=True)
+    # max_levels=40 matches the oracle CTE's `dist < 40` cap structurally
+    # (not just data-dependently at current scale factors)
+    res = bfs_distances(e, seeds, max_levels=40, directed=True)
     return res.distances.select(F.col("id").alias("vertex"), "dist")
 
 
@@ -403,7 +413,8 @@ def q_harmonic_centrality(spark, sf_dir):
         .filter(F.col("id") % 100 == 0)
         .distinct()
     )
-    return harmonic_centrality(e, probes).select(
+    # max_levels=40 mirrors the oracle's `dist < 40` recursion cap
+    return harmonic_centrality(e, probes, max_levels=40).select(
         "probe",
         F.round(F.col("harmonic") * 1048576).cast("long").alias("harmonic_q"),
     )
@@ -437,7 +448,8 @@ def q_closeness_centrality(spark, sf_dir):
         .filter(F.col("id") % 100 == 0)
         .distinct()
     )
-    return closeness_centrality(e, probes).select(
+    # max_levels=40 mirrors the oracle's `dist < 40` recursion cap
+    return closeness_centrality(e, probes, max_levels=40).select(
         "probe",
         "n_reached",
         F.round(F.col("closeness") * 1048576).cast("long").alias("closeness_q"),
@@ -1451,13 +1463,46 @@ def q_events_hourly(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
 
 
+# -- Structured Streaming drain (availableNow, complete mode): the streaming
+# -- path is batch-deterministic, so it gets a full DuckDB oracle -------------
+
+@_q(
+    "stream_edges_hourly",
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+              (event_id * 131 + 7) % 211 AS dst,
+              CAST(COUNT(*) AS BIGINT) AS in_deg,
+              CAST(ROUND(SUM(value) * 1024) AS BIGINT) AS in_weight_q
+       FROM events GROUP BY 1, 2""",
+)
+def q_stream_edges_hourly(spark, sf_dir):
+    from tldr_spark.streaming.edges_stream import streamed_hourly_in_degree
+
+    return streamed_hourly_in_degree(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
+# The driver checks the FIRST ~50 registered queries against their oracles;
+# emit oracled queries first (strong rows+schema+hash signal), then the
+# rows-only ones (weak signal), so no oracle-paired query ever falls outside
+# the checked window. Within each block, registration order is preserved.
+
+def _ordered() -> list[str]:
+    names = list(_REGISTRY)
+    return [n for n in names if _REGISTRY[n][1] is not None] + [
+        n for n in names if _REGISTRY[n][1] is None
+    ]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: _REGISTRY[name][1]
+        for name in _ordered()
+        if _REGISTRY[name][1] is not None
+    }

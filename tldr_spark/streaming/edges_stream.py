@@ -45,3 +45,43 @@ def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str):
     )
     q.awaitTermination()
     return q
+
+
+def events_to_edge_files(spark: SparkSession, sf_dir: str, landing_dir: str) -> None:
+    """Derive a deterministic edge-arrival stream from the events table and
+    land it as parquet — the sandbox stand-in for continuously landing
+    WARC-extract batches. Pure integer arithmetic (src=user_id,
+    dst=(event_id*131+7) mod 211) so a SQL oracle reproduces the stream
+    bit-identically."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("event_id") * 131 + 7) % 211).alias("dst"),
+        F.col("value").alias("weight"),
+        F.col("ts").alias("event_ts"),
+    ).write.mode("overwrite").parquet(landing_dir)
+
+
+def streamed_hourly_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming drain, batch-deterministic: land the
+    events-derived edge stream, readStream it, tumbling 1-hour windowed
+    in-degree, availableNow trigger into a memory sink, return the sink as a
+    batch DataFrame. Complete output mode makes the result independent of
+    file arrival order / watermark timing, so the streaming path is
+    DuckDB-oracle-checkable (driver contract), not just rows-only."""
+    import uuid
+
+    base = f"{spark.conf.get('spark.sql.warehouse.dir', 'spark-warehouse').removeprefix('file:')}/_stream_tmp/{uuid.uuid4().hex[:12]}"
+    landing, ckpt = f"{base}/landing", f"{base}/ckpt"
+    events_to_edge_files(spark, sf_dir, landing)
+    agg = windowed_in_degree(read_edge_stream(spark, landing), window="1 hour")
+    name = f"stream_indeg_{uuid.uuid4().hex[:8]}"
+    run_available_now(agg, name, ckpt)
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("win.start")).alias("hour_epoch"),
+        "dst",
+        F.col("in_deg").cast("long").alias("in_deg"),
+        # power-of-two quantizer: window groups are small (1-3 rows), so the
+        # double sums are bit-stable across engines; *1024 keeps ~3 decimals
+        F.round(F.col("in_weight") * 1024).cast("long").alias("in_weight_q"),
+    )
