@@ -75,3 +75,56 @@ def test_jaro_pairs_textbook_variant(spark):
 
     assert set(got) == {(0, 1)}
     assert got[(0, 1)] == textbook_jaro(rows[0][1], rows[1][1])
+
+
+def test_fast_jaro_kernels_bit_match_straight_ports():
+    """The optimized kernels (candidate-skipping reference variant,
+    per-character two-pointer textbook variant) must reproduce the straight
+    ports bit-for-bit — including the Go port's fast-path double-count,
+    scan-overrun flagging, and transposition-stall quirks — across random
+    ASCII and non-ASCII inputs and the degenerate cases."""
+    import random
+
+    from tldr_spark.functions.jaro_fast import jaro_distance_fast, textbook_jaro_fast
+    from tldr_spark.functions.reference import jaro_distance
+    from tldr_spark.operators.dedup import textbook_jaro
+
+    rng = random.Random(20260817)
+    alph = "abcdefg xyz.,'- éü漢"
+    words = "the quick brown fox jumps over lazy dog museum star".split()
+    cases = [("", ""), ("", "a"), ("a", ""), ("abc", "abc"), ("a", "b"),
+             ("aaaa", "aaa"), ("ab" * 40, "ba" * 40)]
+    for _ in range(1500):
+        n1, n2 = rng.randint(0, 60), rng.randint(0, 60)
+        cases.append((
+            "".join(rng.choice(alph) for _ in range(n1)),
+            "".join(rng.choice(alph) for _ in range(n2)),
+        ))
+    for _ in range(300):
+        cases.append((
+            " ".join(rng.choices(words, k=rng.randint(1, 60))),
+            " ".join(rng.choices(words, k=rng.randint(1, 60))),
+        ))
+    for a, b in cases:
+        assert jaro_distance_fast(a, b) == jaro_distance(a, b), (repr(a), repr(b))
+        assert textbook_jaro_fast(a, b) == textbook_jaro(a, b), (repr(a), repr(b))
+
+
+def test_batch_scorers_match_scalars():
+    import pandas as pd
+
+    from tldr_spark.functions.jaro_fast import (
+        jaro_reference_batch,
+        textbook_jaro_batch,
+    )
+    from tldr_spark.functions.reference import jaro_distance
+    from tldr_spark.operators.dedup import textbook_jaro
+
+    a = pd.Series(["the quick brown fox", "éàü wörds", None, "", "same text"])
+    b = pd.Series(["the quick brown fix", "éàü words", "x", None, "same text"])
+    tb = textbook_jaro_batch(a, b)
+    ref = jaro_reference_batch(a, b)
+    for i in range(len(a)):
+        x, y = a[i] or "", b[i] or ""
+        assert tb[i] == textbook_jaro(x, y), i
+        assert ref[i] == jaro_distance(x, y), i

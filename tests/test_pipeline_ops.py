@@ -109,6 +109,40 @@ def test_embedding_near_dups_and_selfsim(spark, embs):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == expected
 
 
+def test_embedding_near_dups_lsh_candidates_match_all_pairs(spark):
+    """The composed scale path — LSH bucket candidates feeding the bounded
+    verification join — must return exactly the all-pairs result at a high
+    threshold (τ=0.95 near-dups are nearly-parallel vectors, which multi-
+    table hyperplane LSH recalls deterministically with enough tables)."""
+    import numpy as np
+
+    from tldr_spark.operators.dedup import embedding_near_dups
+    from tldr_spark.operators.similarity import lsh_candidate_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((12, 64))
+    vecs = []
+    for i, v in enumerate(base):
+        vecs.append((i, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    # true near-dups: tiny perturbations of vectors 0..3
+    for j in range(4):
+        v = base[j] + 0.02 * rng.standard_normal(64)
+        vecs.append((100 + j, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    embs = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(embs, threshold=0.95).collect()
+    }
+    assert len(exact) >= 4  # the construction produced real near-dups
+    cand = lsh_candidate_pairs(embs, n_planes=6, n_tables=12)
+    composed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(embs, threshold=0.95, candidates=cand).collect()
+    }
+    assert composed == exact
+
+
 # --- similarity ------------------------------------------------------------
 
 def test_brute_force_topk_matches_numpy(spark, embs):

@@ -144,6 +144,11 @@ def ngram_jaccard_pairs(
     persist it, and pass it as ``shingles_df`` — the one cache whose
     lifetime only the caller can manage.
     """
+    # the shingle table feeds THREE plan branches (sizes + both join sides);
+    # when building it internally, persist it for the duration of the call
+    # and release it after checkpointing the (thresholded, small) result —
+    # callers managing their own shingles() cache pass shingles_df instead
+    own_cache = shingles_df is None
     sh = shingles_df if shingles_df is not None else shingles(docs, n, id_col, text_col)
     cand = None
     if candidates is not None:
@@ -154,6 +159,8 @@ def ngram_jaccard_pairs(
             .distinct()
         )
         sh = sh.join(ids, "id", "left_semi")
+    if own_cache:
+        sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "gram")
     b = sh.select(F.col("id").alias("id_b"), "gram")
@@ -171,6 +178,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if own_cache:
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist()
     return out
 
 
@@ -243,13 +253,15 @@ def jaro_pairs(
 
     from pyspark.sql.types import DoubleType
 
-    from tldr_spark.functions.reference import jaro_distance
+    from tldr_spark.functions.jaro_fast import jaro_reference_batch, textbook_jaro_batch
 
-    scorer = jaro_distance if variant == "reference" else textbook_jaro
+    # fast exact kernels (~10-15x the naive per-pair loops; bit-matched to
+    # the straight ports by tests/test_jaro_pairs.py differential tests)
+    batch_scorer = jaro_reference_batch if variant == "reference" else textbook_jaro_batch
 
     @F.pandas_udf(DoubleType())
     def jaro_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([scorer(x or "", y or "") for x, y in zip(a, b)])
+        return batch_scorer(a, b)
 
     # the bucket metric MUST be the length the scorer uses, or the prune
     # bound is unsound: the reference variant scores lowercased UTF-8 BYTES
@@ -317,20 +329,28 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold.
 
-    Exact all-pairs via self-join — correct but O(n²): the verification
-    stage. At scale, pre-bucket with the LSH in
-    tldr_spark.operators.similarity and pass the result as candidates to
-    bound the join.
+    Without ``candidates`` this is the exact all-pairs theta self-join —
+    the small-scale verification stage only. The scale path passes an
+    (id_a, id_b) candidate DataFrame (e.g. hyperplane-LSH bucket pairs from
+    ``similarity.lsh_candidate_pairs``) — the join becomes an equi-join on
+    the candidate keys, so only candidate pairs are ever scored, mirroring
+    ``ngram_jaccard_pairs(candidates=...)``. Composed pipeline at 10^12:
+    ``embedding_near_dups(embs, candidates=lsh_candidate_pairs(embs))``.
     """
     from tldr_spark.operators.similarity import cosine_expr
 
     a = embs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b").filter(F.col("id_a") < F.col("id_b")).distinct()
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_expr("va", "vb").alias("cosine"))
+        pairs.select("id_a", "id_b", cosine_expr("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

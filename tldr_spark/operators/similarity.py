@@ -80,6 +80,50 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     return bucket
 
 
+def lsh_candidate_pairs(
+    embs: DataFrame,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b) candidate near-dup pairs (id_a < id_b): pairs sharing a
+    (table, bucket) in ANY of ``n_tables`` hyperplane sets.
+
+    The self-join is an equi-join on (tbl, bucket) — never all-pairs; this
+    is the candidate-generation stage that makes
+    ``embedding_near_dups(embs, candidates=lsh_candidate_pairs(embs))`` the
+    10^12-scale near-dup path (bounded verification instead of an O(n²)
+    theta join). Recall dial: 1-(1-p^planes)^tables; raise ``n_tables``
+    for higher-recall sweeps.
+    """
+    e_buckets = [
+        lsh_bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed + t)).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    tb = F.explode(
+        F.array(*[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bucket"))
+            for t in range(n_tables)
+        ])
+    ).alias("tb")
+    bucketed = (
+        embs.select(F.col(id_col).alias("id"), *e_buckets)
+        .select("id", tb)
+        .select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
+    a = bucketed.select(F.col("id").alias("id_a"), "tbl", "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), "tbl", "bucket")
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_topk(
     embs: DataFrame,
     probes: DataFrame,
