@@ -55,3 +55,40 @@ def test_salted_join_matches_plain(spark):
     ).collect()[0]
     assert plain["n"] == salted["n"]
     assert abs(plain["s"] - salted["s"]) < 1e-6
+
+
+def test_salted_aggregate_deterministic_across_partitionings(spark):
+    """Salts are row-content hashes, not rand(): the salted result must be
+    bit-identical whether the input arrived in 7 or 13 partitions
+    (checkpoint/resume and cluster-resize safety). Integer-valued sums so
+    FP ordering cannot mask a salt nondeterminism."""
+    df = _skewed_df(spark).select("dst", F.col("w").cast("long").alias("w"))
+
+    def run(parts):
+        return sorted(
+            (r["dst"], r["s"], r["c"])
+            for r in salted_aggregate(
+                df.repartition(parts),
+                "dst",
+                lambda: [F.sum("w").alias("s1"), F.count(F.lit(1)).alias("c1")],
+                lambda: [F.sum("s1").alias("s"), F.sum("c1").alias("c")],
+                hot_threshold=1000,
+                n_salts=8,
+            ).collect()
+        )
+
+    assert run(7) == run(13)
+
+
+def test_salted_join_deterministic_across_partitionings(spark):
+    big = _skewed_df(spark).select("dst", F.col("w").cast("long").alias("w"))
+    small = spark.range(500).select(F.col("id").alias("dst"), (F.col("id") * 2).alias("attr"))
+    hot = hot_keys(big, "dst", 1000)
+
+    def run(parts):
+        return sorted(
+            (r["dst"], r["w"], r["attr"])
+            for r in salted_join(big.repartition(parts), small, "dst", hot, n_salts=4).collect()
+        )
+
+    assert run(7) == run(13)

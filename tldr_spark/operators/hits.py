@@ -48,8 +48,9 @@ def hits(edges: DataFrame, iterations: int = 10, broadcast_scores: bool = True) 
     if iterations < 1:
         scores = verts.select(
             "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
-        )
+        ).localCheckpoint(eager=True)
         e.unpersist()
+        verts.unpersist()
         return HitsResult(scores, 0)
 
     # SPARSE state between half-steps: a vertex with no out-edges contributes
@@ -101,6 +102,9 @@ def hits(edges: DataFrame, iterations: int = 10, broadcast_scores: bool = True) 
             old_auth.unpersist()
         old_auth = auth
 
+    # checkpoint the result, then release every intermediate (verts, the
+    # final hub/auth round frames, the edge set) — a long-lived session
+    # calling operators repeatedly must not accumulate cached blocks
     scores = (
         verts.join(hub, "id", "left")
         .join(auth, "id", "left")
@@ -109,6 +113,10 @@ def hits(edges: DataFrame, iterations: int = 10, broadcast_scores: bool = True) 
             F.coalesce("hub", F.lit(0.0)).alias("hub"),
             F.coalesce("auth", F.lit(0.0)).alias("auth"),
         )
+        .localCheckpoint(eager=True)
     )
     e.unpersist()
+    verts.unpersist()
+    hub.unpersist()
+    auth.unpersist()  # old_auth is this same frame after the final round
     return HitsResult(scores, iterations)

@@ -43,6 +43,7 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 1000) -> KCoreResult:
 
     rounds = 0
     prev_n = -1
+    last_keep = None  # persisted frame of the n==0 early exit, if taken
     deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
     while rounds < max_rounds:
         keep = deg.filter(F.col("degree") >= k).persist()
@@ -54,6 +55,7 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 1000) -> KCoreResult:
         prev_n = n
         if n == 0:
             deg = keep
+            last_keep = keep
             break
         ids = keep.select("id")
         new_und = (
@@ -68,5 +70,10 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 1000) -> KCoreResult:
         deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
         keep.unpersist()
 
-    out = deg.filter(F.col("degree") >= k)
+    # checkpoint the (small) core before releasing the cached edge set —
+    # no cached blocks outlive the call
+    out = deg.filter(F.col("degree") >= k).localCheckpoint(eager=True)
+    und.unpersist()
+    if last_keep is not None:
+        last_keep.unpersist()
     return KCoreResult(out, rounds)

@@ -34,6 +34,18 @@ def hot_keys(df: DataFrame, key: str, threshold: int) -> DataFrame:
     )
 
 
+def _row_salt(df: DataFrame, n_salts: int, salt_cols: list[str] | None) -> Column:
+    """Deterministic salt in [0, n_salts): a hash of the row's CONTENT
+    (all columns unless ``salt_cols`` restricts it), never ``F.rand`` —
+    rand(seed) is only stable for a fixed partition layout, so a
+    rand-derived salt makes results depend on how the input happened to be
+    partitioned. A content hash is bit-reproducible across repartitionings
+    and cluster sizes (checkpoint/resume safe). Fully duplicated rows share
+    a salt; that residual imbalance is bounded by the duplication factor."""
+    cols = salt_cols if salt_cols is not None else df.columns
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+
+
 def salted_aggregate(
     df: DataFrame,
     key: str,
@@ -42,13 +54,16 @@ def salted_aggregate(
     hot: DataFrame | None = None,
     hot_threshold: int = 100_000,
     n_salts: int = 32,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregate with per-key conditional salting.
 
     ``agg_exprs()`` builds the phase-1 aggregate columns (over (key, salt)),
     ``merge_exprs()`` the phase-2 re-aggregation (over key). Cold keys take
     salt=0 and pass through phase 2 as single rows, so the tail pays one
-    extra (cheap) aggregation and no extra shuffle width.
+    extra (cheap) aggregation and no extra shuffle width. Salts are
+    deterministic row-content hashes (see :func:`_row_salt`), so the output
+    is bit-reproducible across input partitionings.
 
     Example — skew-safe sum:
         salted_aggregate(df, "dst",
@@ -58,13 +73,10 @@ def salted_aggregate(
     if hot is None:
         hot = hot_keys(df, key, hot_threshold)
     hot_marked = hot.withColumn("_hot", F.lit(True))
+    salt = _row_salt(df, n_salts, salt_cols)
     salted = (
         df.join(F.broadcast(hot_marked), key, "left")
-        .withColumn(
-            "_salt",
-            F.when(F.col("_hot").isNotNull(), F.pmod(F.xxhash64(F.rand(seed=42) * 1e9), F.lit(n_salts)))
-            .otherwise(F.lit(0)),
-        )
+        .withColumn("_salt", F.when(F.col("_hot").isNotNull(), salt).otherwise(F.lit(0)))
         .drop("_hot")
     )
     phase1 = salted.groupBy(key, "_salt").agg(*agg_exprs())
@@ -77,19 +89,18 @@ def salted_join(
     key: str,
     hot: DataFrame,
     n_salts: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Skew-safe equi-join: hot keys on the big side get a random salt in
-    [0, n_salts); the small side replicates hot rows across every salt.
-    Cold keys join 1:1 on salt=0. Classic salt/replicate — use when AQE's
-    skew-join split is unavailable or the skew is in a cached relation."""
+    """Skew-safe equi-join: hot keys on the big side get a deterministic
+    content-hash salt in [0, n_salts); the small side replicates hot rows
+    across every salt. Cold keys join 1:1 on salt=0. Classic
+    salt/replicate — use when AQE's skew-join split is unavailable or the
+    skew is in a cached relation."""
     hot_marked = F.broadcast(hot.withColumn("_hot", F.lit(True)))
+    salt = _row_salt(big, n_salts, salt_cols)
     big_s = (
         big.join(hot_marked, key, "left")
-        .withColumn(
-            "_salt",
-            F.when(F.col("_hot").isNotNull(), F.pmod(F.xxhash64(F.rand(seed=7) * 1e9), F.lit(n_salts)))
-            .otherwise(F.lit(0)),
-        )
+        .withColumn("_salt", F.when(F.col("_hot").isNotNull(), salt).otherwise(F.lit(0)))
         .drop("_hot")
     )
     small_s = (

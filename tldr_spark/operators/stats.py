@@ -43,10 +43,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     m, sxy, sx, sy, sxx, syy = (F.col(c) for c in ["m", "sxy", "sx", "sy", "sxx", "syy"])
     num = (m * sxy - sx * sy).cast("double")
     den = F.sqrt((m * sxx - sx * sx).cast("double") * (m * syy - sy * sy).cast("double"))
+    # 1-row result: checkpoint it, release the cached edge set
     out = agg.select(
         "m", "sxy", "sx", "sy", "sxx", "syy",
         F.when(den > 0, num / den).otherwise(F.lit(0.0)).alias("assortativity"),
-    )
+    ).localCheckpoint(eager=True)
+    e.unpersist()
     return out
 
 
@@ -122,5 +124,8 @@ def graph_summary(edges: DataFrame) -> DataFrame:
                 / (F.col("n_vertices") * (F.col("n_vertices") - F.lit(1.0)))
             ).alias("density"),
         )
+        .localCheckpoint(eager=True)  # 1-row result; then release caches
     )
+    e.unpersist()
+    und.unpersist()
     return out

@@ -95,12 +95,16 @@ def vertex_ids(links: DataFrame, method: str = "hash") -> DataFrame:
     Collision odds at 10^12 vertices are ~n²/2^65; production would widen to
     a 128-bit digest, the relational shape is identical.
 
-    method="dense": dense 0..V-1 ids via zipWithIndex — a distributed
-    two-pass (per-partition counts, then offset+local index). NO
-    single-partition Window.orderBy sort (that is the canonical scale
-    mistake for this job). Use when a downstream consumer needs dense ids.
+    method="dense": dense 0..V-1 ids via a DataFrame-native distributed
+    two-pass — per-partition counts (one small collect), then
+    offset + per-partition local row_number. NO single-partition
+    Window.orderBy sort (the canonical scale mistake for this job) and no
+    RDD hop (rows stay JVM-side; the old zipWithIndex round-tripped every
+    row through Python). Hash-partitioning on url + url-ordered local ranks
+    makes the assignment deterministic for a fixed shuffle partition count.
+    Use when a downstream consumer needs dense ids.
     """
-    from pyspark.sql import functions as F
+    from pyspark.sql import Window, functions as F
 
     verts = (
         links.select(F.col("src_url").alias("url"))
@@ -110,8 +114,28 @@ def vertex_ids(links: DataFrame, method: str = "hash") -> DataFrame:
     if method == "hash":
         return verts.select("url", F.xxhash64("url").alias("id"))
     spark = links.sparkSession
-    rdd = verts.select("url").rdd.map(lambda r: r[0]).zipWithIndex()
-    return spark.createDataFrame(rdd, "url string, id long")
+    vp = (
+        verts.repartition(F.col("url"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in vp.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("url")
+    out = (
+        vp.join(F.broadcast(off_df), "_pid")
+        .select("url", (F.col("_off") + F.row_number().over(w) - 1).alias("id"))
+        .localCheckpoint(eager=True)
+    )
+    vp.unpersist()
+    return out
 
 
 def pages_to_edges(pages: DataFrame, id_method: str = "hash") -> DataFrame:
