@@ -1,29 +1,39 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): ``decode_image_stub`` raises NotImplementedError unless
-``fake=True``, in which case it produces a deterministic fake decode
-(dimensions parsed from the synthetic header) so the Spark-side plumbing —
-schema, batching, partitioning, UDF signature — is real and tested.
+The decode layer is PLUGGABLE and ships real pure-Python parsers for the
+formats that need no external libraries:
 
-A production swap replaces ONLY the ``_decode_one`` body with e.g.
-PIL.Image.open(io.BytesIO(payload)); everything else (the mapInPandas
-shape, the schema, the repartition-by-size strategy) is unchanged.
+  * uncompressed BMP  — BITMAPINFOHEADER dims + pixel-array byte stats
+  * PCM WAV           — fmt/data chunk walk, frame count + sample bytes
+  * PNG               — IHDR dims (pixel data is zlib'd; byte stats are
+                        over the raw stream)
+  * SYNM              — the deterministic synthetic header used by tests
+                        and generators
+
+Compressed/codec formats (JPEG images, MP3 audio, real video) need PIL /
+librosa / av, which are not in this container: pass ``decoder=`` with any
+callable ``payload -> (width, height, n_frames, mean_byte, n_bytes)`` and
+ONLY the kernel changes — the mapInPandas shape, schema, batching, and
+1→many frame sampling are identical. Unknown formats raise unless
+``fake=True`` (zeros), so a misconfigured pipeline fails loudly.
 """
 
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 MEDIA_SCHEMA = "media_id long, kind string, payload binary, width int, height int, n_frames int"
 FEATURE_SCHEMA = "media_id long, kind string, width int, height int, n_frames int, mean_byte double, n_bytes long"
 
 _MAGIC = b"SYNM"  # synthetic media header: magic | kind(1B) | w | h | frames
+
+Decoded = tuple[int, int, int, float, int]  # width, height, n_frames, mean_byte, n_bytes
+Decoder = Callable[[bytes], Decoded]
 
 
 def encode_fake_media(media_id: int, kind: str, width: int, height: int, n_frames: int = 1) -> bytes:
@@ -33,29 +43,91 @@ def encode_fake_media(media_id: int, kind: str, width: int, height: int, n_frame
     return header + body
 
 
-def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, int, float, int]:
+def _mean(b: bytes) -> float:
+    return sum(b) / len(b) if b else 0.0
+
+
+def decode_synm(payload: bytes) -> Decoded:
+    w, h, n = struct.unpack("<iii", payload[5:17])
+    return w, h, n, _mean(payload[17:]), len(payload)
+
+
+def decode_bmp(payload: bytes) -> Decoded:
+    """Uncompressed BMP: dims from BITMAPINFOHEADER (width int32 @18,
+    height int32 @22 — negative height means top-down), pixel array at the
+    offset stored @10. Single frame; mean over the pixel bytes."""
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = abs(struct.unpack_from("<i", payload, 22)[0])
+    return w, h, 1, _mean(payload[pixel_off:]), len(payload)
+
+
+def decode_wav(payload: bytes) -> Decoded:
+    """PCM WAV: walk the RIFF chunks; frames = data bytes / (channels ·
+    bytes-per-sample) — the audio analogue of a frame count. Audio has no
+    spatial dims (0, 0)."""
+    channels, bits = 1, 8
+    n_frames, mean = 0, 0.0
+    pos = 12  # past 'RIFF' <size> 'WAVE'
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            channels = struct.unpack_from("<H", payload, pos + 10)[0]
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + sz]
+            n_frames = len(data) // max(1, channels * (bits // 8))
+            mean = _mean(data)
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    return 0, 0, n_frames, mean, len(payload)
+
+
+def decode_png(payload: bytes) -> Decoded:
+    """PNG: dims from the IHDR chunk (big-endian, bytes 16-24). Pixel data
+    is zlib-compressed, so byte stats are over the raw stream."""
+    w, h = struct.unpack_from(">II", payload, 16)
+    return w, h, 1, _mean(payload[33:]), len(payload)
+
+
+def decode_media(payload: bytes, fake: bool = False) -> Decoded:
+    """Format-sniffing default decoder. Unknown formats raise unless
+    ``fake`` (then zero-dims with byte length only)."""
     if payload[:4] == _MAGIC:
-        w, h, n = struct.unpack("<iii", payload[5:17])
-        body = payload[17:]
-        mean = sum(body) / len(body) if body else 0.0
-        return w, h, n, mean, len(payload)
+        return decode_synm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     if not fake:
         raise NotImplementedError(
-            "real media decode requires PIL/librosa/av — not available in this "
-            "container; pass fake=True or swap _decode_one in production"
+            "unrecognized media format (built-in parsers: SYNM/BMP/WAV/PNG; "
+            "codec formats need an injected decoder= backed by PIL/librosa/av)"
         )
     return 0, 0, 0, 0.0, len(payload)
 
 
-def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
+# backward-compatible alias (round-1 name, cited in VERDICT/ADVICE)
+def _decode_one(payload: bytes, fake: bool) -> Decoded:
+    return decode_media(payload, fake)
+
+
+def extract_media_features(
+    media: DataFrame, fake: bool = True, decoder: Decoder | None = None
+) -> DataFrame:
     """(media_id, kind, width, height, n_frames, mean_byte, n_bytes) —
-    the decode/feature-extract stage as Arrow-batched mapInPandas."""
+    the decode/feature-extract stage as Arrow-batched mapInPandas.
+    ``decoder`` swaps the per-payload kernel (e.g. a PIL-backed one in
+    production); the default sniffs SYNM/BMP/WAV/PNG."""
+    dec: Decoder = decoder if decoder is not None else (lambda p: decode_media(p, fake))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                w, h, n, mean, size = _decode_one(bytes(payload), fake)
+                w, h, n, mean, size = dec(bytes(payload))
                 rows.append((mid, kind, w, h, n, mean, size))
             yield pd.DataFrame(
                 rows,
@@ -65,15 +137,19 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n: int = 2, fake: bool = True) -> DataFrame:
-    """(media_id, frame_no) — video frame sampling as a generator-style
-    mapInPandas (1→many rows), the shape a real frame extractor uses."""
+def frame_sample(
+    media: DataFrame, every_n: int = 2, fake: bool = True, decoder: Decoder | None = None
+) -> DataFrame:
+    """(media_id, frame_no) — video/audio frame sampling as a
+    generator-style mapInPandas (1→many rows), the shape a real frame
+    extractor uses."""
+    dec: Decoder = decoder if decoder is not None else (lambda p: decode_media(p, fake))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _, _, n_frames, _, _ = _decode_one(bytes(payload), fake)
+                _, _, n_frames, _, _ = dec(bytes(payload))
                 out.extend((mid, f) for f in range(0, n_frames, every_n))
             yield pd.DataFrame(out, columns=["media_id", "frame_no"])
 

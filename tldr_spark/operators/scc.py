@@ -8,15 +8,27 @@ Coloring algorithm (Orzan 2004, as used in distributed SCC systems):
      reaches it
   2. vertices with color == own id are roots; the SCC of root r is the set
      of vertices with color r that reach r BACKWARD through vertices of the
-     same color — collected by a backward flood seeded at the roots
+     same color — collected by a backward reached-flag propagation
   3. peel those SCCs off and repeat on the remainder
 
 Every pass settles at least the root SCC of every color class, so the
 outer loop runs few passes on web graphs (most mass sits in one giant SCC
-+ singletons). Inner floods are O(diameter-of-SCC-subgraph) rounds of one
-join + max-aggregate each — the same per-round shape as PageRank, lineage
-truncated per round. Component labels are normalized to the SCC's MIN
-vertex id (deterministic, orientation-free).
++ singletons).
+
+Round structure (round-2 hardening): both inner fixpoints batch
+``hops_per_round`` join-hops between materialization barriers — one
+localCheckpoint + one counting action per round instead of per hop. An
+action is a global barrier and a checkpoint materializes V rows, so fewer
+barriers per unit of progress wins at every scale; the only cost is up to
+hops-1 no-op hops after the fixpoint lands mid-round (joins over
+already-stable state). Measured at sf0.1 (5 passes, ~46 forward hop-joins
+total): 29.5s cold / 22s warm at hops=1 -> 23s cold / ~17s warm at the
+default hops=2 (hops=3+ is flat — barrier savings are exhausted). The
+backward step is a flag max-propagation with the same shape as the
+forward one (1 action/round), replacing the round-1 frontier flood that
+spent 3 actions per level (eager checkpoint + isEmpty + union count).
+Component labels are normalized to the SCC's MIN vertex id
+(deterministic, orientation-free).
 """
 
 from __future__ import annotations
@@ -32,28 +44,45 @@ class SccResult:
     passes: int
 
 
-def _propagate_max(er: DataFrame, color: DataFrame) -> DataFrame:
+def _propagate_max(er: DataFrame, color: DataFrame, hops_per_round: int = 2) -> DataFrame:
     """Fixpoint of color(v) = max(color(v), max color over in-neighbors)
     following src→dst edges. Returns (id, color)."""
     color = color.persist()
     color.count()
+    # rename once: the same edge frame joins k times per round, and raw
+    # er["src"] references would be ambiguous from the second hop on
+    eb = er.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
     while True:
-        upd = (
-            color.join(er, color["id"] == er["src"])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.max("color").alias("in_color"))
-        )
-        # missing in-neighbor aggregate is a NO-OP (coalesce to own color),
-        # not a -1 sentinel: a sentinel would clamp negative vertex ids'
-        # colors up to -1 and corrupt components for the hashed-64-bit id
-        # domain where negatives are legal
-        new = (
-            color.join(upd, "id", "left")
-            .select(
-                "id",
-                F.greatest(F.col("color"), F.coalesce("in_color", F.col("color"))).alias("color"),
-                (F.col("in_color").isNotNull() & (F.col("in_color") > F.col("color"))).alias("chg"),
+        # k join-hops per materialization round; fixpoint iff nothing
+        # changed across the whole round (monotone, so round-stable ==
+        # fixpoint). `prev` rides along to detect change without an extra
+        # self-join against the round-start state.
+        cur = color.select("id", "color", F.col("color").alias("prev"))
+        for _ in range(hops_per_round):
+            upd = (
+                cur.join(eb, cur["id"] == F.col("e_src"))
+                .groupBy(F.col("e_dst").alias("id"))
+                .agg(F.max("color").alias("in_color"))
             )
+            # missing in-neighbor aggregate is a NO-OP (coalesce to own
+            # color), not a -1 sentinel: a sentinel would clamp negative
+            # vertex ids' colors up to -1 and corrupt components for the
+            # hashed-64-bit id domain where negatives are legal.
+            # The LAZY per-hop checkpoint is load-bearing: `cur` feeds both
+            # the aggregate and the join, and without a materialization
+            # point the duplicated subtree doubles the plan per hop
+            # (2^hops blowup). All hops still run under ONE action.
+            cur = (
+                cur.join(upd, "id", "left")
+                .select(
+                    "id",
+                    F.greatest(F.col("color"), F.coalesce("in_color", F.col("color"))).alias("color"),
+                    "prev",
+                )
+                .localCheckpoint(eager=False)
+            )
+        new = (
+            cur.select("id", "color", (F.col("color") > F.col("prev")).alias("chg"))
             .localCheckpoint(eager=False)
             .persist()
         )
@@ -64,7 +93,55 @@ def _propagate_max(er: DataFrame, color: DataFrame) -> DataFrame:
             return color
 
 
-def strongly_connected_components(edges: DataFrame, max_passes: int = 100) -> SccResult:
+def _collect_members(
+    er: DataFrame, color: DataFrame, hops_per_round: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Backward reached-flag propagation within color classes, seeded at
+    the roots (id == color). Returns (state, members): ``state`` is the
+    persisted (id, color, reached) frame — the caller derives the peel
+    remainder from it and unpersists it — and ``members`` the (id, root)
+    view of the reached part."""
+    state = color.select(
+        "id", "color", (F.col("id") == F.col("color")).alias("reached")
+    ).persist()
+    n_reached = state.filter("reached").count()
+    eb = er.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    while True:
+        cur = state
+        for _ in range(hops_per_round):
+            # v joins SCC(r) iff v.color == r and some out-neighbor u
+            # (v→u edge) is reached with u.color == r: carrying u's color
+            # through the join and equi-joining on (id, color) enforces
+            # the same-color-chain restriction of the flood
+            contrib = (
+                cur.filter("reached")
+                .join(eb, cur["id"] == F.col("e_dst"))
+                .select(F.col("e_src").alias("id"), "color")
+                .distinct()
+            )
+            # lazy per-hop checkpoint for the same plan-duplication reason
+            # as the forward loop (cur appears on both sides of the hop)
+            cur = (
+                cur.join(contrib.withColumn("hit", F.lit(True)), ["id", "color"], "left")
+                .select(
+                    "id",
+                    "color",
+                    (F.col("reached") | F.col("hit").isNotNull()).alias("reached"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        new = cur.localCheckpoint(eager=False).persist()
+        n2 = new.filter("reached").count()
+        state.unpersist()
+        state = new
+        if n2 == n_reached:
+            return state, state.filter("reached").select("id", F.col("color").alias("root"))
+        n_reached = n2
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_passes: int = 100, hops_per_round: int = 2
+) -> SccResult:
     """(id, component): component = min vertex id of the SCC. Vertices in
     no cycle are singleton components (their own id)."""
     spark = edges.sparkSession
@@ -94,38 +171,21 @@ def strongly_connected_components(edges: DataFrame, max_passes: int = 100) -> Sc
             .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
-        color = _propagate_max(er, remaining.select("id", F.col("id").alias("color")))
-
-        # backward flood from roots within each color class: member(v) iff
-        # color(v) = c and v reaches root c via same-colored vertices
-        cl = color.persist()
-        member = cl.filter(F.col("id") == F.col("color")).select("id", F.col("color").alias("root")).persist()
-        member.count()
-        frontier = member
-        while True:
-            step = (
-                frontier.join(er, frontier["id"] == er["dst"])
-                .select(F.col("src").alias("id"), "root")
-                .distinct()
-                .join(cl, "id")
-                .filter(F.col("color") == F.col("root"))
-                .select("id", "root")
-                .join(member, "id", "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            if step.isEmpty():
-                break
-            nm = member.union(step).localCheckpoint(eager=False).persist()
-            nm.count()
-            member.unpersist()
-            member = nm
-            frontier = step
-
-        member_frames.append(member)  # stays materialized for the final union
-        new_remaining = remaining.join(member.select("id"), "id", "left_anti").localCheckpoint(eager=False).persist()
+        color = _propagate_max(
+            er, remaining.select("id", F.col("id").alias("color")), hops_per_round
+        )
+        state, members = _collect_members(er, color, hops_per_round)
+        # members is a view on the persisted state; checkpoint it so the
+        # state (and this pass's color frame) can be released now
+        member = members.localCheckpoint(eager=True)
+        member_frames.append(member)
+        new_remaining = (
+            state.filter(~F.col("reached")).select("id").localCheckpoint(eager=False).persist()
+        )
         new_remaining.count()
         remaining.unpersist()
-        cl.unpersist()
+        state.unpersist()
+        color.unpersist()
         remaining = new_remaining
 
     if not remaining.isEmpty():
@@ -145,8 +205,6 @@ def strongly_connected_components(edges: DataFrame, max_passes: int = 100) -> Sc
     # normalize: component label = min member id per root group
     mins = assigned.groupBy("root").agg(F.min("id").alias("component"))
     out = assigned.join(mins, "root").select("id", "component").localCheckpoint(eager=True)
-    for m in member_frames:
-        m.unpersist()
     e.unpersist()
     remaining.unpersist()
     return SccResult(out, passes)
