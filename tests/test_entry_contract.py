@@ -49,7 +49,7 @@ def test_oracle_sql_plans_in_duckdb():
             "l_orderkey BIGINT, l_returnflag VARCHAR, l_linestatus VARCHAR,"
             " l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE"
         ),
-        "events": "event_type VARCHAR, ts TIMESTAMP, value DOUBLE",
+        "events": "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR",
         "documents": "doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT",
         "embeddings": "vec_id BIGINT, embedding FLOAT[]",
     }
