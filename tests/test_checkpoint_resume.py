@@ -63,3 +63,27 @@ def test_metadata_commit_protocol(spark, tmp_path):
     assert [h["iteration"] for h in hist] == [2, 4]
     # deltas shrink monotonically across snapshots
     assert hist[-1]["l1_delta"] < hist[0]["l1_delta"]
+
+
+def test_cc_resume_reaches_identical_components(spark, tmp_path):
+    """Connected components killed mid-contraction resumes from the last
+    committed star-set snapshot and yields the exact same assignment."""
+    from tldr_spark.operators.components import connected_components
+
+    # two chains + a cycle: needs several star rounds to contract
+    chain = [(i, i + 1) for i in range(20, 35)] + [(i, i + 1) for i in range(50, 60)]
+    cyc = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    e = spark.createDataFrame(chain + cyc, "src long, dst long")
+    want = {r["id"]: r["component"] for r in connected_components(e).assignments.collect()}
+
+    ck = IterativeCheckpoint(spark, str(tmp_path / "ck_cc"))
+    partial = connected_components(e, max_rounds=2, checkpoint=ck, checkpoint_every=1)
+    assert partial.rounds == 2
+    latest = ck.latest()
+    assert latest is not None and latest[0] == 2
+    assert latest[2]["n"] > 0  # checksum metrics committed
+
+    resumed = connected_components(e, checkpoint=ck, checkpoint_every=1)
+    got = {r["id"]: r["component"] for r in resumed.assignments.collect()}
+    assert resumed.rounds > 2  # continued from round 2, not restarted
+    assert got == want

@@ -1,0 +1,117 @@
+"""Physical-plan hygiene, asserted (not just printed by
+scripts/plan_audit.py): at 100 TB a scan that reads unprojected columns,
+a filter that misses the parquet reader, or an accidental cartesian is
+the difference between a job and an outage. These assertions pin the
+plan shapes the engine's scale story depends on."""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# the documented O(n²) verification-stage theta joins — the ONLY places a
+# BroadcastNestedLoopJoin is acceptable (at scale they run behind LSH
+# candidate restriction instead)
+THETA_WHITELIST = {
+    "jaro_textbook_pairs",
+    "jaro_dedup_pairs",
+    "containment_pairs",
+    "embedding_near_dups",
+    "ann_brute_topk",  # broadcast probes against the full table
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [
+        "edges",
+        "out_degree",
+        "top_in_degree",
+        "pairwise_hamming",
+        "minhash_lsh_pairs",
+        "quality_scores",
+        "pricing_summary",
+        "top_customers",
+        "ann_brute_topk",
+        "jaro_textbook_pairs",
+        "containment_pairs",
+        "char_budget",
+        "token_counts",
+    ]
+    out = {}
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def _scans(plan: str) -> list[tuple[str, str]]:
+    """[(pushed_filters, read_schema)] per FileScan in the plan."""
+    found = []
+    for line in plan.splitlines():
+        if "FileScan" not in line:
+            continue
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+        rs = re.search(r"ReadSchema: struct<([^>]*)>", line)
+        found.append((pf.group(1) if pf else "", rs.group(1) if rs else ""))
+    return found
+
+
+def test_column_pruning_reaches_scans(plans):
+    # documents has 5 columns; these queries need exactly (doc_id, text)
+    for name in ("quality_scores", "token_counts", "minhash_lsh_pairs"):
+        for _, schema in _scans(plans[name]):
+            cols = {c.split(":")[0] for c in schema.split(",") if c}
+            assert cols <= {"doc_id", "text"}, (name, schema)
+    # degree queries prune the edge derivation to the single needed column
+    for name in ("edges", "out_degree", "top_in_degree"):
+        for _, schema in _scans(plans[name]):
+            cols = {c.split(":")[0] for c in schema.split(",") if c}
+            assert cols == {"doc_id"}, (name, schema)
+
+
+def test_predicate_pushdown_reaches_scans(plans):
+    # the doc_id/vec_id range restrictions must reach the parquet reader
+    for name, pred in [
+        ("pairwise_hamming", "LessThan(doc_id,40)"),
+        ("jaro_textbook_pairs", "LessThan(doc_id,80)"),
+        ("containment_pairs", "LessThan(doc_id,200)"),
+    ]:
+        assert any(pred in pf for pf, _ in _scans(plans[name])), (
+            name,
+            _scans(plans[name]),
+        )
+
+
+def test_no_cartesian_products(plans):
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+
+
+def test_theta_joins_only_where_documented(plans):
+    for name, plan in plans.items():
+        if name in THETA_WHITELIST:
+            continue
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_dimension_join_broadcasts(plans):
+    # orders ⋈ customer: the dimension side must broadcast, not sort-merge
+    assert "BroadcastHashJoin" in plans["top_customers"]
+    assert "SortMergeJoin" not in plans["top_customers"]
+
+
+def test_running_sum_is_single_window(plans):
+    # char_budget is one windowed running sum — no join, no extra shuffle
+    plan = plans["char_budget"]
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan

@@ -72,7 +72,11 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, vertices: DataFrame | None = None, max_rounds: int = 50
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_rounds: int = 50,
+    checkpoint=None,
+    checkpoint_every: int = 5,
 ) -> ComponentsResult:
     """(id, component) with component = smallest vertex id in the component.
 
@@ -80,6 +84,11 @@ def connected_components(
     ``vertices``: optional (id) — isolated vertices become their own
     singleton components (they never appear in the edge set, mirroring
     §2.7's linked-nodes-only rule unless the caller supplies them).
+    ``checkpoint``: an :class:`tldr_spark.plans.checkpoint.IterativeCheckpoint`
+    — every ``checkpoint_every``-th round durably snapshots the star-set
+    with its convergence checksum, and a restarted call resumes from the
+    newest committed round (the star-contraction state is exactly the edge
+    set, so resume is a parquet read; same protocol as the PageRank loop).
     """
     raw = edges.select(
         F.col("src").cast("long").alias("u"), F.col("dst").cast("long").alias("v")
@@ -87,16 +96,25 @@ def connected_components(
     # vertex set BEFORE self-loop removal: a vertex linked only to itself is
     # still linked (§2.7 linked-nodes-only applies to truly absent vertices)
     linked = raw.select(F.col("u").alias("id")).union(raw.select(F.col("v").alias("id"))).distinct()
-    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
 
     rounds = 0
-    prev = _checksum(e)
+    resumed = checkpoint.latest() if checkpoint else None
+    if resumed:
+        rounds, e, last_m = resumed
+        e = e.localCheckpoint(eager=True)
+        prev = (int(last_m["n"]), int(last_m["h"]))
+    else:
+        e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+        prev = _checksum(e)
     while rounds < max_rounds:
         rounds += 1
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _checksum(e2)
         e = e2
-        if cur == prev:
+        converged = cur == prev
+        if checkpoint and (rounds % checkpoint_every == 0 or converged):
+            e = checkpoint.save(rounds, e, {"n": cur[0], "h": cur[1]})
+        if converged:
             break
         prev = cur
 
