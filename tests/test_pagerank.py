@@ -149,3 +149,48 @@ def test_warm_start_rejects_degenerate_seed(spark):
     zeros = spark.createDataFrame([(0, 0.0), (1, 0.0)], "id long, rank double")
     with pytest.raises(ValueError, match="positive"):
         pagerank(df, init_ranks=zeros)
+
+
+def test_pagerank_from_bucketed_prepared_edges(spark):
+    """The storage-layout path: normalize once, persist dst-bucketed, then
+    iterate straight from the table — same fixpoint as the in-memory path,
+    and the per-iteration aggregate is exchange-free from storage."""
+    from pyspark.sql import functions as F
+
+    from tldr_spark.operators.pagerank import pagerank, save_prepared_edges
+
+    rng_edges = [
+        (i, (i * 7 + 3) % 23, 1.0 + (i % 3)) for i in range(60)
+    ] + [(i % 23, (i * 5 + 1) % 23, 1.0) for i in range(40)]
+    df = spark.createDataFrame(rng_edges, "src long, dst long, weight double")
+    base = pagerank(df, tolerance=1e-12)
+    want = {r["id"]: r["rank"] for r in base.ranks.collect()}
+
+    spark.sql("DROP TABLE IF EXISTS pr_edges_bucketed")
+    save_prepared_edges(df, "pr_edges_bucketed", num_buckets=4)
+    t = spark.table("pr_edges_bucketed")
+    res = pagerank(t, tolerance=1e-12, edges_prepared=True)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+
+    # the iteration-shaped aggregate over the bucketed table: NO exchange
+    # (the bucket layout satisfies the groupBy(dst) distribution); the same
+    # aggregate over a plain in-memory frame needs one
+    r = F.broadcast(res.ranks)
+    contrib = (
+        r.join(t, r["id"] == t["src"])
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("wn")).alias("c"))
+    )
+    plan = contrib._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    plain = (
+        r.join(df.withColumnRenamed("weight", "wn"), r["id"] == df["src"])
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("wn")).alias("c"))
+    )
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in plain_plan
+    spark.sql("DROP TABLE IF EXISTS pr_edges_bucketed")

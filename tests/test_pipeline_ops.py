@@ -357,3 +357,42 @@ def test_summarize_documents_presplit_and_full_config(spark):
     got2 = summarize_documents(tdf, 3, config=cfg).collect()[0]["summary"]
     assert got2 == "\n\n".join(summarize(sample_txt, 3, cfg))
     assert sum(len(s) for s in got2.split("\n\n")) <= 120
+
+
+def test_simhash_near_dup_pairs_match_brute_force(spark):
+    """Banding is complete for hamming < bands (pigeonhole), so the
+    bucket-join candidates + popcount verify must equal the brute-force
+    all-pairs answer exactly."""
+    from tldr_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + f" tail{i % 4}") for i in range(12)]  # 4 near-dup families
+    rows += [(100 + i, f"totally unrelated content number {i} with words") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, bits=32, bands=4, max_hamming=3).collect()
+    }
+    sh = {r["id"]: r["simhash"] for r in simhash(df, bits=32).collect()}
+    expected = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if h <= 3:
+                expected[(a, b)] = h
+    assert got == expected
+    assert expected, "construction must produce real near-dups"
+
+
+def test_simhash_near_dup_pairs_guards(spark):
+    import pytest
+
+    from tldr_spark.operators.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(df, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_dup_pairs(df, bits=32, bands=5, max_hamming=2)

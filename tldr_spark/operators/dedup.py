@@ -320,6 +320,54 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: s
     )
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with simhash hamming distance <=
+    ``max_hamming`` — the Manku/Jain/Sarma web-dedup shape (WWW'07).
+
+    Pigeonhole candidate generation: split the ``bits``-bit fingerprint
+    into ``bands`` equal bands; any pair within hamming distance <
+    ``bands`` matches at least one band EXACTLY, so candidates come from a
+    bucket equi-join on (band, band_value) — never an all-pairs scan — and
+    are then verified with an exact popcount on the XOR. All JVM built-ins
+    (shiftright/bit_count), no UDF. Requires ``max_hamming < bands``.
+    """
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole soundness needs max_hamming < bands")
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    s = simhash(docs, bits, id_col, text_col)
+    bcols = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for b in range(bands)
+        ])
+    ).alias("bv")
+    banded = s.select("id", "simhash", bcols).select(
+        "id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"), "band", "val")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"), "band", "val")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dups
 # ---------------------------------------------------------------------------
