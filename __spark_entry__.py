@@ -1480,6 +1480,81 @@ def q_stream_edges_hourly(spark, sf_dir):
     return streamed_hourly_in_degree(spark, sf_dir)
 
 
+# -- probe-sampled Brandes betweenness (fixed-unroll forward σ / backward δ
+# -- CTE chain mirroring operators/betweenness.py level-for-level) -----------
+
+def _betweenness_sql(levels: int = 10) -> str:
+    parts = [
+        _E,
+        "g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)",
+        """probes AS MATERIALIZED (SELECT DISTINCT v AS id
+             FROM (SELECT src AS v FROM e UNION SELECT dst FROM e) WHERE v % 100 = 0)""",
+        "l0 AS MATERIALIZED (SELECT id AS probe, id, CAST(1 AS DOUBLE) AS sigma FROM probes)",
+        "vis0 AS MATERIALIZED (SELECT probe, id FROM l0)",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"""l{k} AS MATERIALIZED (
+              SELECT p.probe, g.dst AS id, SUM(p.sigma) AS sigma
+              FROM l{k - 1} p JOIN g ON g.src = p.id
+              WHERE NOT EXISTS (SELECT 1 FROM vis{k - 1} v
+                                WHERE v.probe = p.probe AND v.id = g.dst)
+              GROUP BY p.probe, g.dst)"""
+        )
+        parts.append(
+            f"""vis{k} AS MATERIALIZED (SELECT probe, id FROM vis{k - 1}
+              UNION ALL SELECT probe, id FROM l{k})"""
+        )
+    # backward: δ at the deepest level is 0; wd{k} = level-k frame with δ
+    parts.append(
+        f"wd{levels} AS (SELECT probe, id, sigma, CAST(0 AS DOUBLE) AS delta FROM l{levels})"
+    )
+    for k in range(levels - 1, 0, -1):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+              SELECT v.probe, v.id, SUM(v.sigma / w.sigma * (1 + w.delta)) AS delta
+              FROM l{k} v JOIN g ON g.src = v.id
+              JOIN wd{k + 1} w ON w.probe = v.probe AND w.id = g.dst
+              GROUP BY v.probe, v.id)"""
+        )
+        parts.append(
+            f"""wd{k} AS MATERIALIZED (
+              SELECT l.probe, l.id, l.sigma, COALESCE(d.delta, CAST(0 AS DOUBLE)) AS delta
+              FROM l{k} l LEFT JOIN d{k} d ON d.probe = l.probe AND d.id = l.id)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT probe, id, delta FROM d{k}" for k in range(1, levels)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+  alld AS ({union})
+SELECT id AS vertex,
+       CAST(ROUND(SUM(delta) * 1048576) AS BIGINT) AS betweenness_q
+FROM alld WHERE id <> probe GROUP BY id"""
+    )
+
+
+@_q("betweenness_probes", _betweenness_sql(10))
+def q_betweenness_probes(spark, sf_dir):
+    from tldr_spark.operators.betweenness import betweenness_centrality
+
+    e = derive_edges(spark, sf_dir)
+    probes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .filter(F.col("id") % 100 == 0)
+        .distinct()
+    )
+    # max_levels=10 structurally matches the oracle's 10-level unroll
+    # (probe eccentricity is 7 at sf<=0.1)
+    res = betweenness_centrality(e, probes, max_levels=10)
+    return res.scores.select(
+        F.col("id").alias("vertex"),
+        F.round(F.col("betweenness") * 1048576).cast("long").alias("betweenness_q"),
+    )
+
+
 # -- SimHash near-dup pairs (Manku WWW'07: band bucket join + popcount) ------
 
 @_q(
@@ -1522,7 +1597,10 @@ def q_simhash_near_dup_pairs(spark, sf_dir):
 # query (cc_sizes = a groupBy of cc_assign) yield their slot to
 # independent operators.
 
-_DEPRIORITIZED = ["cc_sizes"]
+# cc_sizes is a groupBy view of the checked cc_assign; term_presence is a
+# rename of the checked dictionary_ordinals — their slots go to
+# independent operators (betweenness, simhash pairs)
+_DEPRIORITIZED = ["cc_sizes", "term_presence"]
 
 
 def _ordered() -> list[str]:
