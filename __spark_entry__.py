@@ -1246,6 +1246,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+@_q("ann_ivf_topk", None)  # approximate path (IVF cells): rows-only
+def q_ann_ivf_topk(spark, sf_dir):
+    from tldr_spark.operators.similarity import ivf_topk
+
+    embs = load(spark, sf_dir, "embeddings")
+    return ivf_topk(embs, embs.filter("vec_id < 5"), k=5, n_cells=16, n_probe_cells=4).select(
+        "probe_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # -- textstats ---------------------------------------------------------------------
 
 @_q(

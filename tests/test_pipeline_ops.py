@@ -396,3 +396,34 @@ def test_simhash_near_dup_pairs_guards(spark):
         simhash_near_dup_pairs(df, bands=4, max_hamming=4)
     with pytest.raises(ValueError, match="divide"):
         simhash_near_dup_pairs(df, bits=32, bands=5, max_hamming=2)
+
+
+def test_ivf_topk_recall_and_determinism(spark, embs):
+    from tldr_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    probes = embs.filter("vec_id < 10")
+    exact = {(r["probe_id"], r["neighbor_id"]) for r in brute_force_topk(embs, probes, k=5).collect()}
+    run = lambda: {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ivf_topk(embs, probes, k=5, n_cells=16, n_probe_cells=4).collect()
+    }
+    a = run()
+    # near-random embeddings are ANN-adversarial; 4/16 cells probed lands
+    # ~0.68 recall on this deterministic corpus (cf. LSH ~0.65)
+    assert len(exact & a) / len(exact) >= 0.5
+    assert a == run()  # seeded sample + seeded k-means: bit-deterministic
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark, embs):
+    """n_probe_cells = n_cells degenerates to exact search: every vector is
+    a candidate, so the re-rank must equal brute force."""
+    from tldr_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    sample = embs.filter("vec_id < 60")
+    probes = sample.filter("vec_id < 5")
+    exact = {(r["probe_id"], r["neighbor_id"], r["rank"]) for r in brute_force_topk(sample, probes, k=5).collect()}
+    got = {
+        (r["probe_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(sample, probes, k=5, n_cells=8, n_probe_cells=8).collect()
+    }
+    assert got == exact

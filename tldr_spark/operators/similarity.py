@@ -12,9 +12,13 @@ Two paths, per the training-pipeline mandate:
                      all-pairs. Hyperplanes are seeded NumPy, broadcast as
                      literal arrays (deterministic, no state).
 
-An IVF variant (train k centroids on a sample, probe nearest cells) has the
-same relational shape as lsh_topk with bucket = argmin centroid; LSH is
-preferred here because it needs no training pass.
+The IVF variant (``ivf_topk``): train centroids on a bounded sample, assign
+every vector to its nearest cell (bucket = argmax of JVM-side scores),
+probe the nearest cells per query, exact re-rank inside them — the same
+relational shape as lsh_topk with bucket = cell id. At 10^12 rows the
+training sample stays fixed-size (that is the point of IVF), so the
+training pass is O(sample) on the driver, deterministic under a seed, and
+the cluster-side work is one scan + one bucket equi-join.
 """
 
 from __future__ import annotations
@@ -122,6 +126,117 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def _train_centroids(
+    embs: DataFrame,
+    n_cells: int,
+    sample: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    iters: int = 10,
+) -> np.ndarray:
+    """Deterministic mini k-means on a bounded, deterministically chosen
+    sample (orderBy id → limit — never a bare limit, whose row choice is
+    partition-layout-dependent). Empty cells re-seed deterministically."""
+    rows = (
+        embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:
+                cents[c] = x[rng.integers(0, len(x))]
+    return cents
+
+
+def _cell_expr(vec_col: str, cents: np.ndarray) -> Column:
+    """argmin_c ||v - c||² as a JVM-side expression: maximize
+    2·v·c − |c|², one dot-product expression per cell, argmax via
+    array_position(array_max)."""
+    scores = []
+    for c in cents:
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scores.append(2.0 * dot - float(c @ c))
+    s = F.array(*scores)
+    return (F.array_position(s, F.array_max(s)) - 1).cast("int")
+
+
+def ivf_topk(
+    embs: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe_cells: int = 3,
+    sample: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(probe_id, neighbor_id, cosine, rank) approximate top-k via IVF:
+    vectors live in their nearest-centroid cell; each probe searches its
+    ``n_probe_cells`` nearest cells with an exact cosine re-rank. The big
+    side is scanned once (cell id is one expression column); candidates
+    come from a (cell) equi-join — never all-pairs."""
+    cents = _train_centroids(embs, n_cells, sample, seed, id_col, vec_col)
+    e = embs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ev"),
+        _cell_expr(vec_col, cents).alias("cell"),
+    )
+    # per-probe nearest cells: rank the per-cell scores (same expression
+    # family as the assignment, so probe cell 0 == its own cell)
+    pscores = []
+    for c in cents:
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        pscores.append(2.0 * dot - float(c @ c))
+    cells_ranked = F.expr(
+        f"slice(array_sort(arrays_zip(array({', '.join(f'sc{i}' for i in range(len(cents)))}), "
+        f"sequence(0, {len(cents) - 1})), (l, r) -> CASE WHEN l.`0` > r.`0` THEN -1 "
+        f"WHEN l.`0` < r.`0` THEN 1 ELSE 0 END), 1, {n_probe_cells})"
+    )
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("pv"),
+            *[s.alias(f"sc{i}") for i, s in enumerate(pscores)],
+        )
+        .withColumn("cells", cells_ranked)
+        .select(
+            "probe_id", "pv", F.explode(F.col("cells.1")).alias("cell")
+        )
+        .select("probe_id", "pv", F.col("cell").cast("int").alias("cell"))
+    )
+    cand = (
+        e.join(F.broadcast(p), "cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", "pv", "ev")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    scored = cand.select("probe_id", "neighbor_id", cosine_expr("pv", "ev").alias("cosine"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_topk(
