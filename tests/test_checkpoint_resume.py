@@ -87,3 +87,28 @@ def test_cc_resume_reaches_identical_components(spark, tmp_path):
     got = {r["id"]: r["component"] for r in resumed.assignments.collect()}
     assert resumed.rounds > 2  # continued from round 2, not restarted
     assert got == want
+
+
+def test_lpa_resume_reaches_identical_labels(spark, tmp_path):
+    from tldr_spark.operators.labelprop import label_propagation
+
+    # two cliques + a path tail: converges in a handful of rounds
+    cl1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    cl2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    path = [(4, 10), (15, 16), (16, 17), (17, 18)]
+    e = spark.createDataFrame(cl1 + cl2 + path + [(14, 15)], "src long, dst long")
+    want = {r["id"]: r["label"] for r in label_propagation(e, max_rounds=12).labels.collect()}
+
+    ck = IterativeCheckpoint(spark, str(tmp_path / "ck_lpa"))
+    partial = label_propagation(e, max_rounds=2, checkpoint=ck, checkpoint_every=1)
+    assert partial.rounds == 2 and not partial.converged
+    assert ck.latest()[0] == 2
+
+    resumed = label_propagation(e, max_rounds=12, checkpoint=ck, checkpoint_every=1)
+    got = {r["id"]: r["label"] for r in resumed.labels.collect()}
+    assert resumed.rounds > 2
+    assert got == want
+    # a third call resumes AT convergence and returns immediately
+    again = label_propagation(e, max_rounds=12, checkpoint=ck, checkpoint_every=1)
+    assert again.converged
+    assert {r["id"]: r["label"] for r in again.labels.collect()} == want

@@ -32,11 +32,19 @@ def label_propagation(
     max_rounds: int = 10,
     vertices: DataFrame | None = None,
     weight_col: str | None = None,
+    checkpoint=None,
+    checkpoint_every: int = 5,
 ) -> LabelPropResult:
     """Unweighted by default (labels counted per neighbor, duplicate edges
     collapsed); with ``weight_col`` the argmax runs over SUMMED edge
     weights per label — duplicate and reciprocal edge weights add, the
-    weighted-community variant."""
+    weighted-community variant.
+
+    ``checkpoint``: an :class:`tldr_spark.plans.checkpoint.IterativeCheckpoint`
+    — the label vector is durably snapshotted every ``checkpoint_every``-th
+    round (and at convergence) and a restarted call resumes from the newest
+    committed round; same commit protocol as the PageRank and
+    connected-components loops."""
     if weight_col is not None:
         e = (
             edges.select(
@@ -65,9 +73,17 @@ def label_propagation(
         verts = verts.union(
             vertices.select(F.col(vertices.columns[0]).cast("long").alias("id"))
         ).distinct()
-    labels = verts.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
 
     rounds, converged = 0, False
+    resumed = checkpoint.latest() if checkpoint else None
+    if resumed:
+        rounds, labels, last_m = resumed
+        labels = labels.localCheckpoint(eager=True)
+        if last_m.get("n_changed") == 0:
+            sym.unpersist()
+            return LabelPropResult(labels, rounds, True)
+    else:
+        labels = verts.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
     while rounds < max_rounds:
         rounds += 1
         if weight_col is not None:
@@ -95,6 +111,9 @@ def label_propagation(
         labels = new_labels.drop("changed")
         if n_changed == 0:
             converged = True
+        if checkpoint and (rounds % checkpoint_every == 0 or converged):
+            labels = checkpoint.save(rounds, labels, {"n_changed": n_changed})
+        if converged:
             break
 
     sym.unpersist()
