@@ -1330,17 +1330,38 @@ def q_quality_scores(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
-# -- multimodal plumbing (decode stubbed: deterministic synthetic media; the
-# -- mapInPandas schema/batching/1->many shapes are the real, tested part) -----
+# -- multimodal plumbing: the synthetic payloads are pure integer
+# -- arithmetic in media_id, so the DECODED features are SQL-reproducible —
+# -- the oracle checks the whole mapInPandas decode path end-to-end
+# -- (real-format BMP/WAV/PNG decoding is pinned by tests instead) -----------
 
-@_q("media_features", None)
+@_q(
+    "media_features",
+    """WITH ids AS (SELECT UNNEST(generate_series(0, 63)) AS i),
+       body AS (SELECT i, SUM((i * 7 + j) % 256) AS s
+                FROM ids, UNNEST(generate_series(0, 63)) AS u(j) GROUP BY i)
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(16 + i AS INTEGER) AS width,
+           CAST(9 + i AS INTEGER) AS height,
+           CAST(1 + (i % 3) * 5 AS INTEGER) AS n_frames,
+           CAST(s AS DOUBLE) / 64 AS mean_byte,
+           CAST(81 AS BIGINT) AS n_bytes
+    FROM body""",
+)
 def q_media_features(spark, sf_dir):
     from tldr_spark.operators.multimodal import extract_media_features, synth_media
 
     return extract_media_features(synth_media(spark, n=64))
 
 
-@_q("media_frame_sample", None)
+@_q(
+    "media_frame_sample",
+    """WITH ids AS (SELECT UNNEST(generate_series(0, 63)) AS i)
+    SELECT CAST(i AS BIGINT) AS media_id, CAST(u.f AS INTEGER) AS frame_no
+    FROM ids, UNNEST(generate_series(0, (i % 3) * 5)) AS u(f)
+    WHERE u.f % 2 = 0""",
+)
 def q_media_frame_sample(spark, sf_dir):
     from tldr_spark.operators.multimodal import frame_sample, synth_media
 
@@ -1608,9 +1629,11 @@ def q_simhash_near_dup_pairs(spark, sf_dir):
 # independent operators.
 
 # cc_sizes is a groupBy view of the checked cc_assign; term_presence is a
-# rename of the checked dictionary_ordinals — their slots go to
-# independent operators (betweenness, simhash pairs)
-_DEPRIORITIZED = ["cc_sizes", "term_presence"]
+# rename of the checked dictionary_ordinals; the media oracles re-derive
+# the synthetic generator's arithmetic (the decode path is equally pinned
+# by the real-format pytest cases) — their slots go to independent
+# operators (betweenness, simhash pairs)
+_DEPRIORITIZED = ["cc_sizes", "term_presence", "media_features", "media_frame_sample"]
 
 
 def _ordered() -> list[str]:
