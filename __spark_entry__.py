@@ -1236,7 +1236,42 @@ def q_ann_brute_topk(spark, sf_dir):
     )
 
 
-@_q("ann_lsh_topk", None)  # approximate path: rows-only
+def _lsh_topk_sql(n_planes: int = 6, n_tables: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """The hyperplane-LSH top-k as generated SQL: the seeded plane
+    coefficients round-trip exactly through repr() float literals, the
+    dot products sum in identical element order in both engines, and the
+    cosine re-rank reuses the bit-exact _COS construction — so even the
+    APPROXIMATE ANN path is hash-comparable, not rows-only."""
+    from tldr_spark.operators.similarity import _hyperplanes
+
+    def lit_list(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    selects = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit_list(p)}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        selects.append(f"SELECT vec_id, {t} AS tbl, ({bits}) AS bucket FROM embeddings")
+    buckets = " UNION ALL ".join(selects)
+    return f"""WITH bk AS ({buckets}),
+      pr2 AS (SELECT * FROM bk WHERE vec_id < 5),
+      cand AS (SELECT DISTINCT pr2.vec_id AS probe_id, e.vec_id AS neighbor_id
+               FROM bk e JOIN pr2 ON e.tbl = pr2.tbl AND e.bucket = pr2.bucket
+                                 AND e.vec_id <> pr2.vec_id)
+    SELECT probe_id, neighbor_id, rank FROM (
+      SELECT c.probe_id, c.neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.probe_id
+                  ORDER BY {_COS} DESC, c.neighbor_id ASC) AS BIGINT) AS rank
+      FROM cand c JOIN embeddings a ON a.vec_id = c.probe_id
+                  JOIN embeddings b ON b.vec_id = c.neighbor_id
+    ) WHERE rank <= 5"""
+
+
+@_q("ann_lsh_topk", _lsh_topk_sql())
 def q_ann_lsh_topk(spark, sf_dir):
     from tldr_spark.operators.similarity import lsh_topk
 
@@ -1633,7 +1668,14 @@ def q_simhash_near_dup_pairs(spark, sf_dir):
 # the synthetic generator's arithmetic (the decode path is equally pinned
 # by the real-format pytest cases) — their slots go to independent
 # operators (betweenness, simhash pairs)
-_DEPRIORITIZED = ["cc_sizes", "term_presence", "media_features", "media_frame_sample"]
+# degree_histogram re-aggregates the same in-degree base top_in_degree checks
+_DEPRIORITIZED = [
+    "cc_sizes",
+    "term_presence",
+    "media_features",
+    "media_frame_sample",
+    "degree_histogram",
+]
 
 
 def _ordered() -> list[str]:
