@@ -456,6 +456,36 @@ def q_closeness_centrality(spark, sf_dir):
     )
 
 
+_ECC_SQL = f"""WITH RECURSIVE {_E},
+  g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+  probes AS (SELECT DISTINCT v AS id
+             FROM (SELECT src AS v FROM e UNION SELECT dst FROM e) WHERE v % 100 = 0),
+  bf(probe, id, dist) AS (
+    SELECT id, id, 0 FROM probes
+    UNION
+    SELECT b.probe, g.dst, b.dist + 1 FROM bf b JOIN g ON g.src = b.id WHERE b.dist < 40
+  ),
+  m AS (SELECT probe, id, MIN(dist) AS dist FROM bf GROUP BY probe, id)
+SELECT probe, CAST(MAX(dist) AS INTEGER) AS eccentricity,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_reached
+FROM m GROUP BY probe"""
+
+
+@_q("eccentricity_probes", _ECC_SQL)
+def q_eccentricity_probes(spark, sf_dir):
+    from tldr_spark.operators.bfs import eccentricity
+
+    e = derive_edges(spark, sf_dir)
+    probes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .filter(F.col("id") % 100 == 0)
+        .distinct()
+    )
+    # max_levels=40 mirrors the oracle's `dist < 40` recursion cap
+    return eccentricity(e, probes, max_levels=40)
+
+
 # -- k-hop ego network around the out-hub seed set ----------------------------
 
 _EGO_SQL = f"""WITH RECURSIVE {_E},
@@ -1668,13 +1698,16 @@ def q_simhash_near_dup_pairs(spark, sf_dir):
 # the synthetic generator's arithmetic (the decode path is equally pinned
 # by the real-format pytest cases) — their slots go to independent
 # operators (betweenness, simhash pairs)
-# degree_histogram re-aggregates the same in-degree base top_in_degree checks
+# degree_histogram re-aggregates the same in-degree base top_in_degree
+# checks; eccentricity_probes re-aggregates the same labeled-BFS base that
+# harmonic/closeness already check
 _DEPRIORITIZED = [
     "cc_sizes",
     "term_presence",
     "media_features",
     "media_frame_sample",
     "degree_histogram",
+    "eccentricity_probes",
 ]
 
 

@@ -558,3 +558,30 @@ def test_closeness_centrality_matches_brute(spark):
         exp = n / sd if sd > 0 else 0.0
         assert got[pr][0] == n
         assert abs(got[pr][1] - exp) < 1e-12
+
+
+def test_eccentricity_matches_brute(spark):
+    from tldr_spark.operators.bfs import eccentricity
+
+    edges = _rand_graph(13, 16, 40)
+    verts = sorted({v for p in edges for v in p})
+    probes = verts[::3]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    p = spark.createDataFrame([(v,) for v in probes], "id long")
+    got = {r["probe"]: (r["eccentricity"], r["n_reached"])
+           for r in eccentricity(e, p).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    for s in probes:
+        dist = {s: 0}
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        nxt.append(w)
+            frontier = nxt
+        assert got[s] == (max(dist.values()), len(dist) - 1), s

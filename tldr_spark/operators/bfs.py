@@ -156,6 +156,23 @@ def closeness_centrality(
     )
 
 
+def eccentricity(
+    edges: DataFrame,
+    probes: DataFrame,
+    max_levels: int = 50,
+    directed: bool = True,
+) -> DataFrame:
+    """(probe, eccentricity, n_reached) — max hop distance over the
+    probe's reachable set (the radius/diameter probe estimator: max over a
+    probe sample lower-bounds the diameter, min upper-bounds the radius).
+    Same one-flood labeled BFS as :func:`harmonic_centrality`."""
+    d = labeled_bfs(edges, probes, max_levels, directed)
+    return d.groupBy("probe").agg(
+        F.max("dist").cast("int").alias("eccentricity"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+    )
+
+
 def ego_subgraph(
     edges: DataFrame,
     seeds: DataFrame,
