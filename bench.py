@@ -72,6 +72,12 @@ _BENCH_CONF = {
     "spark.sql.adaptive.enabled": "false",
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.local.dir": os.environ.get("TLDR_BENCH_LOCAL_DIR", "/dev/shm/spark-local"),
+    # this sandbox's hypervisor pauses the whole VM for minutes at a time
+    # (dmesg: "hrtimer: interrupt took 66ms"; observed: executor exits
+    # after 60 missed in-process heartbeats). Generous timeouts keep a
+    # frozen-host window from killing the JVM mid-trial.
+    "spark.executor.heartbeatInterval": "30s",
+    "spark.network.timeout": "1200s",
 }
 
 
@@ -138,6 +144,20 @@ def _jvm_shuffle_probe(spark) -> float:
     return time.monotonic() - t0
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — direct evidence of
+    hypervisor CPU steal during a bench window. Returns (0, 0) if
+    unreadable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def run_pagerank(cpus: int) -> dict:
     """Subprocess worker: one parallelism level, returns metrics dict
     including per-iteration walls and before/after host-probe times."""
@@ -150,6 +170,7 @@ def run_pagerank(cpus: int) -> dict:
         extra_conf=_BENCH_CONF,
     )
     try:
+        steal0, total0 = _cpu_ticks()
         probe_before = _jvm_probe(spark)
         sprobe_before = _jvm_shuffle_probe(spark)
         n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
@@ -162,6 +183,12 @@ def run_pagerank(cpus: int) -> dict:
         wall = time.monotonic() - t0
         probe_after = _jvm_probe(spark)
         sprobe_after = _jvm_shuffle_probe(spark)
+        steal1, total1 = _cpu_ticks()
+        steal_pct = (
+            round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+            if total1 > total0
+            else 0.0
+        )
         iter_walls = [m["wall_ms"] / 1000.0 for m in res.metrics]
         # steady-state iterations: drop the first 3 (cache warm-up, codegen
         # compile). The MIN is the capability estimator (see module doc).
@@ -180,6 +207,7 @@ def run_pagerank(cpus: int) -> dict:
             "probe_before_s": round(probe_before, 3),
             "probe_after_s": round(probe_after, 3),
             "shuffle_probe_s": round(min(sprobe_before, sprobe_after), 3),
+            "steal_pct": steal_pct,
             "edges_per_sec_per_iter": round(res.n_edges / per_iter_s, 1),
         }
     finally:
@@ -269,24 +297,40 @@ def main() -> int:
     # Interleaved trial schedule: a contention burst on the judging host
     # cannot hit one parallelism level exclusively. TLDR_BENCH_TRIALS
     # overrides the number of (low, high) rounds.
-    n_trials = int(os.environ.get("TLDR_BENCH_TRIALS", "2"))
+    n_trials = int(os.environ.get("TLDR_BENCH_TRIALS", "3"))
     trials: dict[int, list[dict]] = {LOW_CPUS: [], HIGH_CPUS: []}
+    def run_worker(cpus: int) -> dict | None:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pagerank-worker", str(cpus)],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "TLDR_SPARK_DRIVER_MEM": os.environ.get("TLDR_SPARK_DRIVER_MEM", "24g")},
+            check=False,
+        )
+        if proc.returncode != 0:
+            log(proc.stderr[-2000:])
+            return None
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
     for t in range(n_trials):
         for cpus in (LOW_CPUS, HIGH_CPUS):
             log(f"pagerank bench trial {t + 1}/{n_trials} at local[{cpus}] ...")
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--pagerank-worker", str(cpus)],
-                capture_output=True,
-                text=True,
-                env={**os.environ, "TLDR_SPARK_DRIVER_MEM": os.environ.get("TLDR_SPARK_DRIVER_MEM", "24g")},
-                check=False,
-            )
-            if proc.returncode != 0:
-                log(proc.stderr[-2000:])
-                raise RuntimeError(f"pagerank worker local[{cpus}] failed")
-            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            r = run_worker(cpus)
+            if r is None:
+                # a multi-minute hypervisor freeze can kill a worker JVM
+                # outright (observed: 60 missed heartbeats); one failed
+                # trial must not sink the bench — retry once, then move on
+                # as long as SOME trial of this level eventually lands
+                log(f"  worker local[{cpus}] died (frozen host?) — one retry")
+                r = run_worker(cpus)
+            if r is None:
+                log(f"  retry failed too; dropping this {cpus}-cpu trial")
+                continue
             trials[cpus].append(r)
             log(f"  -> per_iter={r['per_iter_s']}s probe={r['probe_s']}s")
+    for cpus in (LOW_CPUS, HIGH_CPUS):
+        if not trials[cpus]:
+            raise RuntimeError(f"all local[{cpus}] trials failed — host unusable")
 
     def best(cpus: int) -> dict:
         # capability per level: min steady-state iteration across all trials
@@ -359,7 +403,24 @@ def main() -> int:
         "shuffle_probe_s_low": lo["shuffle_probe_s"],
         "shuffle_probe_s_high": hi["shuffle_probe_s"],
         "shuffle_probe_scaling_efficiency": round(sprobe_eff, 3),
-        "host_contended": probe_eff < 0.85 or sprobe_eff < 0.8,
+        # hypervisor steal ticks measured across each worker's whole run
+        # (/proc/stat col 8): >1-2% means other tenants were taking CPU
+        # from this VM during the bench — direct, engine-independent
+        # contention evidence (observed on this sandbox: calm windows 0%,
+        # contended windows 8-11% with 2x wall-time swings)
+        "steal_pct_per_trial": {
+            str(cpus): [r.get("steal_pct", 0.0) for r in trials[cpus]]
+            for cpus in (LOW_CPUS, HIGH_CPUS)
+        },
+        "host_contended": (
+            probe_eff < 0.85
+            or sprobe_eff < 0.8
+            or any(
+                r.get("steal_pct", 0.0) > 2.0
+                for rs in trials.values()
+                for r in rs
+            )
+        ),
         "scaling_efficiency_normalized": round(normalized, 3),
     }
     print(json.dumps(out))

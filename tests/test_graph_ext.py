@@ -452,14 +452,41 @@ def test_scc_raises_when_pass_budget_exhausted(spark):
 
     from tldr_spark.operators.scc import strongly_connected_components
 
-    # descending chain peels exactly one root per pass
+    # descending chain peels exactly one root per pass when trim is off
+    # (with trim on, a chain is peeled from both ends by degree checks —
+    # disable it to exercise the coloring pass budget)
     chain = [(i + 1, i) for i in range(6)]
     e = spark.createDataFrame(chain, "src long, dst long")
     with pytest.raises(RuntimeError, match="max_passes"):
-        strongly_connected_components(e, max_passes=3)
+        strongly_connected_components(e, max_passes=3, trim_rounds=0)
     got = {r["id"]: r["component"] for r in
-           strongly_connected_components(e, max_passes=10).assignments.collect()}
+           strongly_connected_components(e, max_passes=10, trim_rounds=0).assignments.collect()}
     assert got == {i: i for i in range(7)}
+
+
+def test_scc_trim_settles_dag_and_matches_untrimmed(spark):
+    """A DAG has only singleton SCCs — trim alone must settle it (no
+    coloring pass budget consumed beyond the trim pass), and trimmed vs
+    untrimmed results must be identical on cyclic graphs."""
+    from tldr_spark.operators.scc import strongly_connected_components
+
+    # layered DAG: 3 layers of 3, edges only forward
+    dag = [(a, b) for a in range(3) for b in range(3, 6)] + [
+        (a, b) for a in range(3, 6) for b in range(6, 9)
+    ]
+    e = spark.createDataFrame(dag, "src long, dst long")
+    res = strongly_connected_components(e, max_passes=2)
+    got = {r["id"]: r["component"] for r in res.assignments.collect()}
+    assert got == {i: i for i in range(9)}
+
+    for seed in (7, 33):
+        edges = _rand_graph(seed, 18, 45)
+        e = spark.createDataFrame(edges, "src long, dst long")
+        with_trim = {r["id"]: r["component"] for r in
+                     strongly_connected_components(e).assignments.collect()}
+        no_trim = {r["id"]: r["component"] for r in
+                   strongly_connected_components(e, trim_rounds=0).assignments.collect()}
+        assert with_trim == no_trim == _scc_oracle(edges), seed
 
 
 def test_weighted_lpa_matches_brute(spark):

@@ -15,6 +15,19 @@ Every pass settles at least the root SCC of every color class, so the
 outer loop runs few passes on web graphs (most mass sits in one giant SCC
 + singletons).
 
+Trim (round-2, second pass): before coloring, each outer pass peels
+vertices with no in-edges or no out-edges in the remaining subgraph —
+those are provably singleton SCCs (a cycle needs both directions). This
+is the "Trim" of FW-BW-Trim (McLendon et al., JPDC'05): on web-shaped
+graphs the IN/OUT tendrils and disconnected mass — the majority of
+vertices — fall to cheap degree checks. All ``trim_rounds`` hops build
+ONE lazy plan with a single counting action (plus one checkpoint for the
+peeled singletons), so trimming costs 2 actions per pass no matter how
+many hops it runs, and the O(diameter)-hop color propagation only runs
+over the cyclic core. Rounds are bounded because a long acyclic chain
+peels one layer per round; whatever trim does not remove, coloring
+settles — trim is purely a work filter, never a correctness dependency.
+
 Round structure (round-2 hardening): both inner fixpoints batch
 ``hops_per_round`` join-hops between materialization barriers — one
 localCheckpoint + one counting action per round instead of per hop. An
@@ -139,8 +152,52 @@ def _collect_members(
         n_reached = n2
 
 
+def _trim(
+    e: DataFrame, remaining: DataFrame, trim_rounds: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Peel vertices that cannot be in any cycle of the remaining
+    subgraph: no in-edge or no out-edge there (Trim of FW-BW-Trim).
+    Returns (new persisted remaining, singleton member frames). Bounded
+    rounds — leftovers are settled by coloring, so stopping early only
+    costs speed."""
+    if trim_rounds <= 0:
+        return remaining, []
+    # all hops build ONE lazy plan; the count below is the single action.
+    # Lazy per-hop checkpoints stop the shared `er` subtree from doubling
+    # per hop (same plan-blowup discipline as the coloring loops).
+    core = remaining
+    for _ in range(trim_rounds):
+        er = (
+            e.join(core.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(core.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        # a vertex survives iff it has BOTH an out-edge and an in-edge in er
+        core = (
+            core.join(er.select(F.col("src").alias("id")).distinct(), "id", "left_semi")
+            .join(er.select(F.col("dst").alias("id")).distinct(), "id", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    core = core.persist()
+    n_core = core.count()
+    if n_core == remaining.count():  # remaining is cached — count is free
+        core.unpersist()
+        return remaining, []
+    # everything trim removed — across all hops — is a singleton SCC
+    peeled = (
+        remaining.join(core, "id", "left_anti")
+        .select("id", F.col("id").alias("root"))
+        .localCheckpoint(eager=True)
+    )
+    remaining.unpersist()
+    return core, [peeled]
+
+
 def strongly_connected_components(
-    edges: DataFrame, max_passes: int = 100, hops_per_round: int = 2
+    edges: DataFrame,
+    max_passes: int = 100,
+    hops_per_round: int = 2,
+    trim_rounds: int = 4,
 ) -> SccResult:
     """(id, component): component = min vertex id of the SCC. Vertices in
     no cycle are singleton components (their own id)."""
@@ -158,6 +215,7 @@ def strongly_connected_components(
         .distinct()
         .persist()
     )
+    remaining.count()
 
     # per-pass member frames accumulate in a list and union ONCE after the
     # loop — unioning into a growing eagerly-checkpointed frame would
@@ -166,6 +224,10 @@ def strongly_connected_components(
     passes = 0
     while passes < max_passes and not remaining.isEmpty():
         passes += 1
+        remaining, singles = _trim(e, remaining, trim_rounds)
+        member_frames.extend(singles)
+        if remaining.isEmpty():
+            break
         er = (
             e.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
