@@ -353,6 +353,41 @@ def q_lpa_labels(spark, sf_dir):
     return res.labels.select(F.col("id").alias("vertex"), "label")
 
 
+@_q(
+    "lpa_modularity",
+    f"""WITH RECURSIVE {_E},
+    und2 AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM e WHERE src <> dst GROUP BY 1, 2),
+    lab AS MATERIALIZED (SELECT * FROM ({_LPA_SQL}) t),
+    mm AS (SELECT COUNT(*) AS m FROM und2),
+    ew AS MATERIALIZED (SELECT la.label AS ca, lb.label AS cb
+          FROM und2 JOIN lab la ON la.vertex = und2.a
+                    JOIN lab lb ON lb.vertex = und2.b),
+    within AS (SELECT ca AS c, COUNT(*) AS e_c FROM ew WHERE ca = cb GROUP BY 1),
+    degm AS (SELECT c, COUNT(*) AS d_c FROM (
+               SELECT ca AS c FROM ew UNION ALL SELECT cb FROM ew) GROUP BY 1)
+    SELECT CAST(ROUND(SUM(COALESCE(w.e_c, 0) * 1.0 / mm.m
+                          - POW(degm.d_c / (2.0 * mm.m), 2)) * 1048576) AS BIGINT)
+             AS modularity_q,
+           MAX(mm.m) AS m,
+           COUNT(*) AS n_communities
+    FROM degm LEFT JOIN within w ON w.c = degm.c CROSS JOIN mm""",
+)
+def q_lpa_modularity(spark, sf_dir):
+    """Newman modularity of the 4-round LPA partition — the quality scalar
+    a crawl pipeline reads to judge its community structure."""
+    from tldr_spark.operators.labelprop import label_propagation
+    from tldr_spark.operators.stats import partition_modularity
+
+    e = derive_edges(spark, sf_dir)
+    labels = label_propagation(e, max_rounds=4).labels
+    return partition_modularity(e, labels).select(
+        F.round(F.col("modularity") * 1048576).cast("long").alias("modularity_q"),
+        "m",
+        "n_communities",
+    )
+
+
 # -- BFS hop distances from the out-hub seed set ------------------------------
 
 _BFS_SQL = f"""WITH RECURSIVE {_E},
@@ -831,6 +866,43 @@ def q_common_neighbor_jaccard(spark, sf_dir):
         "id_a",
         "id_b",
         F.round(F.col("jaccard") * 1048576).cast("long").alias("jaccard_q"),
+    )
+
+
+@_q(
+    "adamic_adar_pairs",
+    f"""WITH {_E}, {_SD_SQL},
+    nbr AS MATERIALIZED (SELECT DISTINCT id, nb FROM (
+      SELECT src AS id, dst AS nb FROM sd UNION SELECT dst, src FROM sd)),
+    deg AS (SELECT id, COUNT(*) AS dz FROM nbr GROUP BY id)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(ROUND(SUM(1.0 / ln(d.dz)) * 1048576) AS BIGINT) AS aa_q,
+           CAST(ROUND(SUM(1.0 / d.dz) * 1048576) AS BIGINT) AS ra_q
+    FROM nbr a JOIN nbr b ON a.nb = b.nb AND a.id < b.id
+    JOIN deg d ON d.id = a.nb
+    GROUP BY 1, 2""",
+)
+def q_adamic_adar_pairs(spark, sf_dir):
+    """Adamic-Adar + resource-allocation link-prediction scores in ONE
+    result frame — same common-neighbor join as the operators in
+    operators/linksim.py (adamic_adar / resource_allocation), with both
+    sums riding one aggregate pass."""
+    from tldr_spark.operators.linksim import _undirected_neighbors
+
+    nb = _undirected_neighbors(derive_edges(spark, sf_dir))
+    deg = nb.groupBy("id").agg(F.count(F.lit(1)).alias("dz"))
+    a = nb.join(deg.withColumnRenamed("id", "nb"), "nb").select(
+        F.col("id").alias("id_a"), "nb", "dz"
+    )
+    b = nb.select(F.col("id").alias("id_b"), "nb")
+    return (
+        a.join(b, "nb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.round(F.sum(1.0 / F.log("dz")) * 1048576).cast("long").alias("aa_q"),
+            F.round(F.sum(1.0 / F.col("dz")) * 1048576).cast("long").alias("ra_q"),
+        )
     )
 
 
@@ -1708,6 +1780,11 @@ _DEPRIORITIZED = [
     "media_frame_sample",
     "degree_histogram",
     "eccentricity_probes",
+    # duals of queries already in the checked window (cocitation /
+    # harmonic share their join shape and BFS base respectively) — yield
+    # their slots to adamic_adar_pairs and lpa_modularity
+    "bib_coupling_pairs",
+    "closeness_centrality",
 ]
 
 

@@ -612,3 +612,69 @@ def test_eccentricity_matches_brute(spark):
                         nxt.append(w)
             frontier = nxt
         assert got[s] == (max(dist.values()), len(dist) - 1), s
+
+
+def test_adamic_adar_and_resource_allocation(spark):
+    import math
+    from itertools import combinations
+
+    from tldr_spark.operators.linksim import adamic_adar, resource_allocation
+
+    edges = _rand_graph(37, 18, 60)
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    exp_aa, exp_ra = {}, {}
+    for a, b in combinations(sorted(adj), 2):
+        common = adj[a] & adj[b]
+        if common:
+            exp_aa[(a, b)] = sum(1.0 / math.log(len(adj[z])) for z in common)
+            exp_ra[(a, b)] = sum(1.0 / len(adj[z]) for z in common)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got_aa = {(r["id_a"], r["id_b"]): r["score"] for r in adamic_adar(e).collect()}
+    got_ra = {(r["id_a"], r["id_b"]): r["score"] for r in resource_allocation(e).collect()}
+    assert got_aa.keys() == exp_aa.keys()
+    assert got_ra.keys() == exp_ra.keys()
+    for k in exp_aa:
+        assert abs(got_aa[k] - exp_aa[k]) < 1e-9
+        assert abs(got_ra[k] - exp_ra[k]) < 1e-12
+
+
+def test_partition_modularity_matches_brute(spark):
+    from tldr_spark.operators.labelprop import label_propagation
+    from tldr_spark.operators.stats import partition_modularity
+
+    edges = _rand_graph(41, 24, 70)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labels = label_propagation(e).labels
+    lab = {r["id"]: r["label"] for r in labels.collect()}
+
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    m = len(und)
+    deg, within, dc = {}, {}, {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        if lab[a] == lab[b]:
+            within[lab[a]] = within.get(lab[a], 0) + 1
+    for v, d in deg.items():
+        dc[lab[v]] = dc.get(lab[v], 0) + d
+    exp = sum(
+        within.get(c, 0) / m - (dc[c] / (2.0 * m)) ** 2 for c in dc
+    )
+    row = partition_modularity(e, labels).collect()[0]
+    assert row["m"] == m
+    assert abs(row["modularity"] - exp) < 1e-12
+    # a perfect two-clique partition has high Q; one-community has Q ~ 0
+    clique = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    ce = spark.createDataFrame(clique, "src long, dst long")
+    asg = spark.createDataFrame(
+        [(i, 0) for i in (0, 1, 2)] + [(i, 1) for i in (10, 11, 12)],
+        "id long, label long",
+    )
+    q2 = partition_modularity(ce, asg).collect()[0]["modularity"]
+    assert abs(q2 - 0.5) < 1e-12
+    one = spark.createDataFrame([(i, 0) for i in (0, 1, 2, 10, 11, 12)], "id long, label long")
+    q1 = partition_modularity(ce, one).collect()[0]["modularity"]
+    assert abs(q1) < 1e-12

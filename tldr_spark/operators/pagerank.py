@@ -202,26 +202,38 @@ def pagerank(
     it = start_iter
     delta = float("inf")
     base = (1.0 - damping) * inv
+
+    # teleport term (uniform base + dangling redistribution) as a broadcast
+    # 1-row frame — no driver scalar, and critically NO changing literal in
+    # the plan: every iteration generates byte-identical code, so
+    # whole-stage codegen compiles once and is cache-hit thereafter (a
+    # changing literal forces a Janino recompile per iteration — measured
+    # ~1s of serial driver time). The expression itself:
+    def _tp_expr(rank_col: str):
+        return (
+            F.lit(base)
+            + F.lit(damping)
+            * F.coalesce(
+                F.sum(F.when(F.col("is_dangling"), F.col(rank_col)).otherwise(0.0)),
+                F.lit(0.0),
+            )
+            * F.lit(inv)
+        ).alias("tp")
+
+    # Iteration t's convergence aggregate ALSO computes the teleport term
+    # for iteration t+1 (both are one pass over the same V-row frame), so
+    # steady-state iterations schedule ONE tiny-data aggregate, not two.
+    # This is a scaling fix, not just a latency fix: a V-row aggregate job
+    # is all fixed overhead, and fixed overhead per iteration is the
+    # Amdahl serial term that caps N->4N scaling (measured on the bench
+    # host: the standalone teleport job cost 0.12s at 4 threads but 0.49s
+    # at 16 — MORE tasks, same tiny data). Only the first iteration (and a
+    # checkpoint resume / warm start) pays a standalone teleport scan.
+    tp_frame = ranks.agg(_tp_expr("rank")).localCheckpoint(eager=False)
+
     while it < max_iter:
         t0 = time.monotonic()
         it += 1
-        # teleport term (uniform base + dangling redistribution) computed IN
-        # the dataflow as a broadcast 1-row aggregate — no driver scalar, and
-        # critically NO changing literal in the plan: every iteration
-        # generates byte-identical code, so whole-stage codegen compiles once
-        # and is cache-hit thereafter (a changing literal forces a Janino
-        # recompile per iteration — measured ~1s of serial driver time).
-        teleport = ranks.agg(
-            (
-                F.lit(base)
-                + F.lit(damping)
-                * F.coalesce(
-                    F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)),
-                    F.lit(0.0),
-                )
-                * F.lit(inv)
-            ).alias("tp")
-        )
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
             r.join(en, r["id"] == en["src"])
@@ -230,7 +242,7 @@ def pagerank(
         )
         new_ranks = (
             ranks.join(contrib, ranks["id"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(teleport))
+            .crossJoin(F.broadcast(tp_frame.select("tp")))
             .select(
                 ranks["id"],
                 ranks["is_dangling"],
@@ -240,11 +252,14 @@ def pagerank(
         )
         # lazy checkpoint: the agg below is the single action per iteration —
         # it materializes the truncated lineage AND collects the L1 delta
+        # (and, fused into the same pass, next iteration's teleport term)
         new_ranks = new_ranks.localCheckpoint(eager=False)
-        agg = new_ranks.agg(
-            F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta")
-        ).collect()[0]
-        delta = float(agg["delta"])
+        stats = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta"),
+            _tp_expr("rank"),
+        ).localCheckpoint(eager=False)
+        delta = float(stats.collect()[0]["delta"])
+        tp_frame = stats
         wall_ms = (time.monotonic() - t0) * 1000.0
 
         ranks.unpersist()
@@ -255,6 +270,9 @@ def pagerank(
             saved = checkpoint.save(it, ranks, m)  # durable write is an action
             ranks.unpersist()
             ranks = saved.persist()
+            # the snapshot frame replaced `ranks`; recompute the carried
+            # teleport term from it so the lineage stays on durable storage
+            tp_frame = ranks.agg(_tp_expr("rank")).localCheckpoint(eager=False)
         if delta <= tolerance:
             break
 
@@ -331,19 +349,25 @@ def personalized_pagerank(
     metrics: list[dict] = []
     it = 0
     delta = float("inf")
+
+    def _scale_expr(rank_col: str):
+        return (
+            F.lit(1.0 - damping)
+            + F.lit(damping)
+            * F.coalesce(
+                F.sum(F.when(F.col("is_dangling"), F.col(rank_col)).otherwise(0.0)),
+                F.lit(0.0),
+            )
+        ).alias("s")
+
+    # same fused-aggregate discipline as pagerank(): iteration t's delta
+    # aggregate also yields iteration t+1's teleport scale, so only the
+    # first iteration schedules a standalone V-row scan for it
+    scale_frame = ranks.agg(_scale_expr("rank")).localCheckpoint(eager=False)
+
     while it < max_iter:
         t0 = time.monotonic()
         it += 1
-        scale = ranks.agg(
-            (
-                F.lit(1.0 - damping)
-                + F.lit(damping)
-                * F.coalesce(
-                    F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)),
-                    F.lit(0.0),
-                )
-            ).alias("s")
-        )
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
             r.join(en, r["id"] == en["src"])
@@ -352,7 +376,7 @@ def personalized_pagerank(
         )
         new_ranks = (
             ranks.join(contrib, ranks["id"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(scale))
+            .crossJoin(F.broadcast(scale_frame.select("s")))
             .select(
                 ranks["id"],
                 ranks["is_dangling"],
@@ -365,10 +389,12 @@ def personalized_pagerank(
             )
         )
         new_ranks = new_ranks.localCheckpoint(eager=False)
-        agg = new_ranks.agg(
-            F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta")
-        ).collect()[0]
-        delta = float(agg["delta"])
+        stats = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta"),
+            _scale_expr("rank"),
+        ).localCheckpoint(eager=False)
+        delta = float(stats.collect()[0]["delta"])
+        scale_frame = stats
         ranks.unpersist()
         ranks = new_ranks.drop("rank_old").persist()
         metrics.append({"iteration": it, "l1_delta": delta, "wall_ms": (time.monotonic() - t0) * 1000.0})

@@ -129,3 +129,68 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     e.unpersist()
     und.unpersist()
     return out
+
+
+def partition_modularity(edges: DataFrame, assignments: DataFrame) -> DataFrame:
+    """Newman modularity Q of a vertex partition (e.g. label-propagation
+    communities) on the UNDIRECTED simple graph:
+
+        Q = sum over communities c of [ e_c/m  -  (d_c / 2m)^2 ]
+
+    where m = undirected edge count, e_c = edges with both endpoints in c,
+    d_c = sum of undirected degrees in c. One row (modularity, m,
+    n_communities). ``assignments`` is (id, <label col>) — any second
+    column name works.
+
+    Shape: two broadcast-able joins of the (small) assignment table onto
+    the edge list + two aggregates; no all-pairs term — the k_i·k_j sum
+    collapses to per-community degree sums, which is what makes Q
+    computable at web scale in one dataflow.
+    """
+    label_col = [c for c in assignments.columns if c != "id"][0]
+    asg = assignments.select(
+        F.col("id").cast("long"), F.col(label_col).alias("_c")
+    )
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .join(asg.withColumnRenamed("id", "a").withColumnRenamed("_c", "ca"), "a")
+        .join(asg.withColumnRenamed("id", "b").withColumnRenamed("_c", "cb"), "b")
+        .persist()
+    )
+    m = e.count()
+    spark = edges.sparkSession
+    if m == 0:
+        out = spark.createDataFrame(
+            [(0.0, 0, 0)], "modularity double, m long, n_communities long"
+        )
+        e.unpersist()
+        return out
+    # e_c: within-community undirected edges; d_c: degree mass per community
+    within = e.filter(F.col("ca") == F.col("cb")).groupBy(F.col("ca").alias("_c")).agg(
+        F.count(F.lit(1)).alias("e_c")
+    )
+    deg = (
+        e.select(F.col("ca").alias("_c"))
+        .union(e.select(F.col("cb").alias("_c")))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    per_c = deg.join(within, "_c", "left").select(
+        "_c",
+        (
+            F.coalesce("e_c", F.lit(0)) / F.lit(float(m))
+            - F.pow(F.col("d_c") / F.lit(2.0 * m), F.lit(2.0))
+        ).alias("q_c"),
+    )
+    out = per_c.agg(
+        F.sum("q_c").alias("modularity"),
+        F.lit(m).alias("m"),
+        F.count(F.lit(1)).alias("n_communities"),
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    return out
