@@ -1467,6 +1467,108 @@ def q_quality_scores(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+@_q(
+    "repetition_stats",
+    r"""WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+         FROM documents),
+    ln AS (SELECT doc_id,
+           list_filter(string_split(text, chr(10)), s -> trim(s) <> '') AS ls
+         FROM documents),
+    base AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(CASE WHEN len(ls) > 0
+                THEN FLOOR((len(ls) - len(list_distinct(ls))) * 1000.0 / len(ls))
+                ELSE 0 END AS BIGINT) AS dup_line_pm
+         FROM ln),
+    g AS (SELECT t.doc_id, t.tk[u.i] || ' ' || t.tk[u.i + 1] AS gm
+          FROM toks t, LATERAL (SELECT UNNEST(generate_series(1, len(t.tk) - 1)) AS i) u
+          WHERE len(t.tk) >= 2),
+    pg AS (SELECT doc_id, gm, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, MAX(c) AS top_c
+           FROM pg GROUP BY 1)
+    SELECT b.doc_id, b.n_lines, b.dup_line_pm,
+           COALESCE(pd.n_grams, 0) AS n_grams,
+           CAST(CASE WHEN COALESCE(pd.n_grams, 0) > 0
+                THEN FLOOR(pd.top_c * 1000.0 / pd.n_grams) ELSE 0 END AS BIGINT)
+             AS top_gram_pm
+    FROM base b LEFT JOIN pd ON pd.doc_id = b.doc_id""",
+)
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (dup-line + top-bigram mass)."""
+    from tldr_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), ngram=2).select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_pm",
+        "n_grams",
+        "top_gram_pm",
+    )
+
+
+@_q(
+    "paragraph_dedup_stats",
+    r"""WITH ps AS (SELECT doc_id,
+           list_filter(string_split_regex(text, '\n\s*\n'), s -> trim(s) <> '') AS ps
+         FROM documents),
+    paras AS (SELECT doc_id, md5(trim(u.p)) AS h, u.i - 1 AS para_idx
+          FROM ps t, LATERAL (SELECT UNNEST(t.ps) AS p,
+                              UNNEST(generate_series(1, len(t.ps))) AS i) u),
+    sel AS (SELECT doc_id, para_idx, h,
+            ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, para_idx) AS rn
+          FROM paras)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras
+    FROM sel GROUP BY doc_id""",
+)
+def q_paragraph_dedup_stats(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup, summarized per document (docs
+    with at least one non-blank paragraph)."""
+    from tldr_spark.operators.textstats import paragraph_dedup
+
+    return (
+        paragraph_dedup(_docs(spark, sf_dir))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("is_duplicate").cast("long")).alias("n_dup_paras"),
+        )
+    )
+
+
+@_q(
+    "contamination_scan",
+    r"""WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+         FROM documents),
+    g AS (SELECT t.doc_id, array_to_string(list_slice(t.tk, u.i, u.i + 4), ' ') AS gm
+          FROM toks t, LATERAL (SELECT UNNEST(generate_series(1, len(t.tk) - 4)) AS i) u
+          WHERE len(t.tk) >= 5),
+    bench AS (SELECT DISTINCT gm FROM g WHERE doc_id % 97 = 0),
+    dg AS (SELECT doc_id, gm FROM g WHERE doc_id % 97 <> 0),
+    hits AS (SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN b.gm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS contaminated
+           FROM dg LEFT JOIN bench b ON b.gm = dg.gm GROUP BY 1)
+    SELECT d.doc_id, COALESCE(h.n_grams, 0) AS n_grams,
+           COALESCE(h.contaminated, 0) AS contaminated,
+           CAST(CASE WHEN COALESCE(h.n_grams, 0) > 0
+                THEN FLOOR(h.contaminated * 1000.0 / h.n_grams) ELSE 0 END AS BIGINT)
+             AS contaminated_pm
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id""",
+)
+def q_contamination_scan(spark, sf_dir):
+    """GPT-3-style n-gram decontamination: every 97th document plays the
+    held-out benchmark; the rest are scanned for verbatim 5-gram overlap."""
+    from tldr_spark.operators.textstats import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    return contamination_check(
+        docs.filter("doc_id % 97 != 0"), docs.filter("doc_id % 97 = 0"), ngram=5
+    )
+
+
 # -- multimodal plumbing: the synthetic payloads are pure integer
 # -- arithmetic in media_id, so the DECODED features are SQL-reproducible —
 # -- the oracle checks the whole mapInPandas decode path end-to-end
@@ -1785,6 +1887,15 @@ _DEPRIORITIZED = [
     # their slots to adamic_adar_pairs and lpa_modularity
     "bib_coupling_pairs",
     "closeness_centrality",
+    # more redundant-variant yields (each stays oracled + pytest-pinned):
+    # minhash_signatures is the first half of the checked minhash_lsh_pairs;
+    # out_degree is the trivial sibling of top_in_degree/degree_histogram;
+    # lpa_weighted is a weight-config variant of the checked lpa_labels.
+    # Their slots go to repetition_stats, paragraph_dedup_stats, and
+    # contamination_scan.
+    "minhash_signatures",
+    "out_degree",
+    "lpa_weighted",
 ]
 
 

@@ -427,3 +427,80 @@ def test_ivf_topk_exact_when_probing_all_cells(spark, embs):
         for r in ivf_topk(sample, probes, k=5, n_cells=8, n_probe_cells=8).collect()
     }
     assert got == exact
+
+
+def test_repetition_stats_matches_brute(spark):
+    import re
+
+    from tldr_spark.operators.textstats import repetition_stats
+
+    corpus = [
+        (0, "buy now\nbuy now\nbuy now\nlimited offer"),
+        (1, "a quiet page with\n\nno repeated lines at all here"),
+        (2, "spam spam spam spam spam"),
+        (3, ""),
+        (4, "one-line"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df, ngram=2).collect()}
+    for doc_id, text in corpus:
+        lines = [s for s in text.split("\n") if s.strip() != ""]
+        n_lines = len(lines)
+        dup_pm = ((n_lines - len(set(lines))) * 1000) // n_lines if n_lines else 0
+        toks = [t for t in re.split(r"\s+", text.strip()) if t]
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        n_grams = len(grams)
+        top_pm = (
+            max(grams.count(g) for g in set(grams)) * 1000 // n_grams
+            if n_grams
+            else 0
+        )
+        r = got[doc_id]
+        assert (r["n_lines"], r["dup_line_pm"], r["n_grams"], r["top_gram_pm"]) == (
+            n_lines,
+            dup_pm,
+            n_grams,
+            top_pm,
+        ), doc_id
+
+
+def test_paragraph_dedup_canonical_first(spark):
+    from tldr_spark.operators.textstats import paragraph_dedup
+
+    boiler = "all rights reserved"
+    corpus = [
+        (0, f"intro zero\n\n{boiler}"),
+        (1, f"{boiler}\n\nbody one"),
+        (2, f"body two\n\n{boiler}\n\nbody two"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = paragraph_dedup(df).collect()
+    dup = {(r["doc_id"], r["para_idx"]): r["is_duplicate"] for r in rows}
+    # boilerplate: canonical copy is (0,1); later copies are duplicates
+    assert dup[(0, 1)] is False and dup[(1, 0)] is True and dup[(2, 1)] is True
+    # repeated paragraph WITHIN one doc: first wins
+    assert dup[(2, 0)] is False and dup[(2, 2)] is True
+    # unique paragraphs are not duplicates
+    assert dup[(0, 0)] is False and dup[(1, 1)] is False
+
+
+def test_contamination_check_counts(spark):
+    from tldr_spark.operators.textstats import contamination_check
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps")], "bid long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over it"),  # contains bench 3-grams
+            (1, "completely unrelated content words here"),
+            (2, "xy"),  # too short for any 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in contamination_check(docs, bench, ngram=3).collect()}
+    # doc 0 tokens: 7 -> 5 grams; bench grams = {tqb, qbf, bfj} all present
+    assert got[0]["n_grams"] == 5 and got[0]["contaminated"] == 3
+    assert got[0]["contaminated_pm"] == 3000 // 5
+    assert got[1]["contaminated"] == 0 and got[1]["n_grams"] == 3
+    assert got[2]["n_grams"] == 0 and got[2]["contaminated_pm"] == 0

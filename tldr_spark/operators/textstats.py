@@ -93,3 +93,181 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col).alias("doc_id"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
     )
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1 filters):
+
+      (doc_id, n_lines, dup_line_pm, n_grams, top_gram_pm)
+
+    dup_line_pm: per-mille of lines that are repeats of an earlier line
+    (1 - distinct/total). top_gram_pm: per-mille of n-gram occurrences
+    taken by the single most frequent n-gram. Repetitious machine-generated
+    pages score high on both and get filtered before training.
+
+    Shape: the line stats are per-row array algebra (zero shuffle); the
+    n-gram mode is explode + two-level aggregate on (doc, gram) — the
+    composite key is high-cardinality and evenly spread, and map-side
+    partial aggregation absorbs within-partition repeats, so the shuffle
+    carries at most one row per distinct (doc, gram). Integer per-mille
+    outputs keep the result bit-comparable across engines.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda s: F.trim(s) != ""
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.when(
+            F.size(lines) > 0,
+            ((F.size(lines) - F.size(F.array_distinct(lines))) * 1000)
+            / F.size(lines),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("dup_line_pm"),
+        _tokens(text_col).alias("toks"),
+    )
+    grams = base.select(
+        "doc_id",
+        "n_lines",
+        "dup_line_pm",
+        F.when(
+            F.size("toks") >= ngram,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - ngram),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, ngram)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    exploded = grams.select(
+        "doc_id", F.explode_outer("grams").alias("g")
+    )
+    per_gram = exploded.filter(F.col("g").isNotNull()).groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"), F.max("c").alias("top_c")
+    )
+    return (
+        grams.select("doc_id", "n_lines", "dup_line_pm")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_pm",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                (F.col("top_c") * 1000) / F.col("n_grams"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("top_gram_pm"),
+        )
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the CCNet / RefinedWeb paragraph
+    pass): (doc_id, para_idx, para_hash, is_duplicate) — a paragraph is a
+    duplicate unless it is the canonical first occurrence, canonical =
+    lowest (doc_id, para_idx) among identical md5 hashes.
+
+    Shape: explode to one row per paragraph, ONE shuffle on the hash
+    (min_by aggregate to pick the canonical copy, broadcast-joined back is
+    wrong at scale — it's a regular join on para_hash, co-partitioned with
+    the aggregate so the second exchange is free).
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), r"\n\s*\n"), lambda s: F.trim(s) != ""
+            )
+        ).alias("para_idx", "para"),
+    ).select(
+        "doc_id", "para_idx", F.md5(F.trim(F.col("para"))).alias("para_hash")
+    )
+    canon = paras.groupBy("para_hash").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("first")
+    )
+    return paras.join(canon, "para_hash").select(
+        "doc_id",
+        "para_idx",
+        "para_hash",
+        (
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("para_idx") != F.col("first.para_idx"))
+        ).alias("is_duplicate"),
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination scan (the GPT-3-style n-gram
+    decontamination pass): (doc_id, n_grams, contaminated, contaminated_pm)
+    — per training document, how many of its word n-grams appear verbatim
+    anywhere in the (much smaller) benchmark set.
+
+    Shape: the benchmark's distinct gram hashes are the SMALL side —
+    broadcast-joined (left-semi shape via inner join + distinct) against
+    the exploded doc grams, so the big side never shuffles; at 10^12 docs
+    the doc-gram stream stays partition-local and only the per-doc
+    aggregate exchanges (one row per doc).
+    """
+    def gram_col(col: str):
+        toks = _tokens(col)
+        return F.when(
+            F.size(toks) >= ngram,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - ngram),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, ngram))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        benchmark.select(F.explode(gram_col(bench_text_col)).alias("gh"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode_outer(gram_col(text_col)).alias("i", "gh")
+    )
+    hits = (
+        doc_grams.filter(F.col("gh").isNotNull())
+        .join(F.broadcast(bench_grams.withColumn("hit", F.lit(1))), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("contaminated"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("contaminated", F.lit(0)).cast("long").alias("contaminated"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) > 0,
+            (F.col("contaminated") * 1000) / F.col("n_grams"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("contaminated_pm"),
+    )
