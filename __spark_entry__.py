@@ -656,34 +656,32 @@ def _hits_sql(n_iter: int = 10) -> str:
         "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
         "s0 AS MATERIALIZED (SELECT id, 1.0 / nv.n AS hub, 1.0 / nv.n AS auth FROM verts CROSS JOIN nv)",
     ]
+    # deferred normalization, mirroring operators/hits.py round-2: every
+    # half-step is UNNORMALIZED (linear, scale-invariant under the final L1
+    # divide), one division per vector at the very end. s{i} carries the
+    # unnormalized hub after round i; a{i} the unnormalized auth.
     for i in range(1, n_iter + 1):
         p = f"s{i - 1}"
         parts.append(
-            f"""ra{i} AS MATERIALIZED (SELECT g.dst AS id, SUM(h.hub) AS s
+            f"""a{i} AS MATERIALIZED (SELECT g.dst AS id, SUM(h.hub) AS auth
                FROM g JOIN {p} h ON h.id = g.src GROUP BY g.dst)"""
         )
-        parts.append(f"ta{i} AS (SELECT SUM(s) AS t FROM ra{i})")
         parts.append(
-            f"""a{i} AS MATERIALIZED (SELECT c.id, c.hub,
-                 COALESCE(r.s, CAST(0 AS DOUBLE)) / ta{i}.t AS auth
-               FROM {p} c LEFT JOIN ra{i} r ON r.id = c.id CROSS JOIN ta{i})"""
-        )
-        parts.append(
-            f"""rh{i} AS MATERIALIZED (SELECT g.src AS id, SUM(a.auth) AS s
+            f"""s{i} AS MATERIALIZED (SELECT g.src AS id, SUM(a.auth) AS hub
                FROM g JOIN a{i} a ON a.id = g.dst GROUP BY g.src)"""
-        )
-        parts.append(f"th{i} AS (SELECT SUM(s) AS t FROM rh{i})")
-        parts.append(
-            f"""s{i} AS MATERIALIZED (SELECT c.id,
-                 COALESCE(r.s, CAST(0 AS DOUBLE)) / th{i}.t AS hub, c.auth
-               FROM a{i} c LEFT JOIN rh{i} r ON r.id = c.id CROSS JOIN th{i})"""
         )
     return (
         "WITH " + ",\n".join(parts)
-        + f"""\nSELECT id AS vertex,
-           CAST(ROUND(hub * 1048576) AS BIGINT) AS hub_q,
-           CAST(ROUND(auth * 1048576) AS BIGINT) AS auth_q
-    FROM s{n_iter}"""
+        + f""",
+    th AS (SELECT SUM(hub) AS t FROM s{n_iter}),
+    ta AS (SELECT SUM(auth) AS t FROM a{n_iter})
+    SELECT v.id AS vertex,
+           CAST(ROUND(COALESCE(h.hub, CAST(0 AS DOUBLE)) / th.t * 1048576) AS BIGINT) AS hub_q,
+           CAST(ROUND(COALESCE(a.auth, CAST(0 AS DOUBLE)) / ta.t * 1048576) AS BIGINT) AS auth_q
+    FROM verts v
+    LEFT JOIN s{n_iter} h ON h.id = v.id
+    LEFT JOIN a{n_iter} a ON a.id = v.id
+    CROSS JOIN th CROSS JOIN ta"""
     )
 
 

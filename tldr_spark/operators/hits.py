@@ -4,13 +4,22 @@ eigenvector pair of link analysis, same iterative-SpMV skeleton as PageRank.
     auth(v) ∝ Σ_{u→v} hub(u)        (one groupBy(dst) shuffle)
     hub(u)  ∝ Σ_{u→v} auth(v)       (one groupBy(src) shuffle)
 
-L1 normalization each half-step (scores sum to 1) instead of Kleinberg's L2
-— same fixpoint direction, but the normalizer is a plain SUM, which keeps
-the SQL oracle free of sqrt() and its cross-engine last-ulp noise. The
-normalizer rides in the dataflow as a broadcast 1-row aggregate (no changing
-literal in the plan — same codegen-cache discipline as the PageRank loop).
-Fixed iteration count (the driver-contract oracle mirrors it exactly);
-lineage truncated per iteration via lazy localCheckpoint.
+L1 normalization (scores sum to 1) instead of Kleinberg's L2 — same
+fixpoint direction, but the normalizer is a plain SUM, which keeps the SQL
+oracle free of sqrt() and its cross-engine last-ulp noise.
+
+Normalization is DEFERRED to the end (round-2): every half-step is linear
+and L1-normalizing is scale-invariant, so dividing once at the output is
+mathematically identical to dividing every half-step — and it deletes two
+normalizer broadcast-exchange jobs per round (the per-round fixed overhead
+that dominates wall time on small graphs and caps scaling on big ones,
+same Amdahl argument as the PageRank teleport fusion). Unnormalized
+magnitudes grow by at most (max_in_degree x max_out_degree) per round; a
+safety renormalization of the carried hub vector fires every
+``_RENORM_EVERY`` rounds so even degree-1e9 graphs stay far from the
+float64 ceiling. The driver-contract oracle mirrors the deferred
+arithmetic exactly. Fixed iteration count; lineage truncated per round
+via lazy localCheckpoint.
 """
 
 from __future__ import annotations
@@ -24,6 +33,15 @@ from pyspark.sql import DataFrame, functions as F
 class HitsResult:
     scores: DataFrame  # (id: long, hub: double, auth: double)
     iterations: int
+
+
+# safety renormalization cadence for the deferred-normalization loop (see
+# module doc) — L1 starts at 1 and grows by <= max_in_degree*max_out_degree
+# per round, so 16 deferred rounds stay under (1e18)^16 ~ 1e288 even for a
+# degree-1e9-by-1e9 pathological graph; float64 tops out at 1.8e308. The
+# common fixed-10 call therefore never renormalizes mid-run, keeping its
+# arithmetic bit-comparable to the driver oracle's deferred CTE chain.
+_RENORM_EVERY = 16
 
 
 def hits(edges: DataFrame, iterations: int = 10, broadcast_scores: bool = True) -> HitsResult:
@@ -66,33 +84,30 @@ def hits(edges: DataFrame, iterations: int = 10, broadcast_scores: bool = True) 
 
     auth = None
     old_auth = None
-    for _ in range(iterations):
+    for i in range(iterations):
         h = F.broadcast(hub) if broadcast_scores else hub
-        ra = (
+        # UNNORMALIZED half-steps (see module doc): auth then hub
+        auth = (
             h.join(e, h["id"] == e["src"])
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("hub").alias("ra"))
-        )
-        ta = ra.agg(F.sum("ra").alias("t"))
-        auth = (
-            ra.crossJoin(F.broadcast(ta))
-            .select("id", (F.col("ra") / F.col("t")).alias("auth"))
+            .agg(F.sum("hub").alias("auth"))
             .localCheckpoint(eager=False)
             .persist()
         )
         a = F.broadcast(auth) if broadcast_scores else auth
-        rh = (
+        new_hub = (
             a.join(e, a["id"] == e["dst"])
             .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("auth").alias("rh"))
+            .agg(F.sum("auth").alias("hub"))
         )
-        th = rh.agg(F.sum("rh").alias("t"))
-        new_hub = (
-            rh.crossJoin(F.broadcast(th))
-            .select("id", (F.col("rh") / F.col("t")).alias("hub"))
-            .localCheckpoint(eager=False)
-            .persist()
-        )
+        if (i + 1) % _RENORM_EVERY == 0 and i + 1 < iterations:
+            # overflow guard only — mathematically a no-op (scale cancels
+            # in the final normalization); costs one extra 1-row broadcast
+            t = new_hub.agg(F.sum("hub").alias("t"))
+            new_hub = new_hub.crossJoin(F.broadcast(t)).select(
+                "id", (F.col("hub") / F.col("t")).alias("hub")
+            )
+        new_hub = new_hub.localCheckpoint(eager=False).persist()
         new_hub.count()  # materializes this round's auth checkpoint too
         hub.unpersist()
         hub = new_hub
@@ -102,16 +117,21 @@ def hits(edges: DataFrame, iterations: int = 10, broadcast_scores: bool = True) 
             old_auth.unpersist()
         old_auth = auth
 
-    # checkpoint the result, then release every intermediate (verts, the
-    # final hub/auth round frames, the edge set) — a long-lived session
-    # calling operators repeatedly must not accumulate cached blocks
+    # single deferred L1 normalization of both vectors, then checkpoint the
+    # result and release every intermediate (verts, the final hub/auth
+    # round frames, the edge set) — a long-lived session calling operators
+    # repeatedly must not accumulate cached blocks
+    th = hub.agg(F.sum("hub").alias("th"))
+    ta = auth.agg(F.sum("auth").alias("ta"))
     scores = (
         verts.join(hub, "id", "left")
         .join(auth, "id", "left")
+        .crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(ta))
         .select(
             "id",
-            F.coalesce("hub", F.lit(0.0)).alias("hub"),
-            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            (F.coalesce("hub", F.lit(0.0)) / F.col("th")).alias("hub"),
+            (F.coalesce("auth", F.lit(0.0)) / F.col("ta")).alias("auth"),
         )
         .localCheckpoint(eager=True)
     )
