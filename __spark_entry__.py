@@ -725,6 +725,38 @@ def _kcore_sql(k: int = 3, rounds: int = 12) -> str:
     )
 
 
+def _ktruss_sql(k: int = 3, rounds: int = 10) -> str:
+    parts = [
+        _E,
+        """t0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+             GREATEST(src, dst) AS b FROM e WHERE src <> dst)""",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"t{i - 1}"
+        parts.append(
+            f"""adj{i} AS MATERIALIZED (SELECT a AS u, b AS v FROM {p}
+               UNION ALL SELECT b, a FROM {p})"""
+        )
+        # an edge survives iff its endpoints share >= k-2 common neighbors
+        # in the CURRENT subgraph; zero-support edges vanish via the join
+        parts.append(
+            f"""t{i} AS MATERIALIZED (SELECT e.a, e.b FROM {p} e
+               JOIN adj{i} p1 ON p1.u = e.a
+               JOIN adj{i} p2 ON p2.u = e.b AND p2.v = p1.v
+               GROUP BY e.a, e.b HAVING COUNT(*) >= {k - 2})"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT a, b FROM t{rounds}"
+
+
+@_q("ktruss_k3_edges", _ktruss_sql(3, 10))
+def q_ktruss_k3_edges(spark, sf_dir):
+    """Surviving edges of the 3-truss (every edge in >= 1 triangle of the
+    surviving subgraph) — peel mirrors the 10-round unrolled oracle."""
+    from tldr_spark.operators.triangles import k_truss
+
+    return k_truss(derive_edges(spark, sf_dir), 3).edges
+
+
 @_q("kcore_k3", _kcore_sql(3, 12))
 def q_kcore_k3(spark, sf_dir):
     from tldr_spark.operators.kcore import k_core
@@ -1894,6 +1926,10 @@ _DEPRIORITIZED = [
     "minhash_signatures",
     "out_degree",
     "lpa_weighted",
+    # the checked window is exactly full (50 independent operators); the
+    # 3-truss rides behind it and gets checked only if the driver's cap
+    # allows more — its semantics are pinned by tests/test_graph_ext.py
+    "ktruss_k3_edges",
 ]
 
 

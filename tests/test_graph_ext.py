@@ -678,3 +678,35 @@ def test_partition_modularity_matches_brute(spark):
     one = spark.createDataFrame([(i, 0) for i in (0, 1, 2, 10, 11, 12)], "id long, label long")
     q1 = partition_modularity(ce, one).collect()[0]["modularity"]
     assert abs(q1) < 1e-12
+
+
+def test_k_truss_matches_brute(spark):
+    from tldr_spark.operators.triangles import k_truss
+
+    def oracle(edges, k):
+        und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+        while True:
+            adj = {}
+            for a, b in und:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = {(a, b) for (a, b) in und if len(adj[a] & adj[b]) < k - 2}
+            if not drop:
+                return und
+            und -= drop
+
+    for seed in (13, 29):
+        edges = _rand_graph(seed, 16, 55)
+        e = spark.createDataFrame(edges, "src long, dst long")
+        for k in (2, 3, 4):
+            got = {(r["a"], r["b"]) for r in k_truss(e, k).edges.collect()}
+            assert got == oracle(edges, k), (seed, k)
+
+    # K5 with a pendant path: the 4-truss (and 5-truss) is exactly the K5
+    k5 = [(i, j) for i in range(5) for j in range(5) if i < j]
+    tail = [(4, 10), (10, 11)]
+    e = spark.createDataFrame(k5 + tail, "src long, dst long")
+    got5 = {(r["a"], r["b"]) for r in k_truss(e, 5).edges.collect()}
+    assert got5 == set(k5)
+    got2 = {(r["a"], r["b"]) for r in k_truss(e, 2).edges.collect()}
+    assert got2 == set(k5) | set(tail)
