@@ -1654,6 +1654,36 @@ def q_fingerprints(spark, sf_dir):
 # -- link graph -> PageRank top-20 (rows-only: html bytes come from the
 # -- deterministic python generator, not SQL-reproducible) ----------------------
 
+@_q("luby_mis", None)
+def q_luby_mis(spark, sf_dir):
+    """Maximal independent set (Luby, deterministic md5 priorities) —
+    rows-only: the winner-knockout loop is not recursive-CTE-expressible;
+    semantics pinned by tests/test_graph_ext.py (exact hashlib oracle +
+    independence/maximality invariants)."""
+    from tldr_spark.operators.mis import maximal_independent_set
+
+    return maximal_independent_set(derive_edges(spark, sf_dir)).members
+
+
+@_q("spam_mass_scores", None)
+def q_spam_mass_scores(spark, sf_dir):
+    """TrustRank spam mass (PR vs trust-seeded PPR, both to convergence) —
+    rows-only: two coupled to-convergence fixpoints; semantics pinned by
+    tests/test_graph_ext.py (farm-vs-core separation)."""
+    from tldr_spark.operators.pagerank import spam_mass
+
+    e = derive_edges(spark, sf_dir)
+    trusted = e.groupBy(F.col("dst").alias("id")).count().orderBy(
+        F.desc("count"), F.asc("id")
+    ).limit(20).select("id")
+    return spam_mass(e, trusted).select(
+        "id",
+        F.round(F.col("rank") * 1048576).cast("long").alias("rank_q"),
+        F.round(F.col("trust") * 1048576).cast("long").alias("trust_q"),
+        F.round(F.col("spam_mass") * 1024).cast("long").alias("spam_mass_q"),
+    )
+
+
 @_q("pages_linkgraph_top20", None)
 def q_pages_linkgraph_top20(spark, sf_dir):
     from tldr_spark.operators.pagerank import pagerank

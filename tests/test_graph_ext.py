@@ -710,3 +710,72 @@ def test_k_truss_matches_brute(spark):
     assert got5 == set(k5)
     got2 = {(r["a"], r["b"]) for r in k_truss(e, 2).edges.collect()}
     assert got2 == set(k5) | set(tail)
+
+
+def test_luby_mis_deterministic_and_correct(spark):
+    import hashlib
+
+    from tldr_spark.operators.mis import maximal_independent_set
+
+    def oracle(edges, max_rounds=100):
+        und = {}
+        for s, d in edges:
+            if s != d:
+                und.setdefault(s, set()).add(d)
+                und.setdefault(d, set()).add(s)
+        undecided = set(und)
+        members = set()
+        r = 0
+        while undecided:
+            r += 1
+            assert r <= max_rounds
+            pri = {
+                v: (int(hashlib.md5(f"{v}-{r}".encode()).hexdigest()[:8], 16), v)
+                for v in undecided
+            }
+            winners = {
+                v
+                for v in undecided
+                if all(pri[v] > pri[u] for u in und[v] if u in undecided)
+            }
+            members |= winners
+            undecided -= winners | {u for v in winners for u in und[v]}
+        return members
+
+    for seed in (11, 23, 47):
+        edges = _rand_graph(seed, 22, 60)
+        e = spark.createDataFrame(edges, "src long, dst long")
+        res = maximal_independent_set(e)
+        got = {r["id"] for r in res.members.collect()}
+        exp = oracle(edges)
+        assert got == exp, seed
+        # independence + maximality invariants, independent of the oracle
+        und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+        assert not any(a in got and b in got for a, b in und)
+        verts = {v for p in und for v in p}
+        adj = {v: set() for v in verts}
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        assert all(v in got or (adj[v] & got) for v in verts)
+
+
+def test_spam_mass_separates_farm_from_trust_core(spark):
+    from tldr_spark.operators.pagerank import spam_mass
+
+    # trusted clique {0,1,2} linking around; spam farm {10,11,12} boosting
+    # target 13, unreachable from the trusted side
+    good = [(0, 1), (1, 2), (2, 0), (0, 2), (2, 1)]
+    farm = [(10, 13), (11, 13), (12, 13), (13, 10), (13, 11), (13, 12)]
+    e = spark.createDataFrame(good + farm, "src long, dst long")
+    t = spark.createDataFrame([(0,), (1,)], "id long")
+    rows = {r["id"]: r for r in spam_mass(e, t, tolerance=1e-10).collect()}
+    # farm vertices get zero trust -> spam mass ~1
+    for v in (10, 11, 12, 13):
+        assert rows[v]["trust"] == 0.0
+        assert rows[v]["spam_mass"] > 0.999, v
+    # the trust core's rank is mostly trust-explained
+    for v in (0, 1, 2):
+        assert rows[v]["trust"] > 0.0
+        assert rows[v]["spam_mass"] < 0.5, v
+    assert abs(sum(r["rank"] for r in rows.values()) - 1.0) < 1e-9

@@ -405,3 +405,58 @@ def personalized_pagerank(
     en.unpersist()
     verts.unpersist()
     return PageRankResult(result, it, delta, n, n_edges, metrics)
+
+
+def spam_mass(
+    edges: DataFrame,
+    trusted: DataFrame,
+    damping: float = DEFAULT_DAMPING,
+    tolerance: float = DEFAULT_TOLERANCE,
+    max_iter: int = 1000,
+    weight_col: str | None = "weight",
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """TrustRank + estimated spam mass (Gyongyi, Garcia-Molina, Pedersen,
+    VLDB'04): rank the graph twice — ordinary PageRank and a
+    trust-personalized PageRank seeded at ``trusted`` (id column) — and
+    score each vertex by how much of its PageRank is NOT explainable by
+    trusted sources:
+
+        spam_mass(p) = (PR(p) - TrustRank(p)) / PR(p)
+
+    ~1 for link-farm vertices unreachable from any trusted seed, ~<=0 for
+    the trust core. Returns (id, rank, trust, spam_mass). Pure composition
+    of the two fixpoint operators (each with the fused-aggregate iteration);
+    the final join is V-row, one shuffle.
+    """
+    pr = pagerank(
+        edges,
+        damping=damping,
+        tolerance=tolerance,
+        max_iter=max_iter,
+        weight_col=weight_col,
+        broadcast_ranks=broadcast_ranks,
+    ).ranks
+    tr = personalized_pagerank(
+        edges,
+        trusted,
+        damping=damping,
+        tolerance=tolerance,
+        max_iter=max_iter,
+        weight_col=weight_col,
+        broadcast_ranks=broadcast_ranks,
+    ).ranks.select("id", F.col("rank").alias("trust"))
+    return (
+        pr.join(tr, "id", "left")
+        .select(
+            "id",
+            "rank",
+            F.coalesce("trust", F.lit(0.0)).alias("trust"),
+            F.when(
+                F.col("rank") > 0.0,
+                (F.col("rank") - F.coalesce("trust", F.lit(0.0))) / F.col("rank"),
+            )
+            .otherwise(0.0)
+            .alias("spam_mass"),
+        )
+    )
