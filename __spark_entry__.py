@@ -685,6 +685,47 @@ def _hits_sql(n_iter: int = 10) -> str:
     )
 
 
+def _eigen_sql(n_iter: int = 12) -> str:
+    # deferred normalization mirror of operators/hits.py:
+    # eigenvector_centrality — unnormalized in-edge sums, one divide at the
+    # end. n_iter stays below the operator's renorm cadence (16) so the
+    # chain is pure deferred arithmetic on both engines.
+    parts = [
+        _E,
+        "g AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (SELECT src, dst FROM e) GROUP BY src, dst)",
+        "verts AS MATERIALIZED (SELECT DISTINCT v AS id FROM (SELECT src AS v FROM e UNION SELECT dst FROM e))",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "x0 AS MATERIALIZED (SELECT id, 1.0 / nv.n AS x FROM verts CROSS JOIN nv)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""x{i} AS MATERIALIZED (SELECT g.dst AS id, SUM(p.x * g.w) AS x
+               FROM g JOIN x{i - 1} p ON p.id = g.src GROUP BY g.dst)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+    tx AS (SELECT SUM(x) AS t FROM x{n_iter})
+    SELECT v.id AS vertex,
+           CAST(ROUND(CASE WHEN tx.t > 0
+                THEN COALESCE(f.x, CAST(0 AS DOUBLE)) / tx.t ELSE 0 END
+                * 1048576) AS BIGINT) AS score_q
+    FROM verts v LEFT JOIN x{n_iter} f ON f.id = v.id CROSS JOIN tx"""
+    )
+
+
+@_q("eigenvector_fixed12", _eigen_sql(12))
+def q_eigenvector_fixed12(spark, sf_dir):
+    """Power-iteration eigenvector centrality (the reference's ranking core
+    stripped of damping/teleport), fixed 12 rounds, quantized."""
+    from tldr_spark.operators.hits import eigenvector_centrality
+
+    return eigenvector_centrality(derive_edges(spark, sf_dir), 12).select(
+        F.col("id").alias("vertex"),
+        F.round(F.col("score") * 1048576).cast("long").alias("score_q"),
+    )
+
+
 @_q("hits_fixed10", _hits_sql(10))
 def q_hits_fixed10(spark, sf_dir):
     from tldr_spark.operators.hits import hits
@@ -1956,10 +1997,11 @@ _DEPRIORITIZED = [
     "minhash_signatures",
     "out_degree",
     "lpa_weighted",
-    # the checked window is exactly full (50 independent operators); the
-    # 3-truss rides behind it and gets checked only if the driver's cap
-    # allows more — its semantics are pinned by tests/test_graph_ext.py
+    # the checked window is exactly full (50 independent operators); these
+    # ride behind it and get checked only if the driver's cap allows more —
+    # their semantics are pinned by tests/test_graph_ext.py
     "ktruss_k3_edges",
+    "eigenvector_fixed12",
 ]
 
 

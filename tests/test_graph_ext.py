@@ -779,3 +779,63 @@ def test_spam_mass_separates_farm_from_trust_core(spark):
         assert rows[v]["trust"] > 0.0
         assert rows[v]["spam_mass"] < 0.5, v
     assert abs(sum(r["rank"] for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_eigenvector_centrality_matches_numpy(spark):
+    from tldr_spark.operators.hits import eigenvector_centrality
+
+    def oracle(edges, n_iter, weights=None):
+        es = {}
+        for idx, (s, d) in enumerate(edges):
+            w = 1.0 if weights is None else weights[idx]
+            es[(s, d)] = es.get((s, d), 0.0) + w
+        verts = sorted({v for p in es for v in p})
+        ix = {v: i for i, v in enumerate(verts)}
+        A = np.zeros((len(verts), len(verts)))
+        for (s, d), w in es.items():
+            A[ix[s], ix[d]] = w
+        x = np.full(len(verts), 1.0 / len(verts))
+        for _ in range(n_iter):
+            x = A.T @ x
+            x = x / x.sum()
+        return {v: x[ix[v]] for v in verts}
+
+    # random graph plus a guaranteed cycle so mass never dies out
+    edges = _rand_graph(9, 30, 90) + [(0, 1), (1, 2), (2, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["score"] for r in eigenvector_centrality(e, 20).collect()}
+    exp = oracle(edges, 20)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # weighted: duplicate edges must sum, weights must matter
+    wedges = [(0, 1, 2.0), (0, 1, 1.0), (1, 0, 1.0), (2, 0, 5.0), (0, 2, 1.0)]
+    we = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    gw = {r["id"]: r["score"] for r in
+          eigenvector_centrality(we, 12, weight_col="weight").collect()}
+    ew = oracle([(s, d) for s, d, _ in wedges], 12, [w for _, _, w in wedges])
+    for v in ew:
+        assert abs(gw[v] - ew[v]) < 1e-9, v
+
+
+def test_greedy_coloring_proper_and_deterministic(spark):
+    from tldr_spark.operators.mis import greedy_coloring
+
+    for seed in (19, 41):
+        edges = _rand_graph(seed, 20, 55)
+        e = spark.createDataFrame(edges, "src long, dst long")
+        r1 = greedy_coloring(e)
+        got = {r["id"]: r["color"] for r in r1.colors.collect()}
+        und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+        verts = {v for p in und for v in p}
+        # total, proper, and bounded
+        assert set(got) == verts
+        assert all(got[a] != got[b] for a, b in und), seed
+        assert r1.n_colors <= max(
+            sum(1 for p in und if v in p) for v in verts
+        ) + 1
+        # deterministic: a second run colors identically
+        r2 = greedy_coloring(e)
+        assert {r["id"]: r["color"] for r in r2.colors.collect()} == got

@@ -140,3 +140,88 @@ def hits(edges: DataFrame, iterations: int = 10, broadcast_scores: bool = True) 
     hub.unpersist()
     auth.unpersist()  # old_auth is this same frame after the final round
     return HitsResult(scores, iterations)
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    iterations: int = 20,
+    weight_col: str | None = None,
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """Eigenvector centrality by power iteration — the bare eigenvector
+    core that the reference's LexRank/PageRank machinery is built on
+    (tldr.go:233-243 without damping/teleport):
+
+        x_{t+1}(v) = sum over in-edges u->v of w(u,v) * x_t(u),
+
+    L1-normalized. Returns (id, score) over all endpoint vertices after a
+    FIXED ``iterations`` (fixed count, not tolerance: without teleport the
+    iteration can oscillate on bipartite-ish structure, and the
+    driver-contract oracle mirrors a fixed unrolled chain). Same deferred-
+    normalization discipline as :func:`hits` — unnormalized half-steps,
+    safety renormalization every ``_RENORM_EVERY`` rounds, one divide at
+    the output; vertices unreachable from any cycle decay to score 0.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col and weight_col in edges.columns
+        else F.lit(1.0)
+    )
+    e = (
+        edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long"), w.alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    e.count()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        spark = edges.sparkSession
+        e.unpersist()
+        verts.unpersist()
+        return spark.createDataFrame([], "id long, score double")
+
+    x = verts.join(
+        e.select(F.col("src").alias("id")).distinct(), "id", "left_semi"
+    ).select("id", F.lit(1.0 / n).alias("x")).persist()
+    for i in range(iterations):
+        h = F.broadcast(x) if broadcast_scores else x
+        new_x = (
+            h.join(e, h["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("x") * F.col("w")).alias("x"))
+        )
+        if (i + 1) % _RENORM_EVERY == 0 and i + 1 < iterations:
+            t = new_x.agg(F.sum("x").alias("t"))
+            new_x = new_x.crossJoin(F.broadcast(t)).select(
+                "id", (F.col("x") / F.col("t")).alias("x")
+            )
+        new_x = new_x.localCheckpoint(eager=False).persist()
+        new_x.count()
+        x.unpersist()
+        x = new_x
+
+    t = x.agg(F.sum("x").alias("t"))
+    out = (
+        verts.join(x, "id", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "id",
+            F.when(F.col("t") > 0.0, F.coalesce("x", F.lit(0.0)) / F.col("t"))
+            .otherwise(0.0)
+            .alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    verts.unpersist()
+    x.unpersist()
+    return out

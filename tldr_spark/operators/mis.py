@@ -110,3 +110,74 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 100) -> MisResul
     und.unpersist()
     undecided.unpersist()
     return MisResult(members, rounds)
+
+
+@dataclass
+class ColoringResult:
+    colors: DataFrame  # (id: long, color: int)
+    n_colors: int
+
+
+def greedy_coloring(edges: DataFrame, max_colors: int = 64) -> ColoringResult:
+    """Distributed greedy graph coloring by iterated MIS (the Jones-
+    Plassmann strategy): color class c = a maximal independent set of the
+    subgraph induced by still-uncolored vertices (plus every uncolored
+    vertex whose neighbors are all colored — isolated in the residual).
+    Deterministic via the md5 priorities of
+    :func:`maximal_independent_set`. Uses at most degeneracy+1-ish colors
+    in practice; raises past ``max_colors`` rather than looping."""
+    und = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
+    uncolored = und.select(F.col("u").alias("id")).distinct().persist()
+    n = uncolored.count()
+    spark = edges.sparkSession
+
+    colored_frames: list[DataFrame] = []
+    color = 0
+    while n > 0:
+        if color >= max_colors:
+            raise RuntimeError(
+                f"greedy coloring exceeded max_colors={max_colors} "
+                f"({n} vertices uncolored)."
+            )
+        live = (
+            und.join(uncolored.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(uncolored.withColumnRenamed("id", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # uncolored vertices isolated in the residual take this color too
+        isolated = uncolored.join(
+            live.select(F.col("u").alias("id")), "id", "left_anti"
+        )
+        mis = maximal_independent_set(
+            live.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        ).members
+        cls = (
+            mis.union(isolated)
+            .select("id", F.lit(color).alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        colored_frames.append(cls)
+        new_uncolored = (
+            uncolored.join(cls.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=False)
+            .persist()
+        )
+        n = new_uncolored.count()
+        uncolored.unpersist()
+        uncolored = new_uncolored
+        color += 1
+
+    if colored_frames:
+        from functools import reduce
+
+        out = reduce(DataFrame.union, colored_frames).localCheckpoint(eager=True)
+    else:
+        out = spark.createDataFrame([], "id long, color int")
+    und.unpersist()
+    uncolored.unpersist()
+    return ColoringResult(out, color)
