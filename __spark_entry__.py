@@ -726,6 +726,55 @@ def q_eigenvector_fixed12(spark, sf_dir):
     )
 
 
+def _salsa_sql(n_iter: int = 10) -> str:
+    # mirrors operators/hits.py:salsa — stochastic half-steps (degree
+    # division baked into the edge weights), no normalizer anywhere
+    parts = [
+        _E,
+        "g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)",
+        "verts AS MATERIALIZED (SELECT DISTINCT v AS id FROM (SELECT src AS v FROM e UNION SELECT dst FROM e))",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        """ew AS MATERIALIZED (SELECT g.src, g.dst,
+             1.0 / od.c AS wa, 1.0 / idg.c AS wh
+           FROM g
+           JOIN (SELECT src, CAST(COUNT(*) AS DOUBLE) AS c FROM g GROUP BY src) od ON od.src = g.src
+           JOIN (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS c FROM g GROUP BY dst) idg ON idg.dst = g.dst)""",
+        """s0 AS MATERIALIZED (SELECT DISTINCT g.src AS id, 1.0 / nv.n AS hub
+           FROM g CROSS JOIN nv)""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""sa{i} AS MATERIALIZED (SELECT ew.dst AS id, SUM(h.hub * ew.wa) AS auth
+               FROM ew JOIN s{i - 1} h ON h.id = ew.src GROUP BY ew.dst)"""
+        )
+        parts.append(
+            f"""s{i} AS MATERIALIZED (SELECT ew.src AS id, SUM(a.auth * ew.wh) AS hub
+               FROM ew JOIN sa{i} a ON a.id = ew.dst GROUP BY ew.src)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""\nSELECT v.id AS vertex,
+           CAST(ROUND(COALESCE(h.hub, CAST(0 AS DOUBLE)) * 1048576) AS BIGINT) AS hub_q,
+           CAST(ROUND(COALESCE(a.auth, CAST(0 AS DOUBLE)) * 1048576) AS BIGINT) AS auth_q
+    FROM verts v
+    LEFT JOIN s{n_iter} h ON h.id = v.id
+    LEFT JOIN sa{n_iter} a ON a.id = v.id"""
+    )
+
+
+@_q("salsa_fixed10", _salsa_sql(10))
+def q_salsa_fixed10(spark, sf_dir):
+    """SALSA hub/authority, fixed 10 stochastic rounds, quantized."""
+    from tldr_spark.operators.hits import salsa
+
+    res = salsa(derive_edges(spark, sf_dir), iterations=10)
+    return res.scores.select(
+        F.col("id").alias("vertex"),
+        F.round(F.col("hub") * 1048576).cast("long").alias("hub_q"),
+        F.round(F.col("auth") * 1048576).cast("long").alias("auth_q"),
+    )
+
+
 @_q("hits_fixed10", _hits_sql(10))
 def q_hits_fixed10(spark, sf_dir):
     from tldr_spark.operators.hits import hits
@@ -2002,6 +2051,7 @@ _DEPRIORITIZED = [
     # their semantics are pinned by tests/test_graph_ext.py
     "ktruss_k3_edges",
     "eigenvector_fixed12",
+    "salsa_fixed10",
 ]
 
 

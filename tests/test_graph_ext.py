@@ -839,3 +839,42 @@ def test_greedy_coloring_proper_and_deterministic(spark):
         # deterministic: a second run colors identically
         r2 = greedy_coloring(e)
         assert {r["id"]: r["color"] for r in r2.colors.collect()} == got
+
+
+def test_salsa_matches_numpy_and_indegree_fixpoint(spark):
+    from tldr_spark.operators.hits import salsa
+
+    def oracle(edges, n_iter):
+        es = sorted(set(edges))
+        verts = sorted({v for p in es for v in p})
+        ix = {v: i for i, v in enumerate(verts)}
+        n = len(verts)
+        A = np.zeros((n, n))
+        for s, d in es:
+            A[ix[s], ix[d]] = 1.0
+        od = A.sum(axis=1)
+        idg = A.sum(axis=0)
+        Wa = np.divide(A, od[:, None], out=np.zeros_like(A), where=od[:, None] > 0)
+        Wh = np.divide(A, idg[None, :], out=np.zeros_like(A), where=idg[None, :] > 0)
+        hub = np.where(od > 0, 1.0 / n, 0.0)
+        auth = np.zeros(n)
+        for _ in range(n_iter):
+            auth = Wa.T @ hub
+            hub = Wh @ auth
+        return {v: (hub[ix[v]], auth[ix[v]]) for v in verts}
+
+    edges = _rand_graph(27, 25, 75)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: (r["hub"], r["auth"]) for r in salsa(e, 10).scores.collect()}
+    exp = oracle(edges, 10)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v][0] - exp[v][0]) < 1e-12, v
+        assert abs(got[v][1] - exp[v][1]) < 1e-12, v
+
+    # known SALSA fixpoint: authority ~ in-degree within a connected
+    # authority component (two spokes vs one in a shared-hub star)
+    star = [(1, 10), (2, 10), (3, 10), (3, 11)]
+    gs = {r["id"]: r["auth"] for r in salsa(
+        spark.createDataFrame(star, "src long, dst long"), 40).scores.collect()}
+    assert abs(gs[10] / gs[11] - 3.0) < 1e-6

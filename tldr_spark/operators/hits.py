@@ -225,3 +225,89 @@ def eigenvector_centrality(
     verts.unpersist()
     x.unpersist()
     return out
+
+
+def salsa(edges: DataFrame, iterations: int = 10, broadcast_scores: bool = True) -> HitsResult:
+    """SALSA (Lempel & Moran, WWW'00): the random-walk-normalized HITS —
+    each half-step divides contributions by the contributor's degree, so
+    every step applies a STOCHASTIC matrix and the score vectors stay
+    L1=1 by construction: no normalizer aggregate at all, zero per-round
+    fixed overhead beyond the two degree-weighted SpMV aggregates.
+
+        auth(v) = sum over u->v of hub(u)  / out_degree(u)
+        hub(u)  = sum over u->v of auth(v) / in_degree(v)
+
+    Degrees are baked into the persisted edge table once
+    (wa = 1/outdeg(src), wh = 1/indeg(dst)); fixed ``iterations``.
+    Returns (id, hub, auth) over all endpoint vertices — SALSA's known
+    fixpoint concentrates authority proportional to in-degree within each
+    connected authority component, which the tests assert.
+    """
+    g = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).distinct()
+    outd = g.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ind = g.groupBy("dst").agg(F.count(F.lit(1)).alias("idg"))
+    e = (
+        g.join(outd, "src")
+        .join(ind, "dst")
+        .select("src", "dst", (1.0 / F.col("od")).alias("wa"), (1.0 / F.col("idg")).alias("wh"))
+        .persist()
+    )
+    e.count()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        spark = edges.sparkSession
+        e.unpersist()
+        verts.unpersist()
+        return HitsResult(spark.createDataFrame([], "id long, hub double, auth double"), 0)
+
+    hub = verts.join(
+        e.select(F.col("src").alias("id")).distinct(), "id", "left_semi"
+    ).select("id", F.lit(1.0 / n).alias("hub")).persist()
+
+    auth = None
+    old_auth = None
+    for _ in range(iterations):
+        h = F.broadcast(hub) if broadcast_scores else hub
+        auth = (
+            h.join(e, h["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("hub") * F.col("wa")).alias("auth"))
+            .localCheckpoint(eager=False)
+            .persist()
+        )
+        a = F.broadcast(auth) if broadcast_scores else auth
+        new_hub = (
+            a.join(e, a["id"] == e["dst"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.col("auth") * F.col("wh")).alias("hub"))
+            .localCheckpoint(eager=False)
+            .persist()
+        )
+        new_hub.count()
+        hub.unpersist()
+        hub = new_hub
+        if old_auth is not None:
+            old_auth.unpersist()
+        old_auth = auth
+
+    scores = (
+        verts.join(hub, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    verts.unpersist()
+    hub.unpersist()
+    auth.unpersist()
+    return HitsResult(scores, iterations)
