@@ -163,3 +163,107 @@ def resource_allocation(edges: DataFrame, threshold: float = 0.0) -> DataFrame:
     return _weighted_common_neighbors(edges, lambda dz: 1.0 / dz).filter(
         F.col("score") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood MinHash + LSH — the 100 TB scale path for
+# common_neighbor_jaccard. The exact pair join above shuffles one row per
+# (common neighbor, pair) — on a web graph a degree-10^7 hub contributes
+# ~10^14 wedge rows, which no amount of AQE splitting saves. MinHashing the
+# neighbor SET first caps per-vertex state at `num_hashes` values, the
+# bucket join meets only vertices sharing a minimum (expected bucket size
+# is governed by signature diversity, not hub degree), and the exact
+# verification join runs only over the candidate pairs — the same
+# candidates→verify shape as dedup.minhash_lsh_pairs → ngram_jaccard_pairs.
+# ---------------------------------------------------------------------------
+
+def neighbor_minhash_signatures(
+    edges: DataFrame, num_hashes: int = 4, neighbors: DataFrame | None = None
+) -> DataFrame:
+    """(id, h0..h{k-1}) — minhash signature of each vertex's undirected
+    neighbor set. hash_i(nb) = 8-hex-char slice i of md5(cast(nb as
+    string)); lexicographic min of fixed-width hex == numeric min, and md5
+    is available verbatim in ANSI SQL/DuckDB so the whole signature is
+    oracle-checkable. All JVM built-ins; one shuffle (the groupBy)."""
+    assert 1 <= num_hashes <= 4
+    nb = neighbors if neighbors is not None else _undirected_neighbors(edges)
+    d = F.md5(F.col("nb").cast("string"))
+    aggs = [
+        F.min(F.substring(d, 1 + 8 * i, 8)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return nb.groupBy("id").agg(*aggs)
+
+
+def neighbor_minhash_candidates(
+    edges: DataFrame, num_hashes: int = 4, neighbors: DataFrame | None = None
+) -> DataFrame:
+    """(id_a, id_b, n_common_bands), id_a < id_b — vertex pairs whose
+    neighbor-set minhash signatures collide in >= 1 of `num_hashes` bands
+    (band size 1: recall-oriented; P[collide in band i] = Jaccard). The
+    pair join is per-(band, value) bucket — never all-pairs, and hub degree
+    does not inflate bucket size."""
+    sig = neighbor_minhash_signatures(edges, num_hashes, neighbors)
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("val"))
+                for i in range(num_hashes)
+            ])
+        ).alias("bv"),
+    ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(F.col("id").alias("id_a"), "band", "val")
+    b = bands.select(F.col("id").alias("id_b"), "band", "val")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common_bands"))
+    )
+
+
+def neighbor_minhash_jaccard(
+    edges: DataFrame, threshold: float = 0.5, num_hashes: int = 4
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — exact neighbor-set Jaccard >= threshold,
+    restricted to LSH candidate pairs. The candidate restriction reaches
+    every expensive stage: the neighbor table is semi-joined down to ids in
+    some candidate pair BEFORE the wedge join, and wedge rows are
+    semi-restricted to candidate pairs BEFORE the aggregation — a hub
+    vertex in no candidate pair contributes zero wedge rows. Same
+    guarantees as the exact operator on the pairs it emits; recall vs the
+    exact operator is 1-(1-J)^k per pair (e.g. J=0.5, k=4 → 94%)."""
+    nb = _undirected_neighbors(edges).persist()
+    cand = neighbor_minhash_candidates(edges, num_hashes, neighbors=nb).select(
+        "id_a", "id_b"
+    )
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    nbr = nb.join(ids, "id", "left_semi")
+    sz = nbr.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = nbr.select(F.col("id").alias("id_a"), "nb")
+    b = nbr.select(F.col("id").alias("id_b"), "nb")
+    inter = (
+        a.join(b, "nb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # thresholded result is small; pin it, then release the shared cache
+    out = out.localCheckpoint(eager=True)
+    nb.unpersist()
+    return out
