@@ -388,6 +388,112 @@ def q_lpa_modularity(spark, sf_dir):
     )
 
 
+@_q(
+    "community_conductance",
+    f"""WITH RECURSIVE {_E},
+    und2 AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM e WHERE src <> dst GROUP BY 1, 2),
+    lab AS MATERIALIZED (SELECT * FROM ({_LPA_SQL}) t),
+    mm AS (SELECT COUNT(*) AS m FROM und2),
+    ew AS MATERIALIZED (SELECT la.label AS ca, lb.label AS cb
+          FROM und2 JOIN lab la ON la.vertex = und2.a
+                    JOIN lab lb ON lb.vertex = und2.b),
+    nv AS (SELECT label AS c, COUNT(*) AS n_vertices FROM lab GROUP BY 1),
+    intr AS (SELECT ca AS c, COUNT(*) AS ie FROM ew WHERE ca = cb GROUP BY 1),
+    cut AS (SELECT c, COUNT(*) AS ce FROM (
+              SELECT ca AS c FROM ew WHERE ca <> cb
+              UNION ALL SELECT cb FROM ew WHERE ca <> cb) GROUP BY 1)
+    SELECT nv.c AS community, nv.n_vertices,
+           COALESCE(intr.ie, 0) AS internal_edges,
+           COALESCE(cut.ce, 0) AS cut_edges,
+           2 * COALESCE(intr.ie, 0) + COALESCE(cut.ce, 0) AS volume,
+           CAST(ROUND(CASE WHEN COALESCE(cut.ce, 0) = 0 THEN 0.0
+             ELSE CAST(cut.ce AS DOUBLE) / LEAST(
+               2 * COALESCE(intr.ie, 0) + COALESCE(cut.ce, 0),
+               2 * mm.m - (2 * COALESCE(intr.ie, 0) + COALESCE(cut.ce, 0)))
+             END * 1048576) AS BIGINT) AS conductance_q
+    FROM nv LEFT JOIN intr ON intr.c = nv.c LEFT JOIN cut ON cut.c = nv.c
+    CROSS JOIN mm""",
+)
+def q_community_conductance(spark, sf_dir):
+    """Per-community quality stats (size, internal/cut edges, volume,
+    conductance) of the 4-round LPA partition — the validation pass a
+    pipeline runs before trusting communities downstream."""
+    from tldr_spark.operators.community import community_stats
+    from tldr_spark.operators.labelprop import label_propagation
+
+    e = derive_edges(spark, sf_dir)
+    labels = label_propagation(e, max_rounds=4).labels
+    return community_stats(e, labels).select(
+        "community",
+        "n_vertices",
+        "internal_edges",
+        "cut_edges",
+        "volume",
+        F.round(F.col("conductance") * 1048576).cast("long").alias("conductance_q"),
+    )
+
+
+@_q(
+    "community_contraction",
+    f"""WITH RECURSIVE {_E},
+    sd AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+    lab AS MATERIALIZED (SELECT * FROM ({_LPA_SQL}) t)
+    SELECT la.label AS src, lb.label AS dst, COUNT(*) AS weight
+    FROM sd JOIN lab la ON la.vertex = sd.src
+            JOIN lab lb ON lb.vertex = sd.dst
+    GROUP BY 1, 2""",
+)
+def q_community_contraction(spark, sf_dir):
+    """Louvain phase-2 supergraph of the 4-round LPA partition: one vertex
+    per community, weighted edges (intra mass as self-loops) — the input
+    to the next multilevel pass (contract → pagerank/labelprop again)."""
+    from tldr_spark.operators.community import contract_communities
+    from tldr_spark.operators.labelprop import label_propagation
+
+    e = derive_edges(spark, sf_dir)
+    labels = label_propagation(e, max_rounds=4).labels
+    return contract_communities(e, labels).edges
+
+
+@_q(
+    "neighborhood_function_exact",
+    f"""WITH RECURSIVE {_E},
+    g AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+    verts AS (SELECT DISTINCT v FROM (
+      SELECT src AS v FROM g UNION SELECT dst FROM g)),
+    r(root, v, h) AS (
+      SELECT v, v, 0 FROM verts
+      UNION
+      SELECT r.root, g.dst, r.h + 1 FROM r JOIN g ON g.src = r.v WHERE r.h < 6
+    ),
+    minh AS (SELECT root, v, MIN(h) AS mh FROM r GROUP BY 1, 2),
+    hs AS (SELECT UNNEST(RANGE(0, 7)) AS h)
+    SELECT CAST(hs.h AS INTEGER) AS h, CAST(COUNT(m.mh) AS BIGINT) AS n_pairs
+    FROM hs LEFT JOIN minh m ON m.mh <= hs.h GROUP BY 1""",
+)
+def q_neighborhood_function_exact(spark, sf_dir):
+    """Exact neighborhood function N(h) for h=0..6 — #ordered pairs within
+    h hops; the effective-diameter curve of the link graph, and the
+    small-scale anchor for the HyperANF sketch path."""
+    from tldr_spark.operators.anf import neighborhood_function
+
+    return neighborhood_function(derive_edges(spark, sf_dir), max_h=6)
+
+
+@_q("hyper_anf", None)
+def q_hyper_anf(spark, sf_dir):
+    """HyperANF (Boldi-Rosa-Vigna): N(h) estimated from per-vertex
+    HyperLogLog ball sketches — fixed-size state per vertex, one
+    sketch-shuffle per round; the 10^12-page path to the same curve.
+    No SQL oracle (DuckDB cannot reproduce DataSketches registers);
+    pinned against the exact operator within HLL error in
+    tests/test_graph_ext.py."""
+    from tldr_spark.operators.anf import hyper_anf
+
+    return hyper_anf(derive_edges(spark, sf_dir), max_h=6, lg_k=12)
+
+
 # -- BFS hop distances from the out-hub seed set ------------------------------
 
 _BFS_SQL = f"""WITH RECURSIVE {_E},
@@ -1023,6 +1129,48 @@ def q_adamic_adar_pairs(spark, sf_dir):
             F.round(F.sum(1.0 / F.log("dz")) * 1048576).cast("long").alias("aa_q"),
             F.round(F.sum(1.0 / F.col("dz")) * 1048576).cast("long").alias("ra_q"),
         )
+    )
+
+
+@_q(
+    "neighbor_minhash_jaccard",
+    f"""WITH {_E}, {_SD_SQL},
+    nbr AS MATERIALIZED (SELECT DISTINCT id, nb FROM (
+      SELECT src AS id, dst AS nb FROM sd UNION SELECT dst, src FROM sd)),
+    sig AS (SELECT id,
+              min(substr(md5(CAST(nb AS VARCHAR)), 1, 8)) AS h0,
+              min(substr(md5(CAST(nb AS VARCHAR)), 9, 8)) AS h1,
+              min(substr(md5(CAST(nb AS VARCHAR)), 17, 8)) AS h2,
+              min(substr(md5(CAST(nb AS VARCHAR)), 25, 8)) AS h3
+            FROM nbr GROUP BY id),
+    cand AS (SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b
+             ON a.id < b.id
+             AND (a.h0 = b.h0 OR a.h1 = b.h1 OR a.h2 = b.h2 OR a.h3 = b.h3)),
+    sz AS (SELECT id, COUNT(*) AS sz FROM nbr GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+              FROM nbr a JOIN nbr b ON a.nb = b.nb AND a.id < b.id
+              JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
+              GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           CAST(ROUND(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) * 1048576) AS BIGINT)
+             AS jaccard_q
+    FROM inter i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
+    WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.2""",
+)
+def q_neighbor_minhash_jaccard(spark, sf_dir):
+    """Scale path for common_neighbor_jaccard: minhash the neighbor SETS
+    (md5-slice hashes, SQL-reproducible), bucket-join signatures for
+    candidates, exact-verify only candidate pairs — per-vertex state is
+    capped at num_hashes values, so a 10^7-degree hub never explodes the
+    wedge join. Oracle replays the identical hash arithmetic in DuckDB."""
+    from tldr_spark.operators.linksim import neighbor_minhash_jaccard
+
+    return neighbor_minhash_jaccard(
+        derive_edges(spark, sf_dir), threshold=0.2, num_hashes=4
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard") * 1048576).cast("long").alias("jaccard_q"),
     )
 
 

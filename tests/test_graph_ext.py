@@ -878,3 +878,220 @@ def test_salsa_matches_numpy_and_indegree_fixpoint(spark):
     gs = {r["id"]: r["auth"] for r in salsa(
         spark.createDataFrame(star, "src long, dst long"), 40).scores.collect()}
     assert abs(gs[10] / gs[11] - 3.0) < 1e-6
+
+
+# --- neighborhood MinHash-LSH similarity --------------------------------
+
+def test_neighbor_minhash_signatures_match_md5_oracle(spark):
+    import hashlib
+
+    from tldr_spark.operators.linksim import neighbor_minhash_signatures
+
+    edges = _rand_graph(53, 20, 70)
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    exp = {}
+    for v, nbs in adj.items():
+        hexes = [hashlib.md5(str(n).encode()).hexdigest() for n in nbs]
+        exp[v] = tuple(min(h[8 * i:8 * i + 8] for h in hexes) for i in range(4))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+        for r in neighbor_minhash_signatures(e, 4).collect()
+    }
+    assert got == exp
+
+
+def test_neighbor_minhash_jaccard_exact_on_candidates(spark):
+    from itertools import combinations
+
+    from tldr_spark.operators.linksim import (
+        neighbor_minhash_candidates,
+        neighbor_minhash_jaccard,
+    )
+
+    edges = _rand_graph(59, 16, 55)
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    exact = {}
+    for a, b in combinations(sorted(adj), 2):
+        i = len(adj[a] & adj[b])
+        if i:
+            exact[(a, b)] = i / len(adj[a] | adj[b])
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in neighbor_minhash_candidates(e, 4).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in neighbor_minhash_jaccard(e, threshold=0.2, num_hashes=4).collect()
+    }
+    # precision 1.0: every emitted pair is a candidate AND carries the
+    # exact jaccard of the full operator
+    for k, j in got.items():
+        assert k in cand
+        assert k in exact and abs(j - exact[k]) < 1e-12, k
+    # identical minhash signatures imply candidacy, so any pair with
+    # jaccard 1.0 (identical neighbor sets) must be recalled
+    for k, j in exact.items():
+        if j == 1.0:
+            assert k in got, k
+
+
+# --- community stats & contraction --------------------------------------
+
+def test_community_stats_matches_brute(spark):
+    from tldr_spark.operators.community import community_stats
+
+    edges = _rand_graph(61, 18, 60)
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    verts = sorted({v for e in und for v in e})
+    lab = {v: v % 4 for v in verts}
+    m = len(und)
+    exp = {}
+    for c in sorted({v % 4 for v in verts}):
+        members = {v for v in verts if lab[v] == c}
+        internal = sum(1 for a, b in und if a in members and b in members)
+        cut = sum(1 for a, b in und if (a in members) != (b in members))
+        vol = 2 * internal + cut
+        cond = 0.0 if cut == 0 else cut / min(vol, 2 * m - vol)
+        exp[c] = (len(members), internal, cut, vol, cond)
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    asg = spark.createDataFrame([(v, lab[v]) for v in verts], "id long, label long")
+    got = {
+        r["community"]: (
+            r["n_vertices"], r["internal_edges"], r["cut_edges"],
+            r["volume"], r["conductance"],
+        )
+        for r in community_stats(e, asg).collect()
+    }
+    assert set(got) == set(exp)
+    for c in exp:
+        assert got[c][:4] == exp[c][:4], c
+        assert abs(got[c][4] - exp[c][4]) < 1e-12, c
+
+
+def test_contract_communities_matches_brute_and_conserves_mass(spark):
+    from tldr_spark.operators.community import contract_communities
+
+    edges = _rand_graph(67, 20, 70)
+    sd = {(a, b) for a, b in edges}
+    verts = sorted({v for e in sd for v in e})
+    lab = {v: v % 3 for v in verts}
+    exp_edges = {}
+    for a, b in sd:
+        k = (lab[a], lab[b])
+        exp_edges[k] = exp_edges.get(k, 0) + 1
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    asg = spark.createDataFrame([(v, lab[v]) for v in verts], "id long, label long")
+    res = contract_communities(e, asg)
+    got_edges = {
+        (r["src"], r["dst"]): r["weight"] for r in res.edges.collect()
+    }
+    assert got_edges == exp_edges
+    got_nodes = {r["community"]: r["n_vertices"] for r in res.nodes.collect()}
+    from collections import Counter
+    assert got_nodes == dict(Counter(lab.values()))
+    # mass conservation: supergraph weight == simple directed edge count
+    assert sum(got_edges.values()) == len(sd)
+
+
+def test_labelprop_contract_pagerank_composes(spark):
+    """Multilevel composition: labelprop communities -> contracted
+    supergraph -> PageRank on the supergraph runs end to end and the
+    supergraph is strictly smaller."""
+    from tldr_spark.operators.community import contract_communities
+    from tldr_spark.operators.labelprop import label_propagation
+    from tldr_spark.operators.pagerank import pagerank
+
+    edges = _rand_graph(71, 30, 90)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labels = label_propagation(e, max_rounds=5).labels
+    res = contract_communities(e, labels)
+    n_super = res.nodes.count()
+    n_orig = labels.count()
+    assert 0 < n_super <= n_orig
+    pr = pagerank(res.edges.filter("src != dst"), max_iter=10)
+    assert pr.ranks.count() == res.edges.filter("src != dst").selectExpr(
+        "explode(array(src, dst)) v").select("v").distinct().count()
+
+
+# --- neighborhood function / effective diameter -------------------------
+
+def _nf_oracle(edges, max_h, directed=True):
+    from collections import deque
+
+    adj = {}
+    verts = set()
+    for s, d in {(a, b) for a, b in edges if a != b}:
+        adj.setdefault(s, set()).add(d)
+        verts.update((s, d))
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    counts = [0] * (max_h + 1)
+    for root in verts:
+        dist = {root: 0}
+        dq = deque([root])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= max_h:
+                continue
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        for d in dist.values():
+            for h in range(d, max_h + 1):
+                counts[h] += 1
+    return {h: counts[h] for h in range(max_h + 1)}
+
+
+def test_neighborhood_function_exact_matches_bfs_oracle(spark):
+    from tldr_spark.operators.anf import neighborhood_function
+
+    edges = _rand_graph(73, 24, 70)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    for directed in (True, False):
+        exp = _nf_oracle(edges, 6, directed)
+        got = {
+            r["h"]: r["n_pairs"]
+            for r in neighborhood_function(e, max_h=6, directed=directed).collect()
+        }
+        assert got == exp, directed
+
+
+def test_hyper_anf_tracks_exact_within_hll_error(spark):
+    from tldr_spark.operators.anf import hyper_anf
+
+    edges = _rand_graph(79, 60, 200)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    exp = _nf_oracle(edges, 5)
+    got = {
+        r["h"]: r["n_pairs_est"] for r in hyper_anf(e, max_h=5, lg_k=12).collect()
+    }
+    assert set(got) == set(exp)
+    for h in exp:
+        assert abs(got[h] - exp[h]) / exp[h] < 0.05, (h, got[h], exp[h])
+
+
+def test_effective_diameter_chain(spark):
+    from tldr_spark.operators.anf import effective_diameter, neighborhood_function
+
+    # directed 11-vertex chain: N(h) = sum_{i=0..10} min(h+1, 11-i)
+    chain = [(i, i + 1) for i in range(10)]
+    e = spark.createDataFrame(chain, "src long, dst long")
+    nf = neighborhood_function(e, max_h=10)
+    got = {r["h"]: r["n_pairs"] for r in nf.collect()}
+    exp = {h: sum(min(h + 1, 11 - i) for i in range(11)) for h in range(11)}
+    assert got == exp
+    d = effective_diameter(nf, quantile=0.9)
+    # cumulative pairs hit 0.9*66 = 59.4 between h=6 (n=56) and h=7 (n=60)
+    assert 6.0 < d < 7.0

@@ -1,0 +1,156 @@
+"""Approximate Neighborhood Function & effective diameter.
+
+  neighborhood_function   EXACT N(h) = #{(u,v): dist(u,v) <= h} for
+                          h = 0..max_h by distinct-pair frontier
+                          expansion — O(n·m) state, the small-scale
+                          oracle and correctness anchor
+  hyper_anf               HyperANF (Boldi, Rosa, Vigna, WWW 2011): one
+                          HyperLogLog sketch per vertex of the ball
+                          B(v, h), iterated as
+                            sketch_{h+1}(v) = sketch_h(v) ∪
+                                              ⋃_{(v,w)∈E} sketch_h(w)
+                          using Spark's JVM-side Apache DataSketches
+                          aggregates (hll_sketch_agg / hll_union_agg) —
+                          per-vertex state is a fixed-size sketch
+                          (2^lg_k registers), so one iteration is one
+                          sketch-shuffle regardless of ball size: the
+                          100 TB path to N(h) and effective diameter
+  effective_diameter      smallest h with N(h) >= q · N(max_h)
+                          (interpolated, q = 0.9 by convention)
+
+The exact operator's reached-set rows explode with the ball sizes (on a
+web graph ~n² pairs by h≈6) — it exists to pin the sketch path at test
+scale, same pairing as dedup's ngram_jaccard (exact) vs minhash-LSH
+(scale). HyperANF's relative error is that of HLL at the chosen lg_k
+(~1.04/sqrt(2^lg_k) per vertex, tighter after summing over vertices);
+sketches and unions are deterministic (register-wise max), so repeated
+runs agree bit-for-bit.
+
+Generalizes the reachability machinery the reference never had — its
+pipeline (/root/reference/tldr.go) ranks one document's sentence graph in
+memory; distance distributions over 10^12-page crawls need sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _simple_edges(edges: DataFrame, directed: bool) -> DataFrame:
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    return e
+
+
+def neighborhood_function(
+    edges: DataFrame, max_h: int = 8, directed: bool = True
+) -> DataFrame:
+    """(h, n_pairs) for h = 0..max_h — EXACT count of ordered vertex pairs
+    (u, v), u's ball including u itself, with dist(u, v) <= h.
+
+    Frontier expansion over distinct (root, v) pairs; each round joins the
+    current reached set to the edge list and unions — rows grow with the
+    ball sizes, so this is the verification-scale twin of hyper_anf, not
+    the production path."""
+    e = _simple_edges(edges, directed)
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    reached = verts.select(F.col("v").alias("root"), "v", F.lit(0).alias("h"))
+    counts = [(0, reached.count())]
+    cur = reached.localCheckpoint(eager=True)
+    for h in range(1, max_h + 1):
+        nxt = (
+            cur.join(e.withColumnRenamed("src", "v"), "v")
+            .select("root", F.col("dst").alias("v"), F.lit(h).alias("h"))
+            .union(cur)
+            .groupBy("root", "v")
+            .agg(F.min("h").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        counts.append((h, n))
+        if n == counts[-2][1]:
+            # ball closed early: N(h') = N(h) for all h' > h
+            counts.extend((hh, n) for hh in range(h + 1, max_h + 1))
+            cur = nxt
+            break
+        cur = nxt
+    spark = edges.sparkSession
+    return spark.createDataFrame(counts, "h int, n_pairs long")
+
+
+def hyper_anf(
+    edges: DataFrame, max_h: int = 8, lg_k: int = 12, directed: bool = True
+) -> DataFrame:
+    """(h, n_pairs_est) for h = 0..max_h via per-vertex HLL ball sketches.
+
+    Iteration h joins each vertex's sketch to its in-edges and unions
+    map-side per destination — ONE shuffle of fixed-size sketches per
+    round (the groupBy), plus a broadcast-able union with the previous
+    state. N(h) = sum over vertices of the sketch estimate."""
+    e = _simple_edges(edges, directed)
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    # sketch of B(v, 0) = {v}
+    sk = verts.groupBy("v").agg(F.hll_sketch_agg("v", F.lit(lg_k)).alias("sk"))
+    out = [
+        (
+            0,
+            float(
+                sk.agg(
+                    F.sum(F.hll_sketch_estimate("sk")).alias("n")
+                ).collect()[0]["n"]
+            ),
+        )
+    ]
+    sk = sk.localCheckpoint(eager=True)
+    for h in range(1, max_h + 1):
+        # pull neighbor sketches onto the source vertex and union
+        nbr = (
+            e.join(sk.withColumnRenamed("v", "dst"), "dst")
+            .select(F.col("src").alias("v"), "sk")
+            .union(sk)
+            .groupBy("v")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .localCheckpoint(eager=True)
+        )
+        est = float(
+            nbr.agg(F.sum(F.hll_sketch_estimate("sk")).alias("n")).collect()[0]["n"]
+        )
+        out.append((h, est))
+        sk = nbr
+    spark = edges.sparkSession
+    return spark.createDataFrame(out, "h int, n_pairs_est double")
+
+
+def effective_diameter(
+    nf: DataFrame, quantile: float = 0.9, count_col: str | None = None
+) -> float:
+    """Interpolated effective diameter from a neighborhood-function frame
+    (exact or estimated): the smallest (fractional) h whose cumulative
+    pair count reaches ``quantile`` of the final count (Palmer-Gibbons-
+    Faloutsos convention)."""
+    col = count_col or [c for c in nf.columns if c != "h"][0]
+    rows = sorted((r["h"], float(r[col])) for r in nf.collect())
+    total = rows[-1][1]
+    target = quantile * total
+    prev_h, prev_n = rows[0]
+    if prev_n >= target:
+        return float(prev_h)
+    for h, n in rows[1:]:
+        if n >= target:
+            # linear interpolation between the straddling rounds
+            return prev_h + (target - prev_n) / (n - prev_n)
+        prev_h, prev_n = h, n
+    return float(rows[-1][0])
