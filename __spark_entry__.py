@@ -2200,6 +2200,10 @@ _DEPRIORITIZED = [
     "ktruss_k3_edges",
     "eigenvector_fixed12",
     "salsa_fixed10",
+    "neighbor_minhash_jaccard",
+    "community_conductance",
+    "community_contraction",
+    "neighborhood_function_exact",
 ]
 
 
