@@ -1133,6 +1133,36 @@ def q_adamic_adar_pairs(spark, sf_dir):
 
 
 @_q(
+    "link_recommendations",
+    f"""WITH {_E}, {_SD_SQL},
+    nbr AS MATERIALIZED (SELECT DISTINCT id, nb FROM (
+      SELECT src AS id, dst AS nb FROM sd UNION SELECT dst, src FROM sd)),
+    deg AS (SELECT id, COUNT(*) AS dz FROM nbr GROUP BY id),
+    ra AS (SELECT a.id AS id_a, b.id AS id_b, SUM(1.0 / d.dz) AS score
+           FROM nbr a JOIN nbr b ON a.nb = b.nb AND a.id < b.id
+           JOIN deg d ON d.id = a.nb GROUP BY 1, 2),
+    bth AS (SELECT id_a AS id, id_b AS rec, score FROM ra
+            UNION ALL SELECT id_b, id_a, score FROM ra),
+    cand AS (SELECT bth.id, bth.rec,
+                    CAST(ROUND(bth.score * 1048576) AS BIGINT) AS score_q
+             FROM bth ANTI JOIN nbr n ON n.id = bth.id AND n.nb = bth.rec)
+    SELECT id, rec, score_q, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT id, rec, score_q,
+             ROW_NUMBER() OVER (PARTITION BY id
+                                ORDER BY score_q DESC, rec ASC) AS rk
+      FROM cand) WHERE rk <= 5""",
+)
+def q_link_recommendations(spark, sf_dir):
+    """Top-5 link predictions per vertex (resource-allocation scored,
+    existing undirected edges anti-joined away, per-vertex window over the
+    QUANTIZED score so cross-engine tie order is exact) — the "related
+    pages you don't already link" product surface."""
+    from tldr_spark.operators.linksim import link_recommendations
+
+    return link_recommendations(derive_edges(spark, sf_dir), k=5)
+
+
+@_q(
     "neighbor_minhash_jaccard",
     f"""WITH {_E}, {_SD_SQL},
     nbr AS MATERIALIZED (SELECT DISTINCT id, nb FROM (
@@ -2204,6 +2234,7 @@ _DEPRIORITIZED = [
     "community_conductance",
     "community_contraction",
     "neighborhood_function_exact",
+    "link_recommendations",
 ]
 
 

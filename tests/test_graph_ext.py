@@ -1095,3 +1095,39 @@ def test_effective_diameter_chain(spark):
     d = effective_diameter(nf, quantile=0.9)
     # cumulative pairs hit 0.9*66 = 59.4 between h=6 (n=56) and h=7 (n=60)
     assert 6.0 < d < 7.0
+
+
+# --- link recommendations -----------------------------------------------
+
+def test_link_recommendations_match_brute(spark):
+    from itertools import combinations
+
+    from tldr_spark.operators.linksim import link_recommendations
+
+    edges = _rand_graph(83, 22, 66)
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    scores = {}  # directed (id, rec) -> quantized RA score
+    for a, b in combinations(sorted(adj), 2):
+        common = adj[a] & adj[b]
+        if not common or b in adj[a]:
+            continue
+        q = round(sum(1.0 / len(adj[z]) for z in common) * 1048576)
+        scores[(a, b)] = q
+        scores[(b, a)] = q
+    exp = {}
+    for (i, r), q in scores.items():
+        exp.setdefault(i, []).append((-q, r))
+    k = 3
+    exp_top = {
+        i: [(r, -nq, rk + 1) for rk, (nq, r) in enumerate(sorted(v)[:k])]
+        for i, v in exp.items()
+    }
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {}
+    for row in link_recommendations(e, k=3).collect():
+        got.setdefault(row["id"], []).append((row["rec"], row["score_q"], row["rk"]))
+    got = {i: sorted(v, key=lambda t: t[2]) for i, v in got.items()}
+    assert got == exp_top

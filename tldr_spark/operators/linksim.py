@@ -267,3 +267,36 @@ def neighbor_minhash_jaccard(
     out = out.localCheckpoint(eager=True)
     nb.unpersist()
     return out
+
+
+def link_recommendations(
+    edges: DataFrame, k: int = 5, quant: int = 1048576
+) -> DataFrame:
+    """(id, rec, score_q, rk) — top-k link predictions per vertex: the
+    "related pages you don't already link" surface. Candidates and scores
+    come from resource_allocation (strongest simple predictor on web-ish
+    graphs); pairs already adjacent (undirected) are anti-joined away;
+    ranking is per-vertex (window partitioned by id — no global sort) over
+    the QUANTIZED score so cross-engine tie order is exact: ties break by
+    candidate id ascending.
+
+    Scale shape: the RA pair join is the wedge join (sparse, hub-skew via
+    AQE); the anti-join and the per-vertex top-k window both partition by
+    vertex — nothing global anywhere."""
+    from pyspark.sql import Window
+
+    ra = resource_allocation(edges)
+    both = ra.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("rec"), "score"
+    ).union(ra.select(F.col("id_b").alias("id"), F.col("id_a").alias("rec"), "score"))
+    nb = _undirected_neighbors(edges).select(
+        F.col("id"), F.col("nb").alias("rec")
+    )
+    cand = both.join(nb, ["id", "rec"], "left_anti").select(
+        "id", "rec", F.round(F.col("score") * quant).cast("long").alias("score_q")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score_q").desc(), F.col("rec").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
