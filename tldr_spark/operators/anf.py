@@ -95,25 +95,29 @@ def hyper_anf(
     Iteration h joins each vertex's sketch to its in-edges and unions
     map-side per destination — ONE shuffle of fixed-size sketches per
     round (the groupBy), plus a broadcast-able union with the previous
-    state. N(h) = sum over vertices of the sketch estimate."""
+    state. N(h) = sum over vertices of the sketch estimate.
+
+    Empty edge input returns the zero curve (n_pairs_est = 0.0 for every
+    h), matching :func:`neighborhood_function`'s exact-twin behavior —
+    the sum aggregate is NULL over zero vertices, so it is coalesced."""
     e = _simple_edges(edges, directed)
     verts = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
         .distinct()
     )
+
+    def _total(frame: DataFrame) -> float:
+        # coalesce: sum() over an empty frame is NULL, not 0
+        return float(
+            frame.agg(
+                F.coalesce(F.sum(F.hll_sketch_estimate("sk")), F.lit(0.0)).alias("n")
+            ).collect()[0]["n"]
+        )
+
     # sketch of B(v, 0) = {v}
     sk = verts.groupBy("v").agg(F.hll_sketch_agg("v", F.lit(lg_k)).alias("sk"))
-    out = [
-        (
-            0,
-            float(
-                sk.agg(
-                    F.sum(F.hll_sketch_estimate("sk")).alias("n")
-                ).collect()[0]["n"]
-            ),
-        )
-    ]
+    out = [(0, _total(sk))]
     sk = sk.localCheckpoint(eager=True)
     for h in range(1, max_h + 1):
         # pull neighbor sketches onto the source vertex and union
@@ -125,9 +129,7 @@ def hyper_anf(
             .agg(F.hll_union_agg("sk").alias("sk"))
             .localCheckpoint(eager=True)
         )
-        est = float(
-            nbr.agg(F.sum(F.hll_sketch_estimate("sk")).alias("n")).collect()[0]["n"]
-        )
+        est = _total(nbr)
         out.append((h, est))
         sk = nbr
     spark = edges.sparkSession

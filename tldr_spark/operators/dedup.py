@@ -34,7 +34,7 @@ def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     """(id, pos, token) — whitespace split, JVM-side."""
     return docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "token"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+")).alias("pos", "token"),
     ).filter(F.col("token") != "")
 
 

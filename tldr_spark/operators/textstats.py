@@ -17,7 +17,7 @@ STOPWORDS = {
 
 def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_alpha_tokens) — whitespace + BPE-ish word regex."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+")
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.filter(toks, lambda t: t != "")).alias("n_tokens"),
@@ -36,7 +36,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     text = F.col(text_col)
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split(F.trim(text), r"[ \t\n\r\f]+"), lambda t: t != "")
     n_tok = F.size(toks)
     sw = STOPWORDS["en"]
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(sw)))
@@ -59,7 +59,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred, en_hits, de_hits, fr_hits) — stopword-hit
     heuristic; argmax with deterministic en > de > fr priority on ties."""
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"), lambda t: t != "")
 
     # NB: F.filter treats a two-arg lambda as (element, index) — a default
     # arg like `lambda t, sw=sw:` silently binds sw to the INDEX column
@@ -88,7 +88,7 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """(doc_id, fingerprint) — md5 of the sorted distinct token set: a
     content fingerprint invariant to token order/duplication (bag-of-words
     identity), the relational analogue of a rolling-hash sketch."""
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+"), lambda t: t != "")
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
@@ -96,7 +96,7 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _tokens(text_col: str):
-    return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+"), lambda t: t != "")
 
 
 def repetition_stats(
@@ -193,7 +193,7 @@ def paragraph_dedup(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.filter(
-                F.split(F.col(text_col), r"\n\s*\n"), lambda s: F.trim(s) != ""
+                F.split(F.col(text_col), r"\n[ \t\n\r\f]*\n"), lambda s: F.trim(s) != ""
             )
         ).alias("para_idx", "para"),
     ).select(
