@@ -2201,6 +2201,130 @@ def q_simhash_near_dup_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+# -- Louvain phase-1 (alternating-parity sync local moves, unrolled) --------
+
+def _louvain_sql(rounds: int = 6) -> str:
+    """Unrolled mirror of operators/community.py:louvain_move_pass — the
+    weighted modularity-gain rule scored as m2·w_in − k·(tot − [own]·k)
+    (every term an integer-valued double on this edge table, so argmax
+    comparisons are bit-identical across engines), alternating id-parity
+    movers per half-round, stay-on-tie then min community id."""
+    parts = [
+        _E,
+        """symw AS MATERIALIZED (
+          SELECT u, v, SUM(w) AS w FROM (
+            SELECT src AS u, dst AS v, weight AS w FROM e WHERE src <> dst
+            UNION ALL SELECT dst, src, weight FROM e WHERE src <> dst
+          ) GROUP BY u, v)""",
+        "deg AS MATERIALIZED (SELECT u AS id, SUM(w) AS k FROM symw GROUP BY u)",
+        "mm AS MATERIALIZED (SELECT SUM(w) AS m2 FROM symw)",
+        "s0 AS MATERIALIZED (SELECT id, id AS label FROM deg)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"s{r - 1}"
+        parts.append(
+            f"""tot{r} AS MATERIALIZED (
+              SELECT s.label, SUM(d.k) AS tot
+              FROM {p} s JOIN deg d ON d.id = s.id GROUP BY s.label)"""
+        )
+        parts.append(
+            f"""cand{r} AS MATERIALIZED (
+              SELECT id, c, SUM(w_in) AS w_in FROM (
+                SELECT symw.u AS id, p.label AS c, symw.w AS w_in
+                FROM symw JOIN {p} p ON p.id = symw.v
+                UNION ALL SELECT id, label AS c, 0.0 AS w_in FROM {p}
+              ) GROUP BY id, c)"""
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+              SELECT id,
+                     CASE WHEN id % 2 = {r % 2} THEN c ELSE label END AS label
+              FROM (
+                SELECT a.id, s.label, a.c,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY a.id
+                         ORDER BY (mm.m2 * a.w_in
+                                   - d.k * (t.tot - CASE WHEN a.c = s.label
+                                                         THEN d.k ELSE 0 END)) DESC,
+                                  (a.c = s.label) DESC, a.c ASC
+                       ) AS rn
+                FROM cand{r} a
+                JOIN {p} s ON s.id = a.id
+                JOIN deg d ON d.id = a.id
+                JOIN tot{r} t ON t.label = a.c
+                CROSS JOIN mm
+              ) WHERE rn = 1)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id AS vertex, label FROM s{rounds}"
+
+
+@_q("louvain_labels", _louvain_sql(6))
+def q_louvain_labels(spark, sf_dir):
+    """6 half-rounds (3 full parity cycles) of Louvain phase-1 from
+    singleton communities. The operator may stop earlier at a full-cycle
+    fixpoint — every remaining unrolled SQL round is then a no-op, so the
+    states agree (same argument as the k-core fixed-round oracle)."""
+    from tldr_spark.operators.community import louvain_move_pass
+
+    res = louvain_move_pass(derive_edges(spark, sf_dir), max_rounds=6)
+    return res.labels.select(F.col("id").alias("vertex"), "label")
+
+
+@_q(
+    "louvain_modularity",
+    f"""WITH RECURSIVE {_E},
+    und2 AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM e WHERE src <> dst GROUP BY 1, 2),
+    lab AS MATERIALIZED (SELECT * FROM ({_louvain_sql(6)}) t),
+    mm AS (SELECT COUNT(*) AS m FROM und2),
+    ew AS MATERIALIZED (SELECT la.label AS ca, lb.label AS cb
+          FROM und2 JOIN lab la ON la.vertex = und2.a
+                    JOIN lab lb ON lb.vertex = und2.b),
+    within AS (SELECT ca AS c, COUNT(*) AS e_c FROM ew WHERE ca = cb GROUP BY 1),
+    degm AS (SELECT c, COUNT(*) AS d_c FROM (
+               SELECT ca AS c FROM ew UNION ALL SELECT cb FROM ew) GROUP BY 1)
+    SELECT CAST(ROUND(SUM(COALESCE(w.e_c, 0) * 1.0 / mm.m
+                          - POW(degm.d_c / (2.0 * mm.m), 2)) * 1048576) AS BIGINT)
+             AS modularity_q,
+           MAX(mm.m) AS m,
+           COUNT(*) AS n_communities
+    FROM degm LEFT JOIN within w ON w.c = degm.c CROSS JOIN mm""",
+)
+def q_louvain_modularity(spark, sf_dir):
+    """Newman Q of the 6-half-round Louvain phase-1 partition — by
+    construction at least the singleton baseline, and in practice above
+    the 4-round LPA partition's Q on this graph (asserted in
+    tests/test_louvain.py on oracle graphs)."""
+    from tldr_spark.operators.community import louvain_move_pass
+    from tldr_spark.operators.stats import partition_modularity
+
+    e = derive_edges(spark, sf_dir)
+    labels = louvain_move_pass(e, max_rounds=6).labels
+    return partition_modularity(e, labels).select(
+        F.round(F.col("modularity") * 1048576).cast("long").alias("modularity_q"),
+        "m",
+        "n_communities",
+    )
+
+
+@_q("louvain_communities", None)
+def q_louvain_communities(spark, sf_dir):
+    """Full MULTILEVEL Louvain (phase-1 + weighted contraction, repeated)
+    over the link graph — community sizes, largest first. Rows-only: the
+    multilevel composition is pinned by tests/test_louvain.py (brute-force
+    max-modularity oracle on enumerable graphs, ring-of-cliques
+    multilevel case, determinism across layouts)."""
+    from tldr_spark.operators.community import louvain
+
+    res = louvain(derive_edges(spark, sf_dir))
+    return (
+        res.labels.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

@@ -194,3 +194,53 @@ def test_pagerank_from_bucketed_prepared_edges(spark):
     plain_plan = plain._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" in plain_plan
     spark.sql("DROP TABLE IF EXISTS pr_edges_bucketed")
+
+
+def test_auto_strategy_selects_shuffle_past_vertex_limit(spark):
+    """broadcast_ranks=None picks the strategy from the counted vertex set:
+    a tiny broadcast_vertex_limit forces the shuffle-join path through the
+    AUTO selector and the fixpoint still matches the oracle (the dual-path
+    equality test, exercised via auto instead of the explicit flag)."""
+    expected, got, _ = _run_both(
+        spark, GRAPHS["weighted_hub"], broadcast_ranks=None, broadcast_vertex_limit=2
+    )
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-6)
+    # and above the limit auto picks broadcast, same fixpoint
+    expected, got, _ = _run_both(
+        spark, GRAPHS["weighted_hub"], broadcast_ranks=None,
+        broadcast_vertex_limit=10_000,
+    )
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-6)
+
+
+def test_auto_strategy_personalized(spark):
+    """The auto selector in personalized_pagerank: both forced paths and
+    the auto-forced-shuffle path agree on the PPR fixpoint."""
+    from tldr_spark.operators.pagerank import personalized_pagerank
+
+    df = spark.createDataFrame(
+        [(s, d, w) for s, d, w in GRAPHS["weighted_hub"]],
+        "src long, dst long, weight double",
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    want = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(
+            df, seeds, tolerance=1e-12, broadcast_ranks=True
+        ).ranks.collect()
+    }
+    for kw in (
+        {"broadcast_ranks": False},
+        {"broadcast_ranks": None, "broadcast_vertex_limit": 2},
+    ):
+        got = {
+            r["id"]: r["rank"]
+            for r in personalized_pagerank(
+                df, seeds, tolerance=1e-12, **kw
+            ).ranks.collect()
+        }
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), (kw, v)

