@@ -2325,6 +2325,227 @@ def q_louvain_communities(spark, sf_dir):
     )
 
 
+# -- round-3 wave: motifs, full core decomposition, condensation DAG, ---------
+# -- host-level link graph -----------------------------------------------------
+
+_FOUR_CLIQUES_SQL = f"""WITH {_E},
+  und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+  tri AS (SELECT e1.a, e1.b, e2.b AS c FROM und e1
+          JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT CAST(COUNT(*) AS BIGINT) AS four_cliques
+FROM tri JOIN und ad ON ad.a = tri.a
+         JOIN und bd ON bd.a = tri.b AND bd.b = ad.b
+         JOIN und cd ON cd.a = tri.c AND cd.b = ad.b"""
+
+
+@_q("four_cliques_total", _FOUR_CLIQUES_SQL)
+def q_four_cliques_total(spark, sf_dir):
+    """K4 motif count — oriented-join formulation (one labeling per clique
+    under a total-order orientation, so no multiplicity division). The
+    count is orientation-invariant: the engine orients by (degree, id) for
+    hub-skew safety, the oracle by plain id."""
+    from tldr_spark.operators.triangles import four_clique_count
+
+    n = four_clique_count(derive_edges(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "four_cliques long")
+
+
+def _coreness_sql(max_k: int = 6, rounds: int = 16) -> str:
+    """Unrolled progressive peel: level k peels level (k-1)'s survivor set
+    (the (k+1)-core is a subgraph of the k-core). coreness(v) = the largest
+    k whose level still contains v. The paired Spark query asserts the
+    observed degeneracy and per-level peel depths fit inside (max_k,
+    rounds), so a deeper graph fails loudly instead of silently diverging
+    from the truncated unroll (same contract as the k-truss oracle)."""
+    parts = [
+        _E,
+        """und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+             SELECT src AS u, dst AS v FROM e WHERE src <> dst
+             UNION SELECT dst, src FROM e WHERE src <> dst))""",
+        "c1_0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM und)",
+    ]
+    for k in range(1, max_k + 1):
+        if k > 1:
+            parts.append(f"c{k}_0 AS MATERIALIZED (SELECT id FROM c{k - 1}_{rounds})")
+        for r in range(1, rounds + 1):
+            p = f"c{k}_{r - 1}"
+            parts.append(
+                f"""c{k}_{r} AS MATERIALIZED (SELECT und.u AS id FROM und
+                   JOIN {p} a ON a.id = und.u
+                   JOIN {p} b ON b.id = und.v
+                   GROUP BY und.u HAVING COUNT(*) >= {k})"""
+            )
+    lvl = " UNION ALL ".join(
+        f"SELECT id, {k} AS k FROM c{k}_{rounds}" for k in range(1, max_k + 1)
+    )
+    parts.append(f"lvl AS ({lvl})")
+    return (
+        "WITH " + ",\n".join(parts)
+        + """\nSELECT v0.id AS vertex, CAST(COALESCE(MAX(lvl.k), 0) AS BIGINT) AS coreness
+FROM c1_0 v0 LEFT JOIN lvl ON lvl.id = v0.id GROUP BY v0.id"""
+    )
+
+
+_CORENESS_MAX_K, _CORENESS_ROUNDS = 6, 16
+
+
+@_q("coreness", _coreness_sql(_CORENESS_MAX_K, _CORENESS_ROUNDS))
+def q_coreness(spark, sf_dir):
+    """Full core decomposition (coreness per vertex) via progressive peel;
+    the h-index scale path is differential-tested equal in
+    tests/test_round3_ops.py. Asserts the oracle's truncated unroll covers
+    the observed degeneracy + peel depths (peeling is monotone, so a
+    converged level equals any later fixed round)."""
+    from tldr_spark.operators.kcore import core_decomposition
+
+    res = core_decomposition(derive_edges(spark, sf_dir))
+    if res.max_k >= _CORENESS_MAX_K or any(r > _CORENESS_ROUNDS for r in res.rounds_per_k):
+        raise RuntimeError(
+            f"core decomposition observed max_k={res.max_k}, "
+            f"rounds_per_k={res.rounds_per_k} — outside the oracle's "
+            f"({_CORENESS_MAX_K}, {_CORENESS_ROUNDS}) unroll; regenerate _coreness_sql deeper"
+        )
+    return res.assignments.select(F.col("id").alias("vertex"), "coreness")
+
+
+_CONDENSATION_SQL = f"""WITH RECURSIVE {_E},
+  g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+  verts AS (SELECT DISTINCT v AS id FROM (SELECT src AS v FROM g UNION SELECT dst FROM g)),
+  fw(u, v) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT f.u, g.dst FROM fw f JOIN g ON g.src = f.v
+  ),
+  comp AS (SELECT a.u AS vertex, MIN(a.v) AS component
+           FROM fw a JOIN fw b ON b.u = a.v AND b.v = a.u GROUP BY a.u)
+SELECT cs.component AS src_component, cd.component AS dst_component,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM g JOIN comp cs ON cs.vertex = g.src
+       JOIN comp cd ON cd.vertex = g.dst
+WHERE cs.component <> cd.component
+GROUP BY 1, 2"""
+
+
+@_q("scc_condensation", _CONDENSATION_SQL)
+def q_scc_condensation(spark, sf_dir):
+    """Condensation DAG of the link graph (Broder bow-tie reducer): one
+    edge per ordered pair of distinct SCCs with its cross-edge count."""
+    from tldr_spark.operators.scc import condensation
+
+    return condensation(derive_edges(spark, sf_dir))
+
+
+_TFIDF_TOP_SQL = f"""WITH {_SQL_TOKS},
+  tc AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+  dfq AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY 1),
+  nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+  ranked AS (
+    SELECT tc.doc_id, tc.token, tc.tf, dfq.df,
+           ROW_NUMBER() OVER (PARTITION BY tc.doc_id
+                              ORDER BY tc.tf DESC, dfq.df ASC, tc.token ASC) AS rn
+    FROM tc JOIN dfq USING (token))
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rn <= 3"""
+
+
+@_q("tfidf_top_terms", _TFIDF_TOP_SQL)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document from the sparse TF-IDF
+    matrix. The rank key is the deterministic INTEGER triple
+    (tf desc, df asc, token asc) — same monotone intent as tf·idf but with
+    no ln() in the cross-engine comparison path (libm last-ulp behavior is
+    engine-specific; the float tfidf itself is pinned by
+    tests/test_round3_ops.py against python math.log)."""
+    from tldr_spark.operators.tfidf import tfidf_vectors
+
+    vec = tfidf_vectors(_docs(spark, sf_dir))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        vec.select("doc_id", "token", "tf", "df", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+_TF_COSINE_SQL = f"""WITH {_SQL_TOKS},
+  tc AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS w FROM toks GROUP BY 1, 2),
+  norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM tc GROUP BY 1),
+  dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+           FROM tc a JOIN tc b ON b.token = a.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(ROUND(dot / (na.nrm * nb.nrm) * 1048576) AS BIGINT) AS cosine_q
+FROM dots JOIN norms na ON na.doc_id = doc_a
+          JOIN norms nb ON nb.doc_id = doc_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.85"""
+
+
+@_q("tf_cosine_pairs", _TF_COSINE_SQL)
+def q_tf_cosine_pairs(spark, sf_dir):
+    """Sparse cosine document-similarity join under raw term-frequency
+    weighting (integer dots + IEEE-exact sqrt/div → bit-identical across
+    engines; the tfidf weighting of the same operator is pytest-pinned).
+    Threshold 0.85 keeps the pair set meaningful (571 rows at sf0.01) on
+    the vocabulary-dense synthetic corpus."""
+    from tldr_spark.operators.tfidf import tfidf_cosine_pairs
+
+    pairs = tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.85, weighting="tf")
+    return pairs.select(
+        "doc_a", "doc_b", F.round(F.col("cosine") * 1048576).cast("long").alias("cosine_q")
+    )
+
+
+_UNIGRAM_SQL = f"""WITH {_SQL_TOKS},
+  tc AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+  corpus AS (SELECT token, SUM(tf) AS c FROM tc GROUP BY 1),
+  tot AS (SELECT SUM(c) AS t_tokens, COUNT(*) AS v_vocab FROM corpus),
+  scored AS (
+    SELECT tc.doc_id, SUM(tc.tf) AS n_tokens,
+           SUM(tc.tf * LN(CAST(corpus.c + 1 AS DOUBLE) / (tot.t_tokens + tot.v_vocab)))
+             / SUM(tc.tf) AS mean_logprob
+    FROM tc JOIN corpus USING (token) CROSS JOIN tot
+    GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(ROUND(s.mean_logprob * 1024) AS BIGINT) AS logprob_q
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
+
+
+@_q("unigram_quality", _UNIGRAM_SQL)
+def q_unigram_quality(spark, sf_dir):
+    """CCNet-style perplexity-proxy quality score: per-doc mean token
+    log-probability under the corpus's own add-one-smoothed unigram model.
+    Quantized at 2^10 — coarse enough that libm ln() last-ulp differences
+    cannot move the rounded integer (verified bit-equal at sf0.01)."""
+    from tldr_spark.operators.tfidf import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("mean_logprob") * 1024).cast("long").alias("logprob_q"),
+    )
+
+
+@_q("host_linkgraph_top", None)
+def q_host_linkgraph_top(spark, sf_dir):
+    """Common-Crawl host-graph rollup: href extraction over the synthetic
+    pages, both endpoints collapsed to URL host, top host pairs by link
+    multiplicity. Rows-only (html bytes come from the deterministic python
+    generator, not SQL-reproducible); host extraction + aggregation pinned
+    by tests/test_round3_ops.py against a pure-Python urllib oracle."""
+    from tldr_spark.sources.synth_pages import generate_pages, pages_to_host_edges
+
+    pages = generate_pages(spark, n_pages=1000, num_partitions=8)
+    return (
+        pages_to_host_edges(pages)
+        .orderBy(F.desc("n_links"), F.asc("src_host"), F.asc("dst_host"))
+        .limit(30)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2363,6 +2584,12 @@ _WINDOW_PRIORITY = [
     # -- new this round (first chance at a driver row) --
     "louvain_labels",
     "louvain_modularity",
+    "four_cliques_total",
+    "coreness",
+    "scc_condensation",
+    "tfidf_top_terms",
+    "tf_cosine_pairs",
+    "unigram_quality",
     # -- core regression set: the flagship fixpoints stay checked every
     #    round regardless of rotation --
     "edges",

@@ -313,3 +313,33 @@ def strongly_connected_components(
     e.unpersist()
     remaining.unpersist()
     return SccResult(out, passes)
+
+
+def condensation(edges: DataFrame, assignments: DataFrame | None = None) -> DataFrame:
+    """The condensation DAG: one vertex per SCC, one edge (src_component,
+    dst_component, n_edges) per ordered pair of DISTINCT components with at
+    least one original edge between them. This is the web's bow-tie
+    structure reducer (Broder et al., WWW 2000): on a crawl graph the
+    condensation is orders of magnitude smaller than the page graph and
+    acyclic by construction, so downstream reachability / tier analysis
+    runs on it instead of the raw edge table.
+
+    ``assignments`` lets the caller reuse an existing SCC labeling (the
+    expensive part); omitted, it is computed here. Two broadcast-or-shuffle
+    hash joins (labels are V-row) + one aggregate — no iteration."""
+    if assignments is None:
+        assignments = strongly_connected_components(edges).assignments
+    lab_src = assignments.select(F.col("id").alias("src"), F.col("component").alias("src_component"))
+    lab_dst = assignments.select(F.col("id").alias("dst"), F.col("component").alias("dst_component"))
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return (
+        e.join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .filter(F.col("src_component") != F.col("dst_component"))
+        .groupBy("src_component", "dst_component")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )

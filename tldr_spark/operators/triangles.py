@@ -154,3 +154,40 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 50) -> TrussResult:
             f"({n} edges still in flux) — raise max_rounds for deep-peel graphs."
         )
     return TrussResult(cur, rounds)
+
+
+def four_clique_count(edges: DataFrame, by_degree: bool = True) -> int:
+    """Number of 4-cliques (K4 motifs) in the undirected simple graph.
+
+    Same curse-of-the-last-reducer treatment as ``triangle_count``
+    (Suri & Vassilvitskii WWW'11, extended to K4 a la Finocchi/Finocchi/
+    Fusco's clique-counting orientation): orient every undirected edge
+    from the (degree, id)-smaller endpoint to the larger, bounding every
+    out-neighborhood by O(sqrt(E)). Under a total-order orientation each
+    K4 {a,b,c,d} has EXACTLY ONE labeling with a->b, a->c, a->d, b->c,
+    b->d, c->d, so the count is join-then-count with no multiplicity
+    correction: oriented triangles (x,y,z) extended by a fourth vertex w
+    adjacent FROM all three. The count is orientation-invariant, so the
+    DuckDB oracle may orient by plain id while the engine orients by
+    degree for skew safety."""
+    o = _oriented(edges, by_degree).persist()
+    o.count()
+    e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    e3 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    # oriented triangles: x->y, x->z, y->z (one row per triangle)
+    tris = e1.join(e2, "x").filter(F.col("y") != F.col("z")).join(e3, ["y", "z"]).persist()
+    tris.count()
+    # extend with w: x->w, y->w, z->w all oriented edges
+    xw = o.select(F.col("a").alias("x"), F.col("b").alias("w"))
+    yw = o.select(F.col("a").alias("y"), F.col("b").alias("w"))
+    zw = o.select(F.col("a").alias("z"), F.col("b").alias("w"))
+    k4 = (
+        tris.join(xw, "x")
+        .join(yw, ["y", "w"])
+        .join(zw, ["z", "w"])
+        .count()
+    )
+    tris.unpersist()
+    o.unpersist()
+    return int(k4)
