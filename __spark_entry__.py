@@ -2437,6 +2437,229 @@ def q_scc_condensation(spark, sf_dir):
     return condensation(derive_edges(spark, sf_dir))
 
 
+_BOWTIE_SQL = f"""WITH RECURSIVE {_E},
+  g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+  verts AS (SELECT DISTINCT v AS id FROM (SELECT src AS v FROM g UNION SELECT dst FROM g)),
+  fw(u, v) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT f.u, g.dst FROM fw f JOIN g ON g.src = f.v
+  ),
+  comp AS (SELECT a.u AS vertex, MIN(a.v) AS component
+           FROM fw a JOIN fw b ON b.u = a.v AND b.v = a.u GROUP BY a.u),
+  core_c AS (SELECT component FROM (
+      SELECT component, COUNT(*) AS n FROM comp GROUP BY 1
+      ORDER BY n DESC, component ASC LIMIT 1)),
+  core AS MATERIALIZED (SELECT vertex AS id FROM comp
+          WHERE component = (SELECT component FROM core_c)),
+  fset AS MATERIALIZED (SELECT DISTINCT fw.v AS id FROM fw JOIN core ON core.id = fw.u),
+  bset AS MATERIALIZED (SELECT DISTINCT fw.u AS id FROM fw JOIN core ON core.id = fw.v),
+  inn AS MATERIALIZED (SELECT b.id FROM bset b ANTI JOIN fset f ON f.id = b.id),
+  outt AS MATERIALIZED (SELECT f.id FROM fset f ANTI JOIN bset b ON b.id = f.id),
+  fb AS MATERIALIZED (SELECT id FROM fset UNION SELECT id FROM bset),
+  fi AS MATERIALIZED (SELECT r.id FROM
+        (SELECT DISTINCT fw.v AS id FROM fw JOIN inn ON inn.id = fw.u) r
+        ANTI JOIN fb ON fb.id = r.id),
+  bo AS MATERIALIZED (SELECT r.id FROM
+        (SELECT DISTINCT fw.u AS id FROM fw JOIN outt ON outt.id = fw.v) r
+        ANTI JOIN fb ON fb.id = r.id)
+SELECT verts.id AS vertex,
+       CASE WHEN core.id IS NOT NULL THEN 'CORE'
+            WHEN inn.id IS NOT NULL THEN 'IN'
+            WHEN outt.id IS NOT NULL THEN 'OUT'
+            WHEN fi.id IS NOT NULL AND bo.id IS NOT NULL THEN 'TUBE'
+            WHEN fi.id IS NOT NULL THEN 'TENDRIL_IN'
+            WHEN bo.id IS NOT NULL THEN 'TENDRIL_OUT'
+            ELSE 'DISCONNECTED' END AS region
+FROM verts
+LEFT JOIN core ON core.id = verts.id
+LEFT JOIN inn ON inn.id = verts.id
+LEFT JOIN outt ON outt.id = verts.id
+LEFT JOIN fi ON fi.id = verts.id
+LEFT JOIN bo ON bo.id = verts.id"""
+
+
+@_q("bowtie_regions", _BOWTIE_SQL)
+def q_bowtie_regions(spark, sf_dir):
+    """Broder bow-tie decomposition: every vertex labeled CORE / IN / OUT /
+    TUBE / TENDRIL_IN / TENDRIL_OUT / DISCONNECTED relative to the largest
+    SCC (tie-break: smallest component id — both engines use it). The
+    engine runs one SCC pass + four frontier BFS sweeps and V-row set
+    algebra; the oracle derives the same regions from the transitive
+    closure (verification-scale only — the engine never materializes a
+    closure)."""
+    from tldr_spark.operators.bowtie import bow_tie
+
+    return bow_tie(derive_edges(spark, sf_dir)).assignments.select(
+        F.col("id").alias("vertex"), "region"
+    )
+
+
+# -- inverted-index retrieval (boolean / phrase / BM25) -----------------------
+# Query terms are chosen by a RULE both engines evaluate identically (df-rank
+# positions over the corpus vocabulary), not literals, so the queries stay
+# meaningful at any scale factor. The Spark side collects the chosen terms to
+# the driver — a bounded vocabulary-rank lookup (2-3 rows), not row data.
+
+_SQL_PTOKS = r"""
+  ptoks AS (
+    SELECT doc_id, u.s['pos'] - 1 AS pos, u.s['tok'] AS token
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+                             x -> x <> '') AS l
+          FROM documents) t,
+         UNNEST(list_transform(generate_series(1, len(t.l)),
+                               i -> {'pos': i, 'tok': t.l[i]})) AS u(s)
+  )
+"""
+
+_SQL_TERM_RANKS = """
+  dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM ptoks GROUP BY 1),
+  ranked_terms AS (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) AS trank
+    FROM dfq)
+"""
+
+
+def _terms_by_rank(spark, sf_dir, ranks: tuple[int, ...]) -> list[str]:
+    """The tokens at the given (df desc, token asc) rank positions — the
+    cross-engine term-selection rule. Bounded by the vocabulary, collected
+    as len(ranks) strings."""
+    from tldr_spark.operators.index import _tokens
+
+    dfq = (
+        _tokens(_docs(spark, sf_dir), "doc_id", "text")
+        .groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("token"))
+    rows = (
+        dfq.select("token", F.row_number().over(w).alias("trank"))
+        .filter(F.col("trank").isin(list(ranks)))
+        .orderBy("trank")
+        .collect()
+    )
+    return [r["token"] for r in rows]
+
+
+_BOOLEAN_AND_SQL = f"""WITH {_SQL_PTOKS}, {_SQL_TERM_RANKS},
+  terms AS (SELECT token FROM ranked_terms WHERE trank IN (5, 15))
+SELECT doc_id, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_terms_matched
+FROM ptoks WHERE token IN (SELECT token FROM terms)
+GROUP BY doc_id
+HAVING COUNT(DISTINCT token) = (SELECT COUNT(*) FROM terms)"""
+
+
+@_q("boolean_and_docs", _BOOLEAN_AND_SQL)
+def q_boolean_and_docs(spark, sf_dir):
+    """Conjunctive boolean retrieval: documents containing BOTH the rank-5
+    and rank-15 vocabulary terms. The term filter prunes to query-term
+    rows before the doc-id shuffle, so cost scales with sum(df), not
+    corpus size."""
+    from tldr_spark.operators.index import boolean_retrieval
+
+    terms = _terms_by_rank(spark, sf_dir, (5, 15))
+    return boolean_retrieval(_docs(spark, sf_dir), terms, "and")
+
+
+_PHRASE_SQL = f"""WITH {_SQL_PTOKS},
+  big AS (SELECT a.token AS t1, b.token AS t2
+          FROM ptoks a JOIN ptoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          GROUP BY 1, 2 ORDER BY COUNT(*) DESC, t1 ASC, t2 ASC LIMIT 1)
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM ptoks a JOIN ptoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.token = (SELECT t1 FROM big) AND b.token = (SELECT t2 FROM big)
+GROUP BY a.doc_id"""
+
+
+@_q("phrase_matches", _PHRASE_SQL)
+def q_phrase_matches(spark, sf_dir):
+    """Positional phrase search for the corpus's most frequent bigram
+    (tie-break lexicographic — same rule both engines): per-doc exact
+    consecutive-token match counts via the positional-postings adjacency
+    join."""
+    from tldr_spark.operators.index import _tokens, phrase_search
+
+    toks = _tokens(_docs(spark, sf_dir), "doc_id", "text")
+    nxt = toks.select("doc_id", (F.col("pos") - 1).alias("pos"), F.col("token").alias("t2"))
+    top = (
+        toks.join(nxt, ["doc_id", "pos"])
+        .groupBy(F.col("token").alias("t1"), "t2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t1"), F.asc("t2"))
+        .first()
+    )
+    return phrase_search(_docs(spark, sf_dir), [top["t1"], top["t2"]])
+
+
+_BM25_SQL = f"""WITH {_SQL_PTOKS}, {_SQL_TERM_RANKS},
+  terms AS (SELECT token FROM ranked_terms WHERE trank IN (5, 15, 25)),
+  doclen AS (SELECT doc_id, COUNT(*) AS dl FROM ptoks GROUP BY 1),
+  stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                   (SELECT SUM(dl) FROM doclen)::DOUBLE
+                     / (SELECT COUNT(*) FROM documents) AS avgdl),
+  tfs AS (SELECT doc_id, token, COUNT(*) AS tf FROM ptoks
+          WHERE token IN (SELECT token FROM terms) GROUP BY 1, 2),
+  tdf AS (SELECT token, COUNT(*) AS df FROM tfs GROUP BY 1)
+SELECT tfs.doc_id,
+       CAST(ROUND(SUM(
+         LN(1 + (stats.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+         * (tfs.tf * (1.2::DOUBLE + 1.0))
+         / (tfs.tf + 1.2::DOUBLE * (1 - 0.75 + 0.75 * doclen.dl / stats.avgdl))
+       ) * 1024) AS BIGINT) AS score_q
+FROM tfs JOIN tdf USING (token)
+         JOIN doclen USING (doc_id)
+         CROSS JOIN stats
+GROUP BY tfs.doc_id"""
+
+
+@_q("bm25_scores", _BM25_SQL)
+def q_bm25_scores(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75, Lucene non-negative idf) over the rank-5/15/25
+    vocabulary terms, every matching document. Quantized at 2^10 so libm
+    ln() last-ulp differences cannot move the rounded integer; the exact
+    float path is pinned against python math.log in tests/test_index.py.
+    The top-k variant (TakeOrderedAndProject) is pytest-pinned — top-k is
+    deliberately NOT driver-compared because sub-ulp score ties could
+    select different k-sets across engines."""
+    from tldr_spark.operators.index import bm25_scores
+
+    terms = _terms_by_rank(spark, sf_dir, (5, 15, 25))
+    return bm25_scores(_docs(spark, sf_dir), terms).select(
+        "doc_id", F.round(F.col("score") * 1024).cast("long").alias("score_q")
+    )
+
+
+_SESSIONS_SQL = """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+  b AS (SELECT user_id, ts_us, event_type,
+          CASE WHEN LAG(ts_us) OVER w IS NULL
+                 OR ts_us - LAG(ts_us) OVER w > 21600 * 1000000::BIGINT
+               THEN 1 ELSE 0 END AS brk
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+  s AS (SELECT user_id, ts_us, event_type,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM b)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM s GROUP BY 1, 2"""
+
+
+@_q("user_sessions", _SESSIONS_SQL)
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization of the events stream (gap = 6h): one
+    user-partitioned sort window (single shuffle), exact integer
+    microsecond arithmetic end to end — timestamps never enter the
+    compared output as engine-local types."""
+    from tldr_spark.operators.sessions import session_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(events, gap_seconds=21600)
+
+
 _TFIDF_TOP_SQL = f"""WITH {_SQL_TOKS},
   tc AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
   dfq AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY 1),
@@ -2590,6 +2813,11 @@ _WINDOW_PRIORITY = [
     "tfidf_top_terms",
     "tf_cosine_pairs",
     "unigram_quality",
+    "bowtie_regions",
+    "boolean_and_docs",
+    "phrase_matches",
+    "bm25_scores",
+    "user_sessions",
     # -- core regression set: the flagship fixpoints stay checked every
     #    round regardless of rotation --
     "edges",

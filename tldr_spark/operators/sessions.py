@@ -1,0 +1,72 @@
+"""Gap-based sessionization over an event stream — the canonical
+behavioral-analytics operator (and the batch twin of Structured
+Streaming's session windows).
+
+A session is a maximal run of one user's events where consecutive gaps
+stay within ``gap``: break where ts − lag(ts) > gap, then session ordinal
+= running sum of breaks. Both steps are ONE user-partitioned sort window —
+a single shuffle on user_id, with per-user state that never leaves the
+executor. At 100 TB the shuffle key is the user id; power-user skew is the
+classic hazard, and the honest ceiling is the largest single user's event
+count (a window must see its whole partition key — AQE cannot split it),
+which is millions of rows on one executor at worst: linear state, unlike
+graph hubs that fan out quadratically.
+
+All time arithmetic is in integer MICROSECONDS (Spark ``unix_micros`` /
+DuckDB ``epoch_us``) — exact BIGINTs end to end, so no truncation or
+rounding semantics can diverge across engines. Session ids are
+(user_id, session_seq) pairs — deterministic, dense per user; never a
+global monotonically_increasing_id (partition-layout-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Input rows + ``ts_us`` (epoch microseconds) + ``session_seq``
+    (1-based per-user session ordinal). Rows with equal timestamps land in
+    the same session regardless of their relative window order (their gap
+    is 0), so the assignment is total-order-independent."""
+    # cast handles TIMESTAMP_NTZ sources: NTZ→TZ interprets in the session
+    # zone, which session.py pins to UTC — identical to DuckDB's epoch_us
+    # over a naive timestamp
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy("ts_us")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    brk = F.when(gap.isNull() | (gap > int(gap_seconds) * 1_000_000), 1).otherwise(0)
+    return (
+        events.withColumn("ts_us", ts_us)
+        .withColumn(
+            "session_seq",
+            F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user_id, session_seq, n_events, start_us, end_us, duration_us,
+    n_event_types) per session — epochs as exact BIGINT microseconds."""
+    s = sessionize(events, gap_seconds, user_col, ts_col)
+    agg = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    ]
+    if "event_type" in events.columns:
+        agg.append(F.count_distinct("event_type").alias("n_event_types"))
+    out = s.groupBy(F.col(user_col).alias("user_id"), F.col("session_seq")).agg(*agg)
+    return out.withColumn(
+        "duration_us", (F.col("end_us") - F.col("start_us")).cast("long")
+    )
