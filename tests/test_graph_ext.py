@@ -413,9 +413,14 @@ def test_scc_matches_brute(spark):
     for seed in (7, 19, 33):
         edges = _rand_graph(seed, 18, 45)
         e = spark.createDataFrame(edges, "src long, dst long")
-        res = strongly_connected_components(e)
-        got = {r["id"]: r["component"] for r in res.assignments.collect()}
-        assert got == _scc_oracle(edges), seed
+        oracle = _scc_oracle(edges)
+        # BOTH paths against the oracle: the default (small core → driver
+        # Tarjan finisher) and the distributed coloring fixpoint
+        # (local_finish_vertices=0 disables the finisher)
+        for lf in (50_000, 0):
+            res = strongly_connected_components(e, local_finish_vertices=lf)
+            got = {r["id"]: r["component"] for r in res.assignments.collect()}
+            assert got == oracle, (seed, lf)
 
 
 def test_scc_two_cycles_and_bridge(spark):
@@ -458,9 +463,13 @@ def test_scc_raises_when_pass_budget_exhausted(spark):
     chain = [(i + 1, i) for i in range(6)]
     e = spark.createDataFrame(chain, "src long, dst long")
     with pytest.raises(RuntimeError, match="max_passes"):
-        strongly_connected_components(e, max_passes=3, trim_rounds=0)
+        strongly_connected_components(
+            e, max_passes=3, trim_rounds=0, local_finish_vertices=0
+        )
     got = {r["id"]: r["component"] for r in
-           strongly_connected_components(e, max_passes=10, trim_rounds=0).assignments.collect()}
+           strongly_connected_components(
+               e, max_passes=10, trim_rounds=0, local_finish_vertices=0
+           ).assignments.collect()}
     assert got == {i: i for i in range(7)}
 
 

@@ -65,6 +65,11 @@ def _adaptive_hops(base: int, n_chg: int, n_total: int) -> int:
     thin tail of the propagation is reached."""
     if n_total <= 0 or n_chg <= 0:
         return base
+    if n_total < 200_000:
+        # small remaining graph: per-hop join cost is trivia next to the
+        # barrier + action round-trip, so batch deep — wall time is
+        # rounds × barrier latency here, not shuffle volume
+        return max(base, 8)
     frac = n_chg / n_total
     if frac < 0.01:
         return max(base, 8)
@@ -92,7 +97,7 @@ def _propagate_max(er: DataFrame, color: DataFrame, hops_per_round: int = 2) -> 
     # in the frontier
     state = color.select("id", "color", F.lit(True).alias("fr")).persist()
     n_total = state.count()
-    hops = hops_per_round
+    hops = _adaptive_hops(hops_per_round, n_total, n_total)
     while True:
         # k join-hops per materialization round; fixpoint iff nothing
         # changed across the whole round (monotone, so round-stable ==
@@ -155,7 +160,7 @@ def _collect_members(
     n_total = state.count()
     n_reached = state.filter("reached").count()
     eb = er.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
-    hops = hops_per_round
+    hops = _adaptive_hops(hops_per_round, n_total, n_total)
     while True:
         cur = state
         for _ in range(hops):
@@ -236,14 +241,88 @@ def _trim(
     return core, [peeled]
 
 
+def _tarjan_local(edge_rows: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Iterative Tarjan on a collected edge list: (id, root) with root =
+    min member id per SCC. Driver-side FINISHER only — callers bound the
+    input size before collecting."""
+    adj: dict[int, list[int]] = {}
+    verts: set[int] = set()
+    for s, d in edge_rows:
+        adj.setdefault(s, []).append(d)
+        verts.add(s)
+        verts.add(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on: set[int] = set()
+    stack: list[int] = []
+    out: list[tuple[int, int]] = []
+    counter = 0
+    for v0 in verts:
+        if v0 in index:
+            continue
+        # explicit DFS stack of (vertex, child-iterator position)
+        work = [(v0, 0)]
+        while work:
+            v, i = work[-1]
+            if i == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on.add(v)
+            ns = adj.get(v, [])
+            advanced = False
+            while i < len(ns):
+                u = ns[i]
+                i += 1
+                if u not in index:
+                    work[-1] = (v, i)
+                    work.append((u, 0))
+                    advanced = True
+                    break
+                if u in on:
+                    low[v] = min(low[v], index[u])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    u = stack.pop()
+                    on.discard(u)
+                    comp.append(u)
+                    if u == v:
+                        break
+                root = min(comp)
+                out.extend((u, root) for u in comp)
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return out
+
+
 def strongly_connected_components(
     edges: DataFrame,
     max_passes: int = 100,
     hops_per_round: int = 2,
     trim_rounds: int = 4,
+    local_finish_vertices: int = 50_000,
+    local_finish_edges: int = 1_000_000,
 ) -> SccResult:
     """(id, component): component = min vertex id of the SCC. Vertices in
-    no cycle are singleton components (their own id)."""
+    no cycle are singleton components (their own id).
+
+    LOCAL FINISH (round-3): when the remaining cyclic core after Trim fits
+    under BOTH bounds (vertices AND edges among them), the pass collects it
+    and finishes with iterative Tarjan on the driver — the standard
+    FW-BW-hybrid move (McLendon et al. JPDC'05 switch to sequential SCC
+    once a subproblem fits one node). Measured regime at small scale:
+    the distributed fixpoint's cost is barriers + per-round codegen, not
+    shuffle volume (5k-vertex core: ~20s of pure round-trips vs <1s of
+    actual work), so the collected finisher is strictly the right plan.
+    The bound caps driver transfer at ~16 MB; at web scale the core after
+    Trim is >>bounds and the distributed coloring path runs — it remains
+    differential-tested with local_finish_vertices=0
+    (tests/test_graph_ops.py / test_graph_ext.py)."""
     spark = edges.sparkSession
     e = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
@@ -267,6 +346,30 @@ def strongly_connected_components(
     passes = 0
     while passes < max_passes and not remaining.isEmpty():
         passes += 1
+        # local finish first: if the whole remaining subproblem already
+        # fits the bounds, Tarjan subsumes trim + coloring in one step
+        # (isolated remaining vertices — no incident remaining edges —
+        # are singleton SCCs, appended from an anti-join)
+        if local_finish_vertices > 0 and remaining.count() <= local_finish_vertices:
+            er_probe = (
+                e.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            rows = er_probe.take(local_finish_edges + 1)
+            if len(rows) <= local_finish_edges:
+                pairs = _tarjan_local([(r["src"], r["dst"]) for r in rows])
+                assigned_local = spark.createDataFrame(
+                    pairs, "id long, root long"
+                ) if pairs else spark.createDataFrame([], "id long, root long")
+                member_frames.append(assigned_local)
+                lonely = remaining.join(
+                    assigned_local.select("id"), "id", "left_anti"
+                ).select("id", F.col("id").alias("root"))
+                member_frames.append(lonely.localCheckpoint(eager=True))
+                remaining.unpersist()
+                remaining = spark.createDataFrame([], "id long").persist()
+                break
         remaining, singles = _trim(e, remaining, trim_rounds)
         member_frames.extend(singles)
         if remaining.isEmpty():
