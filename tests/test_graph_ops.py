@@ -68,17 +68,21 @@ def _random_graph(seed, n=40, m=80):
 @pytest.mark.parametrize("name", sorted(GRAPHS))
 def test_cc_matches_union_find(spark, name):
     edges = GRAPHS[name]
-    res = connected_components(_edges_df(spark, edges))
-    got = {r["id"]: r["component"] for r in res.assignments.collect()}
-    assert got == _cc_oracle(edges)
+    # both paths: default (bounded union-find finisher) and the
+    # distributed star-contraction (local_finish_edges=0 disables)
+    for lf in (1_000_000, 0):
+        res = connected_components(_edges_df(spark, edges), local_finish_edges=lf)
+        got = {r["id"]: r["component"] for r in res.assignments.collect()}
+        assert got == _cc_oracle(edges), lf
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_cc_random_graphs(spark, seed):
     edges = _random_graph(seed)
-    res = connected_components(_edges_df(spark, edges))
-    got = {r["id"]: r["component"] for r in res.assignments.collect()}
-    assert got == _cc_oracle([e for e in edges if e[0] != e[1]])
+    for lf in (1_000_000, 0):
+        res = connected_components(_edges_df(spark, edges), local_finish_edges=lf)
+        got = {r["id"]: r["component"] for r in res.assignments.collect()}
+        assert got == _cc_oracle([e for e in edges if e[0] != e[1]]), lf
 
 
 def test_cc_isolated_vertices_with_vertex_table(spark):

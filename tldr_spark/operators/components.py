@@ -71,12 +71,37 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _union_find_local(edge_rows: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """(id, component=min member id) by path-halving union-find over a
+    collected edge list. Driver-side FINISHER only — callers bound the
+    input before collecting."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for u, v in edge_rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # second pass: full compression, then min-id per root (roots were
+    # union-by-min so the root IS the min member)
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_rounds: int = 50,
     checkpoint=None,
     checkpoint_every: int = 5,
+    local_finish_edges: int = 1_000_000,
 ) -> ComponentsResult:
     """(id, component) with component = smallest vertex id in the component.
 
@@ -106,6 +131,31 @@ def connected_components(
     else:
         e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
         prev = _checksum(e)
+    # LOCAL FINISH (round-3, same regime as scc.py's Tarjan finisher): on a
+    # small edge set the star-contraction rounds cost barriers + per-round
+    # codegen, not shuffle — a bounded collect + union-find is the right
+    # plan (~16 MB driver transfer max). Disabled when checkpointing (the
+    # caller asked for durable round snapshots) or local_finish_edges=0;
+    # the distributed path stays differential-tested both ways.
+    if checkpoint is None and local_finish_edges > 0:
+        probe = e.take(local_finish_edges + 1)
+        if len(probe) <= local_finish_edges:
+            spark = edges.sparkSession
+            pairs = _union_find_local([(r["u"], r["v"]) for r in probe])
+            assign = (
+                spark.createDataFrame(pairs, "id long, component long")
+                if pairs
+                else spark.createDataFrame([], "id long, component long")
+            )
+            vs = linked
+            if vertices is not None:
+                vs = vs.union(
+                    vertices.select(F.col(vertices.columns[0]).cast("long").alias("id"))
+                ).distinct()
+            assign = vs.join(assign, "id", "left").select(
+                "id", F.coalesce("component", "id").alias("component")
+            )
+            return ComponentsResult(assign, 0)
     while rounds < max_rounds:
         rounds += 1
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
