@@ -44,12 +44,17 @@ def test_bfs_matches_oracle(spark):
     seeds = [0, 7]
     e = spark.createDataFrame(edges, "src long, dst long")
     s = spark.createDataFrame([(x,) for x in seeds], "id long")
-    for directed in (True, False):
-        got = {
-            r["id"]: r["dist"]
-            for r in bfs_distances(e, s, directed=directed).distances.collect()
-        }
-        assert got == _bfs_oracle(edges, seeds, directed)
+    # both paths: default (bounded driver deque finisher) and the
+    # distributed frontier iteration (local_finish_edges=0 disables)
+    for lf in (1_000_000, 0):
+        for directed in (True, False):
+            got = {
+                r["id"]: r["dist"]
+                for r in bfs_distances(
+                    e, s, directed=directed, local_finish_edges=lf
+                ).distances.collect()
+            }
+            assert got == _bfs_oracle(edges, seeds, directed), (lf, directed)
 
 
 def test_bfs_unreachable_absent(spark):

@@ -25,20 +25,78 @@ class BfsResult:
     levels: int
 
 
+def _bfs_local(
+    edge_rows: list[tuple[int, int]], seed_ids: list[int], max_levels: int
+) -> tuple[list[tuple[int, int]], int]:
+    """Deque BFS over a collected edge list. Driver-side FINISHER only —
+    callers bound the input before collecting. Returns (rows, levels)
+    mirroring the distributed semantics exactly (levels = deepest level
+    actually REACHED, capped at max_levels)."""
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    for s, d in edge_rows:
+        adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in seed_ids}
+    dq = deque(seed_ids)
+    levels = 0
+    while dq:
+        u = dq.popleft()
+        du = dist[u]
+        if du >= max_levels:
+            continue
+        for v in adj.get(u, ()):  # noqa: B905
+            if v not in dist:
+                dist[v] = du + 1
+                levels = max(levels, du + 1)
+                dq.append(v)
+    return sorted(dist.items()), levels
+
+
 def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,
     max_levels: int = 50,
     directed: bool = True,
+    local_finish_edges: int = 1_000_000,
 ) -> BfsResult:
     """(id, dist) = min #hops from any seed, following src→dst edges
     (both directions when ``directed=False``). Seeds: a DataFrame with an
-    ``id`` column. Unreachable vertices are absent from the result."""
+    ``id`` column. Unreachable vertices are absent from the result.
+
+    LOCAL FINISH (round-3, same bounded-driver-work contract as scc.py /
+    components.py): a small edge set means the frontier rounds cost
+    barriers + codegen, not shuffle, so when the deduped edge set fits
+    ``local_finish_edges`` collected rows (~16 MB max) the whole BFS runs
+    as a deque walk on the driver. ``local_finish_edges=0`` forces the
+    distributed frontier path; both stay differential-tested."""
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct().persist()
     e.count()
+
+    if local_finish_edges > 0:
+        probe = e.take(local_finish_edges + 1)
+        if len(probe) <= local_finish_edges:
+            # seeds are bounded too (≤ V ≤ 2·|E|, but a caller could pass
+            # an unrelated huge table — cap with take and fall through)
+            seed_cap = 2 * local_finish_edges + 1
+            seed_rows = seeds.select(F.col("id").cast("long")).distinct().take(seed_cap)
+            if len(seed_rows) < seed_cap:
+                rows, levels = _bfs_local(
+                    [(r["src"], r["dst"]) for r in probe],
+                    [r["id"] for r in seed_rows],
+                    max_levels,
+                )
+                e.unpersist()
+                spark = edges.sparkSession
+                out = (
+                    spark.createDataFrame(rows, "id long, dist int")
+                    if rows
+                    else spark.createDataFrame([], "id long, dist int")
+                )
+                return BfsResult(out, levels)
 
     visited = seeds.select(F.col("id").cast("long")).distinct().select(
         "id", F.lit(0).alias("dist")
