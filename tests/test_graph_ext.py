@@ -568,14 +568,17 @@ def test_harmonic_centrality_matches_brute(spark):
     probes = [0, 3, 24]
     e = spark.createDataFrame(edges, "src long, dst long")
     p = spark.createDataFrame([(x,) for x in probes], "id long")
-    got_d = {
-        (r["probe"], r["id"]): r["dist"] for r in labeled_bfs(e, p).collect()
-    }
     exp_d = {}
     for pr in probes:
         for v, d in _bfs_oracle(edges, [pr]).items():
             exp_d[(pr, v)] = d
-    assert got_d == exp_d
+    # both paths: driver per-probe deque finisher and distributed flood
+    for lf in (500_000, 0):
+        got_d = {
+            (r["probe"], r["id"]): r["dist"]
+            for r in labeled_bfs(e, p, local_finish_edges=lf).collect()
+        }
+        assert got_d == exp_d, lf
 
     got_h = {r["probe"]: r["harmonic"] for r in harmonic_centrality(e, p).collect()}
     for pr in probes:
@@ -1073,13 +1076,16 @@ def test_neighborhood_function_exact_matches_bfs_oracle(spark):
 
     edges = _rand_graph(73, 24, 70)
     e = spark.createDataFrame(edges, "src long, dst long")
-    for directed in (True, False):
-        exp = _nf_oracle(edges, 6, directed)
-        got = {
-            r["h"]: r["n_pairs"]
-            for r in neighborhood_function(e, max_h=6, directed=directed).collect()
-        }
-        assert got == exp, directed
+    for lf in (500_000, 0):
+        for directed in (True, False):
+            exp = _nf_oracle(edges, 6, directed)
+            got = {
+                r["h"]: r["n_pairs"]
+                for r in neighborhood_function(
+                    e, max_h=6, directed=directed, local_finish_edges=lf
+                ).collect()
+            }
+            assert got == exp, (lf, directed)
 
 
 def test_hyper_anf_tracks_exact_within_hll_error(spark):

@@ -67,9 +67,12 @@ def _coreness_py(edges):
 class TestCoreDecomposition:
     def test_matches_exact_peel_oracle(self, spark):
         edges = _rand_edges(7, 40, 160)
-        res = core_decomposition(_df(spark, edges))
-        got = {r["id"]: r["coreness"] for r in res.assignments.collect()}
-        assert got == _coreness_py(edges)
+        # both paths: default (driver wave-peel finisher) and the
+        # distributed progressive peel (local_finish_edges=0 disables)
+        for lf in (500_000, 0):
+            res = core_decomposition(_df(spark, edges), local_finish_edges=lf)
+            got = {r["id"]: r["coreness"] for r in res.assignments.collect()}
+            assert got == _coreness_py(edges), lf
 
     def test_hindex_differential_equal(self, spark):
         for seed, n, m in [(1, 30, 90), (2, 25, 60), (3, 50, 220)]:

@@ -47,8 +47,47 @@ def _simple_edges(edges: DataFrame, directed: bool) -> DataFrame:
     return e
 
 
+def _anf_local(
+    edge_rows: list[tuple[int, int]], max_h: int
+) -> list[tuple[int, int]]:
+    """Exact N(h) by all-sources BFS over a collected edge list.
+    Driver-side FINISHER only — callers bound the input."""
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    verts: set[int] = set()
+    for s, d in edge_rows:
+        adj.setdefault(s, []).append(d)
+        verts.add(s)
+        verts.add(d)
+    per_h = [0] * (max_h + 1)
+    for root in verts:
+        dist = {root: 0}
+        dq = deque([root])
+        per_h[0] += 1
+        while dq:
+            u = dq.popleft()
+            du = dist[u]
+            if du >= max_h:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = du + 1
+                    per_h[du + 1] += 1
+                    dq.append(v)
+    # cumulative: N(h) counts pairs at distance <= h
+    out, run = [], 0
+    for h, c in enumerate(per_h):
+        run += c
+        out.append((h, run))
+    return out
+
+
 def neighborhood_function(
-    edges: DataFrame, max_h: int = 8, directed: bool = True
+    edges: DataFrame,
+    max_h: int = 8,
+    directed: bool = True,
+    local_finish_edges: int = 500_000,
 ) -> DataFrame:
     """(h, n_pairs) for h = 0..max_h — EXACT count of ordered vertex pairs
     (u, v), u's ball including u itself, with dist(u, v) <= h.
@@ -56,8 +95,18 @@ def neighborhood_function(
     Frontier expansion over distinct (root, v) pairs; each round joins the
     current reached set to the edge list and unions — rows grow with the
     ball sizes, so this is the verification-scale twin of hyper_anf, not
-    the production path."""
+    the production path. LOCAL FINISH: under ``local_finish_edges``
+    collected rows, all-sources driver BFS replaces the pair-frontier
+    rounds (exact integers, same bounded-driver contract as bfs.py;
+    note the pair STATE the distributed path shuffles is O(n·m) — far
+    larger than the collected edge list, so the bound is conservative).
+    ``local_finish_edges=0`` forces the distributed path."""
     e = _simple_edges(edges, directed)
+    if local_finish_edges > 0:
+        probe = e.take(local_finish_edges + 1)
+        if len(probe) <= local_finish_edges:
+            counts = _anf_local([(r["src"], r["dst"]) for r in probe], max_h)
+            return edges.sparkSession.createDataFrame(counts, "h int, n_pairs long")
     verts = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))

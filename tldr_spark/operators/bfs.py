@@ -45,7 +45,7 @@ def _bfs_local(
         du = dist[u]
         if du >= max_levels:
             continue
-        for v in adj.get(u, ()):  # noqa: B905
+        for v in adj.get(u, ()):
             if v not in dist:
                 dist[v] = du + 1
                 levels = max(levels, du + 1)
@@ -130,17 +130,44 @@ def labeled_bfs(
     probes: DataFrame,
     max_levels: int = 50,
     directed: bool = True,
+    local_finish_edges: int = 500_000,
 ) -> DataFrame:
     """(probe, id, dist) — PER-PROBE hop distances, all probes flooded in
     one pass with a composite (probe, id) frontier key (multi-source
     :func:`bfs_distances` collapses seeds into one wave; this keeps them
     apart). State size is |probes| × reach — meant for bounded probe sets
-    (centrality sampling), not all-pairs."""
+    (centrality sampling), not all-pairs.
+
+    LOCAL FINISH: same bounded contract as :func:`bfs_distances`, one
+    driver deque walk per probe (probes are bounded by design here;
+    the probe set is additionally capped at 4096 for the local path —
+    beyond that the |probes| × reach output is distributed-sized anyway).
+    ``local_finish_edges=0`` forces the distributed path."""
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct().persist()
     e.count()
+
+    if local_finish_edges > 0:
+        eprobe = e.take(local_finish_edges + 1)
+        if len(eprobe) <= local_finish_edges:
+            probe_rows = (
+                probes.select(F.col("id").cast("long")).distinct().take(4097)
+            )
+            if len(probe_rows) <= 4096:
+                rows: list[tuple[int, int, int]] = []
+                edge_list = [(r["src"], r["dst"]) for r in eprobe]
+                for pr in probe_rows:
+                    dd, _ = _bfs_local(edge_list, [pr["id"]], max_levels)
+                    rows.extend((pr["id"], v, d) for v, d in dd)
+                e.unpersist()
+                spark = edges.sparkSession
+                return (
+                    spark.createDataFrame(rows, "probe long, id long, dist int")
+                    if rows
+                    else spark.createDataFrame([], "probe long, id long, dist int")
+                )
 
     visited = (
         probes.select(F.col("id").cast("long").alias("probe"))

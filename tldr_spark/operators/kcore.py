@@ -86,7 +86,44 @@ class CoreDecompositionResult:
     rounds_per_k: list[int]  # peel rounds spent at each k level (index k-1)
 
 
-def core_decomposition(edges: DataFrame, max_rounds_per_k: int = 1000) -> CoreDecompositionResult:
+def _core_decomposition_local(
+    edge_rows: list[tuple[int, int]], max_rounds_per_k: int
+) -> tuple[list[tuple[int, int]], int, list[int]]:
+    """Progressive wave-peel on a collected undirected edge list, mirroring
+    the distributed algorithm EXACTLY including rounds_per_k (all deg<k
+    vertices removed simultaneously per wave — the per-level wave count is
+    part of the operator contract, asserted against the SQL oracle's
+    unroll depth). Driver-side FINISHER only — callers bound the input."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edge_rows:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    alive = set(adj)
+    assigned: list[tuple[int, int]] = []
+    rounds_per_k: list[int] = []
+    k = 0
+    while alive:
+        k += 1
+        rounds = 0
+        while rounds < max_rounds_per_k:
+            drop = {v for v in alive if len(adj[v] & alive) < k}
+            if not drop:
+                break
+            rounds += 1
+            alive -= drop
+        rounds_per_k.append(rounds)
+        # everything not yet assigned and no longer alive fell at THIS
+        # level → coreness k-1 (same rule as the distributed fell_out)
+        fell = set(adj) - alive - {v for v, _ in assigned}
+        assigned.extend((v, k - 1) for v in fell)
+    return sorted(assigned), k - 1 if k else 0, rounds_per_k
+
+
+def core_decomposition(
+    edges: DataFrame,
+    max_rounds_per_k: int = 1000,
+    local_finish_edges: int = 500_000,
+) -> CoreDecompositionResult:
     """Full core decomposition: coreness(v) = max k such that v belongs to
     the k-core. Progressive peel — the (k+1)-core is a subgraph of the
     k-core, so each level peels the previous level's survivor subgraph
@@ -101,7 +138,13 @@ def core_decomposition(edges: DataFrame, max_rounds_per_k: int = 1000) -> CoreDe
     degeneracy is O(sqrt(E)) worst case but tens-to-hundreds in practice;
     each level is the same shrinking-semi-join peel as ``k_core``. See
     ``core_decomposition_hindex`` for the O(iterations)-shuffle scale
-    path (differential-tested equal)."""
+    path (differential-tested equal).
+
+    LOCAL FINISH: under ``local_finish_edges`` collected undirected rows
+    the whole decomposition runs as a wave-peel on the driver (exact
+    integers, identical rounds_per_k contract — the distributed peel's
+    k_max × depth round count is pure barrier cost at that size).
+    ``local_finish_edges=0`` forces the distributed path."""
     e = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .filter(F.col("src") != F.col("dst"))
@@ -114,6 +157,19 @@ def core_decomposition(edges: DataFrame, max_rounds_per_k: int = 1000) -> CoreDe
     und.count()
 
     spark = edges.sparkSession
+    if local_finish_edges > 0:
+        probe = und.take(local_finish_edges + 1)
+        if len(probe) <= local_finish_edges:
+            und.unpersist()
+            pairs, max_k, rpk = _core_decomposition_local(
+                [(r["src"], r["dst"]) for r in probe], max_rounds_per_k
+            )
+            out = (
+                spark.createDataFrame(pairs, "id long, coreness long")
+                if pairs
+                else spark.createDataFrame([], "id long, coreness long")
+            )
+            return CoreDecompositionResult(out, max_k, rpk)
     # coreness assignments accumulate as small (id, coreness) frames
     assigned = spark.createDataFrame([], "id long, coreness long")
     prev_members = und.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
