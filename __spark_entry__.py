@@ -2630,6 +2630,49 @@ def q_bm25_scores(spark, sf_dir):
     )
 
 
+_PMI_SQL = f"""WITH {_SQL_TOKS},
+  pres AS (SELECT DISTINCT doc_id, token FROM toks),
+  nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+  marg AS (SELECT token, COUNT(*) AS n FROM pres GROUP BY 1),
+  pairs AS (SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS n_ab
+            FROM pres a JOIN pres b ON b.doc_id = a.doc_id AND a.token < b.token
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT token_a, token_b,
+       CAST(ma.n AS BIGINT) AS n_a, CAST(mb.n AS BIGINT) AS n_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ROUND(LN((n_ab::DOUBLE / nd.n_docs)
+                     / ((ma.n::DOUBLE / nd.n_docs) * (mb.n::DOUBLE / nd.n_docs)))
+                  * 4096) AS BIGINT) AS pmi_q,
+       CAST(ROUND(CASE WHEN n_ab = nd.n_docs THEN 1.0
+                       ELSE LN((n_ab::DOUBLE / nd.n_docs)
+                               / ((ma.n::DOUBLE / nd.n_docs) * (mb.n::DOUBLE / nd.n_docs)))
+                            / -LN(n_ab::DOUBLE / nd.n_docs) END
+                  * 4096) AS BIGINT) AS npmi_q
+FROM pairs JOIN marg ma ON ma.token = pairs.token_a
+           JOIN marg mb ON mb.token = pairs.token_b
+           CROSS JOIN nd"""
+
+
+@_q("token_pmi_pairs", _PMI_SQL)
+def q_token_pmi_pairs(spark, sf_dir):
+    """Document-level token co-occurrence with PMI and NPMI (Church &
+    Hanks / Bouma): exact integer counts, ln() quantized at 2^12 so libm
+    last-ulp differences cannot move the rounded value. The max_df hot-key
+    prune is pytest-pinned (superset/exact-marginal contract) and off here
+    so the oracle compares exact semantics."""
+    from tldr_spark.operators.cooccur import token_pmi
+
+    return token_pmi(_docs(spark, sf_dir), min_pair_docs=2).select(
+        "token_a",
+        "token_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round(F.col("pmi") * 4096).cast("long").alias("pmi_q"),
+        F.round(F.col("npmi") * 4096).cast("long").alias("npmi_q"),
+    )
+
+
 _SESSIONS_SQL = """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
   b AS (SELECT user_id, ts_us, event_type,
           CASE WHEN LAG(ts_us) OVER w IS NULL
@@ -2818,6 +2861,7 @@ _WINDOW_PRIORITY = [
     "phrase_matches",
     "bm25_scores",
     "user_sessions",
+    "token_pmi_pairs",
     # -- core regression set: the flagship fixpoints stay checked every
     #    round regardless of rotation --
     "edges",
