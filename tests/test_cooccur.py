@@ -66,8 +66,10 @@ def test_pmi_matches_python(spark):
         gna, gnb, gnab, gpmi, gnpmi = got[k]
         assert (gna, gnb, gnab) == (na, nb, nab), k
         assert abs(gpmi - pmi) < 1e-12 and abs(gnpmi - npmi) < 1e-12, k
-    # sanity: "new york" associates far above "city times"
-    assert got[("new", "york")][3] > got[("city", "times")][3]
+    # sanity: "new york" associates far above "city new" — both pairs meet
+    # min_pair_docs=2 ("city times" co-occurs only in doc 5 and is
+    # correctly absent at this threshold)
+    assert got[("new", "york")][3] > got[("city", "new")][3]
 
 
 def test_max_df_prune_only_restricts_pairs(spark):

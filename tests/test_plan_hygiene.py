@@ -117,6 +117,27 @@ def test_running_sum_is_single_window(plans):
     assert "Join" not in plan
 
 
+def test_token_pmi_no_unbounded_broadcast_hint(spark):
+    """VERDICT r3: the PMI marginal table is VOCABULARY-sized (hapax-heavy,
+    10^8-10^9 rows on a web corpus) — a forced broadcast hint there OOMs
+    where a shuffle join just works. Only the 1-row corpus-count frame may
+    carry a hint; the marginal joins ride a pair-survivor semi-join with
+    strategy left to AQE."""
+    from tldr_spark.operators.cooccur import token_pmi
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{(i + 1) % 5} common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = (
+        token_pmi(docs, min_pair_docs=2, _checkpoint=False)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("strategy=broadcast") <= 1, plan
+
+
 def test_spam_mass_normalizes_edges_once(spark, monkeypatch):
     """spam_mass composes TWO fixpoints over ONE logical graph — the
     duplicate-sum + out-weight normalization shuffles over E (the most

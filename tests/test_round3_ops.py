@@ -94,6 +94,28 @@ class TestCoreDecomposition:
         assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 10: 1, 11: 1}
         assert res.max_k == 4
 
+    def test_rounds_count_terminal_implicit_drop_wave(self, spark):
+        # ADVICE r3 boundary case — path 1-2-3 at level k=2: wave 1 drops
+        # {1, 3}; vertex 2 then has ZERO alive neighbors and must cost an
+        # explicit second counted wave (the SQL oracle's survivor-join
+        # semantics). The distributed peel used to drop it implicitly in
+        # wave 1 and report rounds_per_k=[0, 1], under-feeding the
+        # q_coreness oracle-unroll gate by one level.
+        df = _df(spark, [(1, 2), (2, 3)])
+        for lf in (500_000, 0):
+            res = core_decomposition(df, local_finish_edges=lf)
+            assert res.rounds_per_k == [0, 2], lf
+            got = {r["id"]: r["coreness"] for r in res.assignments.collect()}
+            assert got == {1: 1, 2: 1, 3: 1}, lf
+
+    def test_rounds_per_k_distributed_matches_local(self, spark):
+        for seed, n, m in [(11, 30, 90), (12, 40, 160)]:
+            df = _df(spark, _rand_edges(seed, n, m))
+            r_local = core_decomposition(df)
+            r_dist = core_decomposition(df, local_finish_edges=0)
+            assert r_dist.rounds_per_k == r_local.rounds_per_k
+            assert r_dist.max_k == r_local.max_k
+
     def test_reciprocal_and_parallel_edges_collapse(self, spark):
         # triangle given with both orientations + duplicates: still coreness 2
         tri = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2), (0, 1)]

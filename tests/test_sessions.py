@@ -77,3 +77,15 @@ def test_random_differential(spark):
     }
     want = {k: len(v) for k, v in _sessions_py(rows, 600).items()}
     assert got == want
+
+
+def test_reserved_column_collision_raises(spark):
+    # ADVICE r3: silently overwriting a caller's ts_us / session_seq would
+    # corrupt downstream joins — the operator must refuse loudly
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = _ev(spark, ROWS)
+    for col in ("ts_us", "session_seq"):
+        with pytest.raises(ValueError, match=col):
+            sessionize(base.withColumn(col, F.lit(0)))

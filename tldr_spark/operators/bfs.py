@@ -67,9 +67,12 @@ def bfs_distances(
     LOCAL FINISH (round-3, same bounded-driver-work contract as scc.py /
     components.py): a small edge set means the frontier rounds cost
     barriers + codegen, not shuffle, so when the deduped edge set fits
-    ``local_finish_edges`` collected rows (~16 MB max) the whole BFS runs
-    as a deque walk on the driver. ``local_finish_edges=0`` forces the
-    distributed frontier path; both stay differential-tested."""
+    ``local_finish_edges`` collected rows the whole BFS runs as a deque
+    walk on the driver. Driver cost at the default 1M-row bound: ~16 MB
+    of raw longs but a few hundred MB of transient driver-Python heap
+    once Rows + adjacency dicts materialize (ADVICE r3) — bounded and
+    freed; size the bound to the driver. ``local_finish_edges=0`` forces
+    the distributed frontier path; both stay differential-tested."""
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

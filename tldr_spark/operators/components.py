@@ -130,13 +130,20 @@ def connected_components(
         prev = (int(last_m["n"]), int(last_m["h"]))
     else:
         e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
-        prev = _checksum(e)
+        prev = None
     # LOCAL FINISH (round-3, same regime as scc.py's Tarjan finisher): on a
     # small edge set the star-contraction rounds cost barriers + per-round
     # codegen, not shuffle — a bounded collect + union-find is the right
-    # plan (~16 MB driver transfer max). Disabled when checkpointing (the
+    # plan. Driver cost at the default 1M-row bound: the raw (u, v) longs
+    # are ~16 MB, but materialized pyspark Rows + the finisher's dict state
+    # run to a few hundred MB of transient driver-Python heap — bounded
+    # and freed, but size local_finish_edges to the driver, not to the
+    # serialized bytes (ADVICE r3). Disabled when checkpointing (the
     # caller asked for durable round snapshots) or local_finish_edges=0;
-    # the distributed path stays differential-tested both ways.
+    # the distributed path stays differential-tested both ways. Probed
+    # BEFORE the convergence checksum — when the finisher fires (the
+    # common small-graph case) the full-scan checksum would be pure
+    # wasted work (ADVICE r3).
     if checkpoint is None and local_finish_edges > 0:
         probe = e.take(local_finish_edges + 1)
         if len(probe) <= local_finish_edges:
@@ -156,6 +163,8 @@ def connected_components(
                 "id", F.coalesce("component", "id").alias("component")
             )
             return ComponentsResult(assign, 0)
+    if prev is None:
+        prev = _checksum(e)
     while rounds < max_rounds:
         rounds += 1
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)

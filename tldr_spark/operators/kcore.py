@@ -170,23 +170,35 @@ def core_decomposition(
                 else spark.createDataFrame([], "id long, coreness long")
             )
             return CoreDecompositionResult(out, max_k, rpk)
-    # coreness assignments accumulate as small (id, coreness) frames
+    # coreness assignments accumulate as small (id, coreness) frames.
+    # The alive set is tracked EXPLICITLY (not derived from the surviving
+    # edge set): a vertex whose last surviving neighbor is peeled has zero
+    # edges left but still costs one more counted wave to drop — the wave
+    # semantics of the local finisher and the SQL oracle's survivor-join
+    # recursion (ADVICE r3: deriving members from `und` dropped it
+    # implicitly, under-counting rounds_per_k by 1 at the boundary and
+    # letting a too-shallow oracle unroll pass the q_coreness gate).
     assigned = spark.createDataFrame([], "id long, coreness long")
-    prev_members = und.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    alive = und.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
     rounds_per_k: list[int] = []
     k = 0
     while True:
         k += 1
-        # peel current subgraph to its k-core
+        level_start = alive
+        # peel current subgraph to its k-core: a wave drops every alive
+        # vertex with fewer than k alive neighbors, INCLUDING degree-0
+        # vertices that no longer appear in the edge set
         rounds = 0
         while rounds < max_rounds_per_k:
             deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
-            drop = deg.filter(F.col("degree") < k).persist()
+            keepers = deg.filter(F.col("degree") >= k).select("id")
+            drop = alive.join(keepers, "id", "left_anti").persist()
             n_drop = drop.count()
             if n_drop == 0:
                 drop.unpersist()
                 break
             rounds += 1
+            alive = alive.join(drop, "id", "left_anti").localCheckpoint(eager=True)
             ids = drop.select("id")
             new_und = (
                 und.join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
@@ -199,14 +211,12 @@ def core_decomposition(
             drop.unpersist()
             und = new_und
         rounds_per_k.append(rounds)
-        members = und.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
         # vertices in the (k-1)-core but not the k-core have coreness k-1
-        fell_out = prev_members.join(members, "id", "left_anti").select(
+        fell_out = level_start.join(alive, "id", "left_anti").select(
             "id", F.lit(k - 1).cast("long").alias("coreness")
         )
         assigned = assigned.union(fell_out).localCheckpoint(eager=True)
-        prev_members = members
-        if members.isEmpty():
+        if alive.isEmpty():
             break
     und.unpersist()
     return CoreDecompositionResult(assigned, k - 1, rounds_per_k)

@@ -319,7 +319,10 @@ def strongly_connected_components(
     the distributed fixpoint's cost is barriers + per-round codegen, not
     shuffle volume (5k-vertex core: ~20s of pure round-trips vs <1s of
     actual work), so the collected finisher is strictly the right plan.
-    The bound caps driver transfer at ~16 MB; at web scale the core after
+    The bound caps raw driver transfer at ~16 MB of longs (materialized
+    Rows + Tarjan state cost a few hundred MB of transient driver-Python
+    heap at the 1M default — size the bound to the driver, ADVICE r3);
+    at web scale the core after
     Trim is >>bounds and the distributed coloring path runs — it remains
     differential-tested with local_finish_vertices=0
     (tests/test_graph_ops.py / test_graph_ext.py)."""
@@ -344,20 +347,32 @@ def strongly_connected_components(
     # re-materialize all previously assigned rows every pass (O(P·V))
     member_frames: list[DataFrame] = []
     passes = 0
+    # vertex count at the last probe whose EDGE bound failed: re-probe only
+    # after the core has at least halved since (ADVICE r3 — the old code
+    # re-ran the two semi-joins + up-to-1M-row take EVERY pass while the
+    # edge bound kept failing, so total probe work is now O(log V) probes)
+    probe_floor: int | None = None
     while passes < max_passes and not remaining.isEmpty():
         passes += 1
         # local finish first: if the whole remaining subproblem already
         # fits the bounds, Tarjan subsumes trim + coloring in one step
         # (isolated remaining vertices — no incident remaining edges —
         # are singleton SCCs, appended from an anti-join)
-        if local_finish_vertices > 0 and remaining.count() <= local_finish_vertices:
+        n_rem = remaining.count() if local_finish_vertices > 0 else 0
+        if (
+            local_finish_vertices > 0
+            and n_rem <= local_finish_vertices
+            and (probe_floor is None or n_rem < probe_floor // 2)
+        ):
             er_probe = (
                 e.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
                 .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
                 .localCheckpoint(eager=True)
             )
             rows = er_probe.take(local_finish_edges + 1)
-            if len(rows) <= local_finish_edges:
+            if len(rows) > local_finish_edges:
+                probe_floor = n_rem
+            else:
                 pairs = _tarjan_local([(r["src"], r["dst"]) for r in rows])
                 assigned_local = spark.createDataFrame(
                     pairs, "id long, root long"

@@ -33,7 +33,17 @@ def sessionize(
     """Input rows + ``ts_us`` (epoch microseconds) + ``session_seq``
     (1-based per-user session ordinal). Rows with equal timestamps land in
     the same session regardless of their relative window order (their gap
-    is 0), so the assignment is total-order-independent."""
+    is 0), so the assignment is total-order-independent.
+
+    Raises on an input that already carries a ``ts_us`` or ``session_seq``
+    column — silently clobbering a caller column would corrupt downstream
+    joins (ADVICE r3)."""
+    for c in ("ts_us", "session_seq"):
+        if c in events.columns:
+            raise ValueError(
+                f"sessionize: input already has a {c!r} column — rename it; "
+                "the output adds ts_us and session_seq"
+            )
     # cast handles TIMESTAMP_NTZ sources: NTZ→TZ interprets in the session
     # zone, which session.py pins to UTC — identical to DuckDB's epoch_us
     # over a naive timestamp
