@@ -2827,51 +2827,68 @@ def q_host_linkgraph_top(spark, sf_dir):
 # all have green rows in CORRECTNESS_r01 AND CORRECTNESS_r02, so after
 # round 3 every oracled query has at least one driver-green row.
 _WINDOW_PRIORITY = [
-    # -- never driver-checked before round 3 (rotate in) --
-    "ktruss_k3_edges",
-    "eigenvector_fixed12",
-    "salsa_fixed10",
-    "neighbor_minhash_jaccard",
-    "community_conductance",
-    "community_contraction",
-    "neighborhood_function_exact",
-    "link_recommendations",
-    "cc_sizes",
-    "term_presence",
-    "media_features",
-    "media_frame_sample",
-    "degree_histogram",
-    "eccentricity_probes",
-    "bib_coupling_pairs",
-    "closeness_centrality",
-    "minhash_signatures",
-    "out_degree",
-    "lpa_weighted",
-    # -- new this round (first chance at a driver row) --
-    "louvain_labels",
-    "louvain_modularity",
-    "four_cliques_total",
+    # Round-4 rotation. Driver checks the FIRST 50 oracled queries; the
+    # window leads with (a) every query whose implementation changed this
+    # round (cooccur marginal-join rework, core_decomposition wave
+    # counting, sessionize collision guard, the scc/cc/bfs local-finish
+    # scheduling changes), (b) the round-3 verdict's explicit re-check
+    # list, (c) the core regression set checked every round, then (d)
+    # queries that sat OFF-window in round 3. Everything pushed out has a
+    # driver-green row in CORRECTNESS_r03.
+    # -- (a) implementation changed in round 4 --
+    "token_pmi_pairs",
     "coreness",
+    "user_sessions",
+    "cc_assign",
+    "cc_sizes",
+    "scc_assign",
     "scc_condensation",
+    "bowtie_regions",
+    "bfs_hops",
+    "eccentricity_probes",
+    "closeness_centrality",
+    "harmonic_centrality",
+    "ego_subgraph_2hop",
+    # -- (b) round-3 verdict re-check list --
+    "betweenness_probes",
+    "random_walks",
+    "stream_edges_hourly",
+    "ann_lsh_topk",
+    "adamic_adar_pairs",
     "tfidf_top_terms",
     "tf_cosine_pairs",
     "unigram_quality",
-    "bowtie_regions",
     "boolean_and_docs",
     "phrase_matches",
     "bm25_scores",
-    "user_sessions",
-    "token_pmi_pairs",
-    # -- core regression set: the flagship fixpoints stay checked every
-    #    round regardless of rotation --
+    # -- (c) core regression set: flagship fixpoints, every round --
     "edges",
     "pagerank_fixed20",
     "pagerank_converged",
-    "cc_assign",
-    "scc_assign",
     "triangles_total",
     "lpa_labels",
     "lpa_modularity",
+    # -- (d) off-window in round 3, rotating back in --
+    "cocitation_pairs",
+    "common_neighbor_jaccard",
+    "graph_summary",
+    "degree_assortativity",
+    "centrality_rank",
+    "char_budget",
+    "dictionary_ordinals",
+    "pairwise_hamming",
+    "containment_pairs",
+    "jaro_textbook_pairs",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "simhash_near_dup_pairs",
+    "embedding_near_dups",
+    "ann_brute_topk",
+    "token_counts",
+    "lang_pred",
+    "quality_scores",
 ]
 
 

@@ -1,4 +1,11 @@
-"""Benchmark harness. Prints ONE JSON line to stdout (driver contract).
+"""Benchmark harness. Stdout carries ONLY summary JSON lines (driver
+contract: the driver parses the LAST JSON line of output). A complete
+summary line is emitted after EVERY finished trial ("partial": true)
+and once more at the end ("partial": false) — so a driver-side timeout
+still leaves the newest full summary parseable instead of nothing
+(round-3 regression: rc=124 -> parsed:null). A wall-clock budget
+(TLDR_BENCH_BUDGET_S) stops scheduling new trials/ops before the driver
+window closes. All debug goes to stderr.
 
 Headline metric (BASELINE.json): PageRank edges/sec per power iteration to
 L1 <= 1e-6 convergence on a deterministic Common-Crawl-style edge table,
@@ -327,8 +334,10 @@ def run_pagerank(cpus: int) -> dict:
         spark.stop()
 
 
-def run_secondary() -> dict:
-    """One-shot operator timings at SF_DIR on local[CPUS]."""
+def run_secondary(deadline: float | None = None) -> dict:
+    """One-shot operator timings at SF_DIR on local[CPUS]. Ops whose start
+    would pass ``deadline`` (monotonic seconds) are skipped and logged —
+    a partial secondary table beats a timed-out bench (VERDICT r3)."""
     from pyspark.sql import functions as F
 
     from tldr_spark.operators.components import connected_components
@@ -353,6 +362,9 @@ def run_secondary() -> dict:
         embs.count()
 
         def t(name, fn):
+            if deadline is not None and time.monotonic() > deadline:
+                log(f"  {name}: SKIPPED (past bench budget)")
+                return
             t0 = time.monotonic()
             fn()
             out[name] = round(time.monotonic() - t0, 3)
@@ -361,6 +373,14 @@ def run_secondary() -> dict:
         t("cc", lambda: connected_components(edges).assignments.count())
         from tldr_spark.operators.scc import strongly_connected_components
         t("scc", lambda: strongly_connected_components(edges).assignments.count())
+        # local_finish=0 legs: at sf0.1 the default path finishes small
+        # cores on the driver, so these keep the DISTRIBUTED fixpoints
+        # wall-time-visible — a regression there would otherwise hide
+        # behind the finisher (VERDICT r3 task 4)
+        t("cc_distributed", lambda: connected_components(
+            edges, local_finish_edges=0).assignments.count())
+        t("scc_distributed", lambda: strongly_connected_components(
+            edges, local_finish_vertices=0).assignments.count())
         t("triangles", lambda: triangle_count(edges).per_vertex.count())
 
         from tldr_spark.operators.bfs import bfs_distances
@@ -374,6 +394,8 @@ def run_secondary() -> dict:
             .distinct()
         )
         t("bfs", lambda: bfs_distances(edges, seeds).distances.count())
+        t("bfs_distributed", lambda: bfs_distances(
+            edges, seeds, local_finish_edges=0).distances.count())
         from tldr_spark.operators.sssp import sssp
         t("sssp", lambda: sssp(edges, seeds).distances.count())
         from tldr_spark.operators.walks import random_walks
@@ -411,12 +433,34 @@ def main() -> int:
 
     # Interleaved trial schedule: a contention burst on the judging host
     # cannot hit one parallelism level exclusively. TLDR_BENCH_TRIALS
-    # overrides the number of (low, high) rounds. 4 outer trials x 2
-    # inner convergence repeats = 8 fixpoint runs (~32 steady iterations)
+    # overrides the number of (low, high) rounds. 3 outer trials x 2
+    # inner convergence repeats = 6 fixpoint runs (~24 steady iterations)
     # per level, with the slowest trial dropped before the level min.
-    n_trials = int(os.environ.get("TLDR_BENCH_TRIALS", "4"))
+    # (Back to 3 from round-3's 4: the 4+2 schedule outgrew the driver's
+    # time budget — extras now run only inside remaining budget.)
+    n_trials = int(os.environ.get("TLDR_BENCH_TRIALS", "3"))
+    # Deadline discipline (VERDICT r3: BENCH_r03 was rc=124/parsed:null
+    # because the single end-of-run JSON emit threw away every completed
+    # trial on timeout). Two defenses:
+    #   1. a wall-clock budget: nothing new is SCHEDULED once the budget
+    #      (minus a reserve for the secondary table) can no longer fit the
+    #      next trial's estimated wall;
+    #   2. incremental emission: a COMPLETE summary JSON line is printed
+    #      and flushed after every finished trial, tagged "partial": true
+    #      — the driver takes the last JSON line, so even a hard kill
+    #      keeps the newest full summary.
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("TLDR_BENCH_BUDGET_S", "2700"))
+    secondary_reserve_s = float(
+        os.environ.get("TLDR_BENCH_SECONDARY_RESERVE_S", "420")
+    )
+    deadline = t_start + budget_s
     trials: dict[int, list[dict]] = {LOW_CPUS: [], HIGH_CPUS: []}
+    walls: dict[int, list[float]] = {LOW_CPUS: [], HIGH_CPUS: []}
+    secondary: dict[str, float] = {}
+
     def run_worker(cpus: int) -> dict | None:
+        w0 = time.monotonic()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pagerank-worker", str(cpus)],
             capture_output=True,
@@ -424,13 +468,167 @@ def main() -> int:
             env={**os.environ, "TLDR_SPARK_DRIVER_MEM": os.environ.get("TLDR_SPARK_DRIVER_MEM", "24g")},
             check=False,
         )
+        walls[cpus].append(time.monotonic() - w0)
         if proc.returncode != 0:
             log(proc.stderr[-2000:])
             return None
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
+    def _est_wall(cpus: int) -> float:
+        return max(walls[cpus]) * 1.15 if walls[cpus] else 0.0
+
+    def _can_schedule(cpus: int) -> bool:
+        return time.monotonic() + _est_wall(cpus) <= deadline - secondary_reserve_s
+
+    def emit(partial: bool) -> None:
+        if trials[LOW_CPUS] and trials[HIGH_CPUS]:
+            print(json.dumps(summarize(partial)), flush=True)
+
+    def best(cpus: int) -> dict:
+        # capability per level: min steady-state iteration across kept
+        # trials — with >=3 trials the slowest one (by its own min) is
+        # dropped first, so one fully-contended JVM window cannot drag
+        # the level (round-2: high-leg trials [1.92, 2.45, 5.11])
+        kept = sorted(trials[cpus], key=lambda r: r["per_iter_s"])
+        if len(kept) >= 3:
+            kept = kept[:-1]
+        b = kept[0]
+        per_iter = min(r["per_iter_s"] for r in kept)
+        probe = min(r["probe_s"] for r in trials[cpus])
+        sprobe = min(r["shuffle_probe_s"] for r in trials[cpus])
+        return {
+            **b,
+            "per_iter_s": per_iter,
+            "probe_s": probe,
+            "shuffle_probe_s": sprobe,
+            "edges_per_sec_per_iter": round(b["n_edges"] / per_iter, 1),
+        }
+
+    def summarize(partial: bool) -> dict:
+        """Full summary from the trials completed SO FAR — called after
+        every trial so the newest stdout JSON line is always a complete,
+        honest summary (partial=True until the schedule finished)."""
+        lo, hi = best(LOW_CPUS), best(HIGH_CPUS)
+        ratio = HIGH_CPUS / LOW_CPUS
+        speedup = lo["per_iter_s"] / hi["per_iter_s"]
+        efficiency = speedup / ratio
+        # host-health sentinels: what the HOST could scale during this
+        # run, for an independent-compute workload and for a
+        # barrier/shuffle workload (the engine's shape). Normalization
+        # uses the shuffle probe.
+        probe_speedup = lo["probe_s"] / hi["probe_s"]
+        probe_eff = min(1.0, probe_speedup / ratio)
+        sprobe_speedup = lo["shuffle_probe_s"] / hi["shuffle_probe_s"]
+        sprobe_eff = min(1.0, sprobe_speedup / ratio)
+        normalized = (
+            min(1.0, efficiency / sprobe_eff) if sprobe_eff > 0 else efficiency
+        )
+        queries = {
+            f"pagerank_local{LOW_CPUS}": lo["wall_s"],
+            f"pagerank_local{HIGH_CPUS}": hi["wall_s"],
+            **secondary,
+        }
+        return {
+            "metric": "pagerank_edges_per_sec_per_iter_to_1e-6",
+            "value": hi["edges_per_sec_per_iter"],
+            "unit": "edges/sec",
+            "queries": queries,
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "partial": partial,
+            "elapsed_s": round(time.monotonic() - t_start, 1),
+            "budget_s": budget_s,
+            "n_edges": hi["n_edges"],
+            "n_vertices": hi["n_vertices"],
+            "iterations": hi["iterations"],
+            "edges_per_sec_per_iter_low": lo["edges_per_sec_per_iter"],
+            "edges_per_sec_per_iter_high": hi["edges_per_sec_per_iter"],
+            "parallelism_low": LOW_CPUS,
+            "parallelism_high": HIGH_CPUS,
+            "trials": n_trials,
+            "trials_completed": {
+                str(LOW_CPUS): len(trials[LOW_CPUS]),
+                str(HIGH_CPUS): len(trials[HIGH_CPUS]),
+            },
+            "per_iter_s_low_trials": [r["per_iter_s"] for r in trials[LOW_CPUS]],
+            "per_iter_s_high_trials": [r["per_iter_s"] for r in trials[HIGH_CPUS]],
+            "speedup": round(speedup, 3),
+            "scaling_efficiency": round(efficiency, 3),
+            # pure-JVM probes run before+after each trial measure the
+            # host's achievable N->4N scaling during this bench,
+            # independent of the engine: `probe_*` is independent compute
+            # (sum over range, no shuffle), `shuffle_probe_*` a 1M-group
+            # groupBy with the same barrier/straggler shape as a PageRank
+            # iteration. Contention hits barrier workloads harder (each
+            # stage waits for the slowest task), so the shuffle probe is
+            # the workload-matched ceiling and
+            # `scaling_efficiency_normalized` = raw / shuffle_probe_eff
+            # (capped at 1) is the engine's share of achievable scaling.
+            # host_contended flags an oversubscribed judging host; on an
+            # idle host both probes sit at ~0.85-1.0, normalized ~= raw.
+            "probe_s_low": lo["probe_s"],
+            "probe_s_high": hi["probe_s"],
+            "probe_speedup": round(probe_speedup, 3),
+            "probe_scaling_efficiency": round(probe_eff, 3),
+            "shuffle_probe_s_low": lo["shuffle_probe_s"],
+            "shuffle_probe_s_high": hi["shuffle_probe_s"],
+            "shuffle_probe_scaling_efficiency": round(sprobe_eff, 3),
+            # hypervisor steal ticks measured across each worker's whole
+            # run (/proc/stat col 8): >1-2% means other tenants were
+            # taking CPU from this VM during the bench — direct,
+            # engine-independent contention evidence (observed on this
+            # sandbox: calm windows 0%, contended windows 8-11% with 2x
+            # wall-time swings)
+            "steal_pct_per_trial": {
+                str(cpus): [r.get("steal_pct", 0.0) for r in trials[cpus]]
+                for cpus in (LOW_CPUS, HIGH_CPUS)
+            },
+            # per-trial capability spread: a >2x outlier trial is the
+            # round-2 burst signature (5.11s vs 1.92s at the same thread
+            # count) — direct evidence contention hit the run even when
+            # the coarse probes ran clean
+            "trial_spread": {
+                str(cpus): round(
+                    max(r["per_iter_s"] for r in trials[cpus])
+                    / min(r["per_iter_s"] for r in trials[cpus]),
+                    3,
+                )
+                for cpus in (LOW_CPUS, HIGH_CPUS)
+            },
+            "contended_iters_per_trial": {
+                str(cpus): [r.get("contended_iters", 0) for r in trials[cpus]]
+                for cpus in (LOW_CPUS, HIGH_CPUS)
+            },
+            "host_contended": (
+                probe_eff < 0.85
+                or sprobe_eff < 0.8
+                or any(
+                    r.get("steal_pct", 0.0) > 2.0
+                    for rs in trials.values()
+                    for r in rs
+                )
+                or any(
+                    max(r["per_iter_s"] for r in trials[c])
+                    > 2.0 * min(r["per_iter_s"] for r in trials[c])
+                    for c in (LOW_CPUS, HIGH_CPUS)
+                )
+                or any(
+                    r.get("contended_iters", 0) > 0
+                    for rs in trials.values()
+                    for r in rs
+                )
+            ),
+            "scaling_efficiency_normalized": round(normalized, 3),
+        }
+
     for t in range(n_trials):
         for cpus in (LOW_CPUS, HIGH_CPUS):
+            if trials[cpus] and not _can_schedule(cpus):
+                log(
+                    f"budget: skipping trial {t + 1}/{n_trials} at local[{cpus}] "
+                    f"({deadline - time.monotonic():.0f}s to deadline, "
+                    f"est {_est_wall(cpus):.0f}s + {secondary_reserve_s:.0f}s reserve)"
+                )
+                continue
             log(f"pagerank bench trial {t + 1}/{n_trials} at local[{cpus}] ...")
             r = run_worker(cpus)
             if r is None:
@@ -445,6 +643,7 @@ def main() -> int:
                 continue
             trials[cpus].append(r)
             log(f"  -> per_iter={r['per_iter_s']}s probe={r['probe_s']}s")
+            emit(partial=True)
     for cpus in (LOW_CPUS, HIGH_CPUS):
         if not trials[cpus]:
             raise RuntimeError(f"all local[{cpus}] trials failed — host unusable")
@@ -472,137 +671,29 @@ def main() -> int:
         )
         if _raw_eff() >= 0.82 or not contended:
             break
+        if not _can_schedule(HIGH_CPUS):
+            log("budget: no room for extra high-leg trials")
+            break
         log(f"extra high-leg trial {x + 1}/{extra} (contended run, raw eff {_raw_eff():.3f}) ...")
         r = run_worker(HIGH_CPUS)
         if r is not None:
             trials[HIGH_CPUS].append(r)
             log(f"  -> per_iter={r['per_iter_s']}s probe={r['probe_s']}s")
+            emit(partial=True)
 
-    def best(cpus: int) -> dict:
-        # capability per level: min steady-state iteration across kept
-        # trials — with >=3 trials the slowest one (by its own min) is
-        # dropped first, so one fully-contended JVM window cannot drag
-        # the level (round-2: high-leg trials [1.92, 2.45, 5.11])
-        kept = sorted(trials[cpus], key=lambda r: r["per_iter_s"])
-        if len(kept) >= 3:
-            kept = kept[:-1]
-        b = kept[0]
-        per_iter = min(r["per_iter_s"] for r in kept)
-        probe = min(r["probe_s"] for r in trials[cpus])
-        sprobe = min(r["shuffle_probe_s"] for r in trials[cpus])
-        return {
-            **b,
-            "per_iter_s": per_iter,
-            "probe_s": probe,
-            "shuffle_probe_s": sprobe,
-            "edges_per_sec_per_iter": round(b["n_edges"] / per_iter, 1),
-        }
-
-    lo, hi = best(LOW_CPUS), best(HIGH_CPUS)
-    ratio = HIGH_CPUS / LOW_CPUS
-    speedup = lo["per_iter_s"] / hi["per_iter_s"]
-    efficiency = speedup / ratio
-    # host-health sentinels: what the HOST could scale during this run,
-    # for an independent-compute workload and for a barrier/shuffle
-    # workload (the engine's shape). Normalization uses the shuffle probe.
-    probe_speedup = lo["probe_s"] / hi["probe_s"]
-    probe_eff = min(1.0, probe_speedup / ratio)
-    sprobe_speedup = lo["shuffle_probe_s"] / hi["shuffle_probe_s"]
-    sprobe_eff = min(1.0, sprobe_speedup / ratio)
-    normalized = min(1.0, efficiency / sprobe_eff) if sprobe_eff > 0 else efficiency
-
-    log("secondary operator benches ...")
-    secondary = run_secondary()
-
-    queries = {
-        f"pagerank_local{LOW_CPUS}": lo["wall_s"],
-        f"pagerank_local{HIGH_CPUS}": hi["wall_s"],
-        **secondary,
-    }
-    out = {
-        "metric": "pagerank_edges_per_sec_per_iter_to_1e-6",
-        "value": hi["edges_per_sec_per_iter"],
-        "unit": "edges/sec",
-        "queries": queries,
-        "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "n_edges": hi["n_edges"],
-        "n_vertices": hi["n_vertices"],
-        "iterations": hi["iterations"],
-        "edges_per_sec_per_iter_low": lo["edges_per_sec_per_iter"],
-        "edges_per_sec_per_iter_high": hi["edges_per_sec_per_iter"],
-        "parallelism_low": LOW_CPUS,
-        "parallelism_high": HIGH_CPUS,
-        "trials": n_trials,
-        "per_iter_s_low_trials": [r["per_iter_s"] for r in trials[LOW_CPUS]],
-        "per_iter_s_high_trials": [r["per_iter_s"] for r in trials[HIGH_CPUS]],
-        "speedup": round(speedup, 3),
-        "scaling_efficiency": round(efficiency, 3),
-        # pure-JVM probes run before+after each trial measure the host's
-        # achievable N->4N scaling during this bench, independent of the
-        # engine: `probe_*` is independent compute (sum over range, no
-        # shuffle), `shuffle_probe_*` a 1M-group groupBy with the same
-        # barrier/straggler shape as a PageRank iteration. Contention hits
-        # barrier workloads harder (each stage waits for the slowest task),
-        # so the shuffle probe is the workload-matched ceiling and
-        # `scaling_efficiency_normalized` = raw / shuffle_probe_eff
-        # (capped at 1) is the engine's share of achievable scaling.
-        # host_contended flags an oversubscribed judging host; on an idle
-        # host both probes sit at ~0.85-1.0 and normalized ~= raw.
-        "probe_s_low": lo["probe_s"],
-        "probe_s_high": hi["probe_s"],
-        "probe_speedup": round(probe_speedup, 3),
-        "probe_scaling_efficiency": round(probe_eff, 3),
-        "shuffle_probe_s_low": lo["shuffle_probe_s"],
-        "shuffle_probe_s_high": hi["shuffle_probe_s"],
-        "shuffle_probe_scaling_efficiency": round(sprobe_eff, 3),
-        # hypervisor steal ticks measured across each worker's whole run
-        # (/proc/stat col 8): >1-2% means other tenants were taking CPU
-        # from this VM during the bench — direct, engine-independent
-        # contention evidence (observed on this sandbox: calm windows 0%,
-        # contended windows 8-11% with 2x wall-time swings)
-        "steal_pct_per_trial": {
-            str(cpus): [r.get("steal_pct", 0.0) for r in trials[cpus]]
-            for cpus in (LOW_CPUS, HIGH_CPUS)
-        },
-        # per-trial capability spread: a >2x outlier trial is the round-2
-        # burst signature (5.11s vs 1.92s at the same thread count) —
-        # direct evidence contention hit the run even when the coarse
-        # probes ran clean
-        "trial_spread": {
-            str(cpus): round(
-                max(r["per_iter_s"] for r in trials[cpus])
-                / min(r["per_iter_s"] for r in trials[cpus]),
-                3,
-            )
-            for cpus in (LOW_CPUS, HIGH_CPUS)
-        },
-        "contended_iters_per_trial": {
-            str(cpus): [r.get("contended_iters", 0) for r in trials[cpus]]
-            for cpus in (LOW_CPUS, HIGH_CPUS)
-        },
-        "host_contended": (
-            probe_eff < 0.85
-            or sprobe_eff < 0.8
-            or any(
-                r.get("steal_pct", 0.0) > 2.0
-                for rs in trials.values()
-                for r in rs
-            )
-            or any(
-                max(r["per_iter_s"] for r in trials[c])
-                > 2.0 * min(r["per_iter_s"] for r in trials[c])
-                for c in (LOW_CPUS, HIGH_CPUS)
-            )
-            or any(
-                r.get("contended_iters", 0) > 0
-                for rs in trials.values()
-                for r in rs
-            )
-        ),
-        "scaling_efficiency_normalized": round(normalized, 3),
-    }
-    print(json.dumps(out))
+    # secondary table inside whatever budget remains (run_secondary skips
+    # ops whose start would pass the deadline and logs each skip)
+    if time.monotonic() < deadline - 5:
+        log("secondary operator benches ...")
+        try:
+            secondary.update(run_secondary(deadline))
+        except Exception as ex:  # a partial bench line still beats rc!=0
+            log(f"secondary bench failed: {ex!r}")
+    else:
+        log("budget: skipping secondary benches entirely")
+    emit(partial=False)
     return 0
+
 
 
 if __name__ == "__main__":
