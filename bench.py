@@ -230,12 +230,58 @@ class _StealSampler(threading.Thread):
 STEAL_EXCLUDE_PCT = 1.0
 
 
+# Shared normalized-edge parquet (round-4): the (src, dst, wn) table is
+# identical for every trial of both levels, so normalizing it in every
+# worker JVM (~100s at local[4]) was pure schedule overhead — the metric
+# is per-iteration time and prep sits outside it on either path. A prep
+# subprocess writes the normalized table ONCE to tmpfs (same precedent as
+# the spark.local.dir default); each worker then reads it and applies its
+# own dst-layout repartition IN ITS OWN SESSION, so the measured
+# iteration plan (exchange-free dst-partitioned aggregate at the level's
+# partition count) is byte-identical to the self-prepared path.
+# TLDR_BENCH_SHARED_PREP=0 restores per-worker normalization. On a real
+# cluster this is save_prepared_edges/load from a dst-bucketed table.
+def _prep_dir() -> str:
+    base = os.environ.get("TLDR_BENCH_PREP_DIR", "/dev/shm/tldr-bench-prep")
+    tag = SF_DIR.rstrip("/").split("/")[-1]
+    return f"{base}/{tag}-m{EDGE_MULT}"
+
+
+def run_prep() -> None:
+    """Subprocess: normalize the bench edge table once and write it to the
+    shared tmpfs parquet (atomic rename, so a killed writer never leaves a
+    readable half-table)."""
+    from tldr_spark.operators.pagerank import prepare_edges
+    from tldr_spark.session import build_session
+
+    out = _prep_dir()
+    if os.path.exists(out):
+        return
+    os.makedirs(_BENCH_CONF["spark.local.dir"], exist_ok=True)
+    spark = build_session(
+        "bench-prep", master=f"local[{HIGH_CPUS}]", shuffle_partitions=HIGH_CPUS,
+        extra_conf=_BENCH_CONF,
+    )
+    try:
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        edges, _ = bench_edges(spark, n_docs)
+        en = prepare_edges(
+            edges, "weight", None, partition_by=None, assume_distinct=True
+        )
+        tmp = f"{out}.tmp-{os.getpid()}"
+        en.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, out)
+    finally:
+        spark.stop()
+
+
 def run_pagerank(cpus: int) -> dict:
-    """Subprocess worker: one parallelism level. Normalizes the edge table
-    once, then runs the full 1e-6-convergence fixpoint
-    TLDR_BENCH_INNER_REPEATS times from the prepared cache; returns
-    per-iteration walls with per-window steal percentages plus
-    before/after host-probe times."""
+    """Subprocess worker: one parallelism level. Loads the shared
+    normalized edge table (or normalizes it itself when shared prep is
+    off/absent), lays it out on dst at this level's partition count, then
+    runs the full 1e-6-convergence fixpoint TLDR_BENCH_INNER_REPEATS
+    times from the prepared cache; returns per-iteration walls with
+    per-window steal percentages plus before/after host-probe times."""
     from tldr_spark.operators.pagerank import pagerank, prepare_edges
     from tldr_spark.session import build_session
 
@@ -251,14 +297,25 @@ def run_pagerank(cpus: int) -> dict:
         steal0, total0 = _cpu_ticks()
         probe_before = _jvm_probe(spark)
         sprobe_before = _jvm_shuffle_probe(spark)
-        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-        edges, _ = bench_edges(spark, n_docs)
-        # normalize ONCE; the metric is per-iteration time, prep is outside
-        # it on either path (bench graph is distinct-by-construction, so
-        # this is just the out-weight normalize + dst layout)
-        en = prepare_edges(
-            edges, "weight", None, partition_by="dst", assume_distinct=True
-        ).persist()
+        prep = _prep_dir()
+        if os.environ.get("TLDR_BENCH_SHARED_PREP", "1") != "0" and os.path.exists(prep):
+            # shared table is already normalized — only the level-local
+            # dst layout remains (one shuffle, no aggregation)
+            en = (
+                spark.read.parquet(prep)
+                .repartition(cpus, "dst")
+                .persist()
+            )
+        else:
+            n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+            edges, _ = bench_edges(spark, n_docs)
+            # normalize here; the metric is per-iteration time, prep is
+            # outside it on either path (bench graph is
+            # distinct-by-construction, so this is just the out-weight
+            # normalize + dst layout)
+            en = prepare_edges(
+                edges, "weight", None, partition_by="dst", assume_distinct=True
+            ).persist()
         en.count()
         runs = []
         wall_first = None
@@ -430,6 +487,9 @@ def main() -> int:
     if len(sys.argv) > 2 and sys.argv[1] == "--pagerank-worker":
         print(json.dumps(run_pagerank(int(sys.argv[2]))))
         return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--prep-worker":
+        run_prep()
+        return 0
 
     # Interleaved trial schedule: a contention burst on the judging host
     # cannot hit one parallelism level exclusively. TLDR_BENCH_TRIALS
@@ -483,6 +543,26 @@ def main() -> int:
     def emit(partial: bool) -> None:
         if trials[LOW_CPUS] and trials[HIGH_CPUS]:
             print(json.dumps(summarize(partial)), flush=True)
+
+    # one-time shared normalization (see _prep_dir): ~2 min at local[16]
+    # paid once instead of ~100s of normalize inside EVERY low-leg worker
+    # — the saved schedule time buys a whole extra (low, high) trial pair
+    # inside the budget. Failure is non-fatal: workers self-prepare.
+    if os.environ.get("TLDR_BENCH_SHARED_PREP", "1") != "0":
+        log("preparing shared normalized edge table ...")
+        p0 = time.monotonic()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--prep-worker"],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "TLDR_SPARK_DRIVER_MEM": os.environ.get("TLDR_SPARK_DRIVER_MEM", "24g")},
+            check=False,
+        )
+        if proc.returncode != 0:
+            log(f"  prep worker failed (rc={proc.returncode}) — workers will self-prepare")
+            log(proc.stderr[-1000:])
+        else:
+            log(f"  shared prep ready in {time.monotonic() - p0:.0f}s at {_prep_dir()}")
 
     def best(cpus: int) -> dict:
         # capability per level: min steady-state iteration across kept
