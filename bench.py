@@ -242,9 +242,20 @@ STEAL_EXCLUDE_PCT = 1.0
 # TLDR_BENCH_SHARED_PREP=0 restores per-worker normalization. On a real
 # cluster this is save_prepared_edges/load from a dst-bucketed table.
 def _prep_dir() -> str:
+    # the cache key includes a hash of the SOURCE of the two functions
+    # whose semantics define the table (edge generator + normalizer), so
+    # editing either auto-invalidates any table a previous run left on
+    # tmpfs — a stale table would silently benchmark the wrong graph
+    import hashlib
+    import inspect
+
+    from tldr_spark.operators.pagerank import prepare_edges
+
+    src = inspect.getsource(bench_edges) + inspect.getsource(prepare_edges)
+    ver = hashlib.sha1(src.encode()).hexdigest()[:10]
     base = os.environ.get("TLDR_BENCH_PREP_DIR", "/dev/shm/tldr-bench-prep")
     tag = SF_DIR.rstrip("/").split("/")[-1]
-    return f"{base}/{tag}-m{EDGE_MULT}"
+    return f"{base}/{tag}-m{EDGE_MULT}-{ver}"
 
 
 def run_prep() -> None:
@@ -423,7 +434,13 @@ def run_secondary(deadline: float | None = None) -> dict:
                 log(f"  {name}: SKIPPED (past bench budget)")
                 return
             t0 = time.monotonic()
-            fn()
+            try:
+                fn()
+            except Exception as ex:
+                # one failing op must not discard the timings already
+                # collected or the ops still to come — log and move on
+                log(f"  {name}: FAILED after {time.monotonic() - t0:.1f}s: {ex!r}")
+                return
             out[name] = round(time.monotonic() - t0, 3)
             log(f"  {name}: {out[name]}s")
 
@@ -528,10 +545,13 @@ def main() -> int:
             env={**os.environ, "TLDR_SPARK_DRIVER_MEM": os.environ.get("TLDR_SPARK_DRIVER_MEM", "24g")},
             check=False,
         )
-        walls[cpus].append(time.monotonic() - w0)
         if proc.returncode != 0:
             log(proc.stderr[-2000:])
+            # a failed worker's wall (a hang-then-die can run far past a
+            # real trial) must not pollute the budget estimator — the
+            # estimate means "cost of a SUCCESSFUL trial at this level"
             return None
+        walls[cpus].append(time.monotonic() - w0)
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     def _est_wall(cpus: int) -> float:

@@ -23,6 +23,10 @@ def test_bench_stdout_is_json_only_and_budget_degrades_gracefully():
         "TLDR_BENCH_EXTRA_TRIALS": "2",    # budget must suppress extras
         "TLDR_BENCH_BUDGET_S": "1",
         "TLDR_BENCH_SECONDARY_RESERVE_S": "0",
+        # pin everything the assertions depend on against ambient exports
+        "TLDR_BENCH_LOW_CPUS": "4",
+        "TLDR_BENCH_HIGH_CPUS": "16",
+        "TLDR_BENCH_EDGE_MULT": "15000",
     }
     proc = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],

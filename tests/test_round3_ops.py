@@ -126,10 +126,17 @@ class TestCoreDecomposition:
         assert got == {0: 2, 1: 2, 2: 2}
 
     def test_empty_graph(self, spark):
-        df = spark.createDataFrame([], "src long, dst long, weight double")
-        res = core_decomposition(df)
-        assert res.assignments.count() == 0
-        assert res.max_k == 0
+        # empty frame AND self-loop-only frame, on BOTH paths: the
+        # distributed peel must agree with the local finisher that a graph
+        # with no effective edges has rounds_per_k=[] (not a spurious [0])
+        empty = spark.createDataFrame([], "src long, dst long, weight double")
+        loops = _df(spark, [(1, 1), (2, 2)])
+        for df in (empty, loops):
+            for lf in (500_000, 0):
+                res = core_decomposition(df, local_finish_edges=lf)
+                assert res.assignments.count() == 0, lf
+                assert res.max_k == 0, lf
+                assert res.rounds_per_k == [], lf
 
 
 def _four_cliques_py(edges):

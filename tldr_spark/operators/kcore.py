@@ -180,6 +180,12 @@ def core_decomposition(
     # letting a too-shallow oracle unroll pass the q_coreness gate).
     assigned = spark.createDataFrame([], "id long, coreness long")
     alive = und.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    if alive.isEmpty():
+        # no effective edges (empty input or self-loops only): the local
+        # finisher returns rounds_per_k=[] here — match it instead of
+        # spinning one level that reports a spurious [0]
+        und.unpersist()
+        return CoreDecompositionResult(assigned, 0, [])
     rounds_per_k: list[int] = []
     k = 0
     while True:

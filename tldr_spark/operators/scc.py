@@ -347,32 +347,26 @@ def strongly_connected_components(
     # re-materialize all previously assigned rows every pass (O(P·V))
     member_frames: list[DataFrame] = []
     passes = 0
-    # vertex count at the last probe whose EDGE bound failed: re-probe only
-    # after the core has at least halved since (ADVICE r3 — the old code
-    # re-ran the two semi-joins + up-to-1M-row take EVERY pass while the
-    # edge bound kept failing, so total probe work is now O(log V) probes)
-    probe_floor: int | None = None
     while passes < max_passes and not remaining.isEmpty():
         passes += 1
         # local finish first: if the whole remaining subproblem already
         # fits the bounds, Tarjan subsumes trim + coloring in one step
         # (isolated remaining vertices — no incident remaining edges —
-        # are singleton SCCs, appended from an anti-join)
+        # are singleton SCCs, appended from an anti-join). The edge-bound
+        # probe is a COUNT — an executor-side aggregate, no checkpoint, no
+        # driver transfer — so probing every pass is cheap and the
+        # up-to-1M-row collect happens exactly once, on success (ADVICE r3
+        # flagged the old take()-based probe re-collecting every pass; a
+        # count-only retry also can't miss the case where the edge count
+        # collapses faster than the vertex count)
         n_rem = remaining.count() if local_finish_vertices > 0 else 0
-        if (
-            local_finish_vertices > 0
-            and n_rem <= local_finish_vertices
-            and (probe_floor is None or n_rem < probe_floor // 2)
-        ):
+        if local_finish_vertices > 0 and n_rem <= local_finish_vertices:
             er_probe = (
                 e.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
                 .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
-                .localCheckpoint(eager=True)
             )
-            rows = er_probe.take(local_finish_edges + 1)
-            if len(rows) > local_finish_edges:
-                probe_floor = n_rem
-            else:
+            if er_probe.count() <= local_finish_edges:
+                rows = er_probe.collect()
                 pairs = _tarjan_local([(r["src"], r["dst"]) for r in rows])
                 assigned_local = spark.createDataFrame(
                     pairs, "id long, root long"
