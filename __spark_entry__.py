@@ -2437,6 +2437,182 @@ def q_scc_condensation(spark, sf_dir):
     return condensation(derive_edges(spark, sf_dir))
 
 
+_DAG_LEVELS_SQL = f"""WITH RECURSIVE {_E},
+  g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+  verts AS (SELECT DISTINCT v AS id FROM (SELECT src AS v FROM g UNION SELECT dst FROM g)),
+  fw(u, v) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT f.u, g.dst FROM fw f JOIN g ON g.src = f.v
+  ),
+  comp AS (SELECT a.u AS vertex, MIN(a.v) AS component
+           FROM fw a JOIN fw b ON b.u = a.v AND b.v = a.u GROUP BY a.u),
+  cg AS MATERIALIZED (SELECT DISTINCT cs.component AS src, cd.component AS dst
+        FROM g JOIN comp cs ON cs.vertex = g.src
+               JOIN comp cd ON cd.vertex = g.dst
+        WHERE cs.component <> cd.component),
+  cverts AS (SELECT DISTINCT component AS id FROM comp),
+  lp(v, lvl) AS (
+    SELECT id, 0 FROM cverts
+    UNION
+    SELECT cg.dst, lp.lvl + 1 FROM lp JOIN cg ON cg.src = lp.v
+  )
+SELECT v AS component, CAST(MAX(lvl) AS INT) AS level FROM lp GROUP BY v"""
+
+
+@_q("condensation_dag_levels", _DAG_LEVELS_SQL)
+def q_condensation_dag_levels(spark, sf_dir):
+    """Crawl-tier layering: longest-path level of every SCC in the
+    condensation DAG (level 0 = pure source tiers, max = deepest chain)."""
+    from tldr_spark.operators.dag import condensation_levels
+
+    return condensation_levels(derive_edges(spark, sf_dir))
+
+
+# shared dyad-code fragment: (a<b, code 1=a→b only / 2=b→a only / 3=mutual)
+_SQL_PAIR_CODES = """
+  g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+  pc AS MATERIALIZED (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+           MAX(CASE WHEN src < dst THEN 1 ELSE 0 END)
+         + MAX(CASE WHEN src > dst THEN 2 ELSE 0 END) AS code
+    FROM g GROUP BY 1, 2),
+  verts AS (SELECT DISTINCT v AS id FROM (SELECT src AS v FROM g UNION SELECT dst FROM g)),
+  vcnt AS (SELECT COUNT(*) AS n FROM verts)
+"""
+
+_DYAD_CENSUS_SQL = f"""WITH {_E}, {_SQL_PAIR_CODES}
+SELECT CAST(COALESCE(SUM(CASE WHEN code = 3 THEN 1 END), 0) AS BIGINT) AS mutual,
+       CAST(COALESCE(SUM(CASE WHEN code < 3 THEN 1 END), 0) AS BIGINT) AS asym,
+       CAST((SELECT (n * (n - 1)) // 2 FROM vcnt) - COUNT(*) AS BIGINT) AS null_pairs
+FROM pc"""
+
+
+@_q("dyad_census", _DYAD_CENSUS_SQL)
+def q_dyad_census(spark, sf_dir):
+    """Holland-Leinhardt dyad census: mutual / asymmetric / null counts
+    over all unordered vertex pairs of the link graph."""
+    from tldr_spark.operators.triads import dyad_census
+
+    return dyad_census(derive_edges(spark, sf_dir))
+
+
+def _triad_census_sql() -> str:
+    from tldr_spark.operators.triads import TRIAD_TYPES, lookup_sql_values
+
+    types_values = ", ".join(f"('{t}')" for t in TRIAD_TYPES)
+    return f"""WITH {_E}, {_SQL_PAIR_CODES},
+  adj AS MATERIALIZED (SELECT a AS v, b AS w FROM pc UNION ALL SELECT b, a FROM pc),
+  tri AS MATERIALIZED (
+    SELECT DISTINCT l[1] AS t1, l[2] AS t2, l[3] AS t3
+    FROM (SELECT list_sort([x.v, x.w, y.w]) AS l
+          FROM adj x JOIN adj y ON y.v = x.v AND x.w < y.w)),
+  coded AS (
+    SELECT COALESCE(c12.code, 0) AS c12, COALESCE(c13.code, 0) AS c13,
+           COALESCE(c23.code, 0) AS c23
+    FROM tri t
+    LEFT JOIN pc c12 ON c12.a = t.t1 AND c12.b = t.t2
+    LEFT JOIN pc c13 ON c13.a = t.t1 AND c13.b = t.t3
+    LEFT JOIN pc c23 ON c23.a = t.t2 AND c23.b = t.t3),
+  lut(c12, c13, c23, ttype) AS (VALUES {lookup_sql_values()}),
+  enumr AS (SELECT l.ttype, COUNT(*) AS cnt
+            FROM coded c JOIN lut l USING (c12, c13, c23) GROUP BY 1),
+  thirds AS (
+    SELECT p.a, p.b, p.code,
+           COUNT(DISTINCT CASE WHEN z.w <> p.a AND z.w <> p.b THEN z.w END) AS u
+    FROM pc p LEFT JOIN adj z ON z.v = p.a OR z.v = p.b
+    GROUP BY 1, 2, 3),
+  singles AS (
+    SELECT CASE WHEN code = 3 THEN '102' ELSE '012' END AS ttype,
+           SUM((SELECT n FROM vcnt) - 2 - u) AS cnt
+    FROM thirds GROUP BY 1),
+  counted AS (SELECT ttype, cnt FROM enumr UNION ALL SELECT ttype, cnt FROM singles),
+  empty AS (SELECT '003' AS ttype,
+            (SELECT (n * (n - 1) * (n - 2)) // 6 FROM vcnt)
+            - COALESCE((SELECT SUM(cnt) FROM counted), 0) AS cnt),
+  allc AS (SELECT ttype, cnt FROM counted UNION ALL SELECT ttype, cnt FROM empty),
+  types(ttype) AS (VALUES {types_values})
+SELECT types.ttype AS triad_type,
+       CAST(COALESCE(SUM(allc.cnt), 0) AS BIGINT) AS n_triads
+FROM types LEFT JOIN allc ON allc.ttype = types.ttype GROUP BY 1"""
+
+
+@_q("triad_census", _triad_census_sql())
+def q_triad_census(spark, sf_dir):
+    """Full 16-class directed triad census (Batagelj-Mrvar enumeration +
+    analytic 012/102/003 tails) over the link graph."""
+    from tldr_spark.operators.triads import triad_census
+
+    return triad_census(derive_edges(spark, sf_dir))
+
+
+# landmark base: top-8 total-degree landmarks, capped (≤50 hop) min-dist
+# BFS both directions — fw/bw recursion enumerates walks, MIN collapses to
+# shortest paths; the d<50 cap bounds the recursion exactly like the Spark
+# side's max_levels
+_SQL_LANDMARK_BASE = """
+  g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+  deg AS (SELECT v AS id, COUNT(*) AS deg
+          FROM (SELECT src AS v FROM g UNION ALL SELECT dst FROM g) GROUP BY 1),
+  lms AS MATERIALIZED (SELECT id FROM deg ORDER BY deg DESC, id ASC LIMIT 8),
+  fw(l, v, d) AS (
+    SELECT id, id, 0 FROM lms
+    UNION
+    SELECT f.l, g.dst, f.d + 1 FROM fw f JOIN g ON g.src = f.v WHERE f.d < 50
+  ),
+  fmin AS (SELECT l, v, MIN(d) AS d FROM fw GROUP BY 1, 2),
+  bw(l, v, d) AS (
+    SELECT id, id, 0 FROM lms
+    UNION
+    SELECT f.l, g.src, f.d + 1 FROM bw f JOIN g ON g.dst = f.v WHERE f.d < 50
+  ),
+  bmin AS (SELECT l, v, MIN(d) AS d FROM bw GROUP BY 1, 2)
+"""
+
+_LANDMARK_SKETCH_SQL = f"""WITH RECURSIVE {_E}, {_SQL_LANDMARK_BASE}
+SELECT COALESCE(fmin.v, bmin.v) AS id, COALESCE(fmin.l, bmin.l) AS landmark,
+       CAST(fmin.d AS INT) AS d_from, CAST(bmin.d AS INT) AS d_to
+FROM fmin FULL OUTER JOIN bmin ON bmin.l = fmin.l AND bmin.v = fmin.v"""
+
+
+@_q("landmark_sketch", _LANDMARK_SKETCH_SQL)
+def q_landmark_sketch(spark, sf_dir):
+    """Das Sarma-style distance sketch: hop distance from/to each of the 8
+    top-degree landmarks for every reachable vertex."""
+    from tldr_spark.operators.landmarks import landmark_sketch
+
+    return landmark_sketch(derive_edges(spark, sf_dir), n_landmarks=8, max_levels=50)
+
+
+_LANDMARK_EST_SQL = f"""WITH RECURSIVE {_E}, {_SQL_LANDMARK_BASE},
+  tops AS MATERIALIZED (SELECT id FROM deg ORDER BY deg DESC, id ASC LIMIT 20),
+  prs AS (SELECT a.id AS src, b.id AS dst FROM tops a, tops b WHERE a.id <> b.id)
+SELECT p.src, p.dst, CAST(MIN(t.d + f.d) AS INT) AS est_dist
+FROM prs p
+JOIN bmin t ON t.v = p.src
+JOIN fmin f ON f.v = p.dst AND f.l = t.l
+GROUP BY 1, 2"""
+
+
+@_q("landmark_distance_est", _LANDMARK_EST_SQL)
+def q_landmark_distance_est(spark, sf_dir):
+    """Landmark upper-bound distance estimates min_ℓ d(u→ℓ)+d(ℓ→v) for all
+    ordered pairs of the 20 top-degree vertices."""
+    from tldr_spark.operators.landmarks import (
+        choose_landmarks,
+        landmark_distance_estimates,
+    )
+
+    edges = derive_edges(spark, sf_dir)
+    tops = choose_landmarks(edges, 20)
+    pairs = (
+        tops.select(F.col("id").alias("src"))
+        .crossJoin(tops.select(F.col("id").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return landmark_distance_estimates(edges, pairs, n_landmarks=8, max_levels=50)
+
+
 _BOWTIE_SQL = f"""WITH RECURSIVE {_E},
   g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
   verts AS (SELECT DISTINCT v AS id FROM (SELECT src AS v FROM g UNION SELECT dst FROM g)),
@@ -2835,6 +3011,12 @@ _WINDOW_PRIORITY = [
     # list, (c) the core regression set checked every round, then (d)
     # queries that sat OFF-window in round 3. Everything pushed out has a
     # driver-green row in CORRECTNESS_r03.
+    # -- (a0) NEW in round 4 (no driver row exists yet) --
+    "condensation_dag_levels",
+    "dyad_census",
+    "triad_census",
+    "landmark_sketch",
+    "landmark_distance_est",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

@@ -1,0 +1,227 @@
+"""Round-4 operator wave: DAG longest-path levels (condensation tiers),
+dyad + full directed triad census, landmark distance sketches.
+
+Correctness pins: pure-Python oracles (Kahn layering, itertools brute-force
+triad classification over ALL C(n,3) triples, per-pair BFS for landmark
+bounds) plus differential tests between the local-finish and distributed
+paths where the operator has both.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from tldr_spark.operators.dag import CycleError, condensation_levels, dag_levels
+from tldr_spark.operators.landmarks import (
+    choose_landmarks,
+    landmark_distance_estimates,
+    landmark_sketch,
+)
+from tldr_spark.operators.triads import LOOKUP, _type_of, dyad_census, triad_census
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(
+        [(int(s), int(d), 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+
+
+def _rand_edges(seed: int, n: int, m: int):
+    edges = set()
+    x = seed
+    while len(edges) < m:
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        s, d = (x >> 8) % n, (x >> 40) % n
+        if s != d:
+            edges.add((int(s), int(d)))
+    return sorted(edges)
+
+
+# ---------------------------------------------------------------------------
+# DAG levels
+# ---------------------------------------------------------------------------
+
+def _levels_py(edges):
+    """Longest-path level by relaxation over a topological order."""
+    verts = sorted({v for e in edges for v in e})
+    adj = {}
+    indeg = {v: 0 for v in verts}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        indeg[d] += 1
+    order, stack = [], sorted([v for v in verts if indeg[v] == 0])
+    indeg = dict(indeg)
+    while stack:
+        u = stack.pop()
+        order.append(u)
+        for v in adj.get(u, ()):
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                stack.append(v)
+    assert len(order) == len(verts), "oracle input must be a DAG"
+    lvl = {v: 0 for v in verts}
+    for u in order:
+        for v in adj.get(u, ()):
+            lvl[v] = max(lvl[v], lvl[u] + 1)
+    return lvl
+
+
+def _random_dag(seed: int, n: int, m: int):
+    """Random DAG: random directed pairs oriented low→high."""
+    return sorted({(min(s, d), max(s, d)) for s, d in _rand_edges(seed, n, m)})
+
+
+@pytest.mark.parametrize("local_finish", [1_000_000, 0])
+def test_dag_levels_matches_python(spark, local_finish):
+    edges = _random_dag(11, 40, 120)
+    res = dag_levels(_df(spark, edges), local_finish_edges=local_finish)
+    got = {r["id"]: r["level"] for r in res.levels.collect()}
+    want = _levels_py(edges)
+    assert got == want
+    assert res.depth == max(want.values())
+
+
+@pytest.mark.parametrize("local_finish", [1_000_000, 0])
+def test_dag_levels_detects_cycle(spark, local_finish):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    with pytest.raises(CycleError):
+        dag_levels(_df(spark, edges), max_rounds=20, local_finish_edges=local_finish)
+
+
+def test_dag_levels_rejects_self_loop(spark):
+    with pytest.raises(CycleError):
+        dag_levels(_df(spark, [(0, 0), (0, 1)]))
+
+
+def test_condensation_levels(spark):
+    # two 2-cycles chained, plus an isolated cross edge and a singleton sink:
+    #   {0,1} -> {2,3} -> 4 ;  5 -> 4
+    edges = [(0, 1), (1, 0), (2, 3), (3, 2), (1, 2), (3, 4), (5, 4)]
+    got = {
+        r["component"]: r["level"]
+        for r in condensation_levels(_df(spark, edges)).collect()
+    }
+    assert got == {0: 0, 2: 1, 4: 2, 5: 0}
+
+
+# ---------------------------------------------------------------------------
+# dyad + triad census
+# ---------------------------------------------------------------------------
+
+def _census_py(edges):
+    """Brute-force census over ALL C(n,3) triples."""
+    verts = sorted({v for e in edges for v in e})
+    arcs = {(s, d) for s, d in edges if s != d}
+    counts: dict[str, int] = {}
+    for a, b, c in itertools.combinations(verts, 3):
+        local = set()
+        idx = {a: 0, b: 1, c: 2}
+        for x, y in itertools.permutations((a, b, c), 2):
+            if (x, y) in arcs:
+                local.add((idx[x], idx[y]))
+        t = _type_of(local)
+        counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+def test_triad_census_matches_bruteforce(spark):
+    edges = _rand_edges(7, 18, 60)
+    got = {
+        r["triad_type"]: r["n_triads"]
+        for r in triad_census(_df(spark, edges)).collect()
+    }
+    want = _census_py(edges)
+    assert sum(got.values()) == 18 * 17 * 16 // 6
+    for t in got:
+        assert got[t] == want.get(t, 0), t
+
+
+def test_triad_census_lookup_is_permutation_invariant():
+    # the classifier must not depend on which vertex got which label
+    for c12 in range(4):
+        for c13 in range(4):
+            for c23 in range(4):
+                arcs = set()
+                for code, (x, y) in zip((c12, c13, c23), [(0, 1), (0, 2), (1, 2)]):
+                    if code in (1, 3):
+                        arcs.add((x, y))
+                    if code in (2, 3):
+                        arcs.add((y, x))
+                base = LOOKUP[(c12, c13, c23)]
+                for perm in itertools.permutations(range(3)):
+                    relabeled = {(perm[x], perm[y]) for x, y in arcs}
+                    assert _type_of(relabeled) == base
+
+
+def test_dyad_census_small(spark):
+    # 4 vertices: mutual (0,1); asym (1,2), (2,3) → C(4,2)=6 pairs, 3 null
+    edges = [(0, 1), (1, 0), (1, 2), (2, 3)]
+    row = dyad_census(_df(spark, edges)).collect()[0]
+    assert (row["mutual"], row["asym"], row["null_pairs"]) == (1, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# landmarks
+# ---------------------------------------------------------------------------
+
+def _bfs_py(edges, src, reverse=False):
+    from collections import deque
+
+    adj = {}
+    for s, d in edges:
+        if reverse:
+            s, d = d, s
+        adj.setdefault(s, []).append(d)
+    dist = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return dist
+
+
+def test_landmark_sketch_matches_bfs(spark):
+    edges = _rand_edges(23, 30, 70)
+    df = _df(spark, edges)
+    lms = [r["id"] for r in choose_landmarks(df, 4).collect()]
+    assert len(lms) == 4
+    rows = landmark_sketch(df, n_landmarks=4).collect()
+    got_from = {(r["landmark"], r["id"]): r["d_from"] for r in rows if r["d_from"] is not None}
+    got_to = {(r["landmark"], r["id"]): r["d_to"] for r in rows if r["d_to"] is not None}
+    want_from = {(l, v): d for l in lms for v, d in _bfs_py(edges, l).items()}
+    want_to = {(l, v): d for l in lms for v, d in _bfs_py(edges, l, reverse=True).items()}
+    assert got_from == want_from
+    assert got_to == want_to
+
+
+def test_landmark_estimates_are_upper_bounds_and_tight_via_landmark(spark):
+    edges = _rand_edges(31, 25, 55)
+    df = _df(spark, edges)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a != b], "src long, dst long"
+    )
+    est = {
+        (r["src"], r["dst"]): r["est_dist"]
+        for r in landmark_distance_estimates(df, pairs, n_landmarks=4).collect()
+    }
+    lms = [r["id"] for r in choose_landmarks(df, 4).collect()]
+    for (u, v), e in est.items():
+        du = _bfs_py(edges, u)
+        # upper bound on the true distance (when v is reachable at all)
+        if v in du:
+            assert e >= du[v]
+        # and exactly min over landmarks of d(u→l)+d(l→v)
+        best = None
+        dv_from = {l: _bfs_py(edges, l).get(v) for l in lms}
+        for l in lms:
+            a = du.get(l)
+            b = dv_from[l]
+            if a is not None and b is not None:
+                best = min(best, a + b) if best is not None else a + b
+        assert e == best
