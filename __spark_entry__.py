@@ -236,6 +236,77 @@ def q_pagerank_converged(spark, sf_dir):
     )
 
 
+# Katz: α = 1/256 (binary-exact literal; αλ_max « 1 on this graph family —
+# per-vertex in-weight is bounded by the generator's 125-wide block, so the
+# truncated sum stays O(1) and the 2^-20 quantization absorbs ulp noise)
+_KATZ_ALPHA = 1.0 / 256.0
+_KATZ_ITERS = 20
+
+_KATZ_SQL = f"""WITH RECURSIVE {_E},
+  norm AS (SELECT src, dst, SUM(weight) AS w FROM e GROUP BY src, dst),
+  verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+  kz(it, id, x) AS (
+    SELECT 0, v.v, CAST(1.0 AS DOUBLE) FROM verts v
+    UNION ALL
+    SELECT it + 1, id, new_x FROM (
+      SELECT t.it AS it, v.id AS id,
+             1.0 + {_KATZ_ALPHA!r} * COALESCE(c.contrib, CAST(0 AS DOUBLE)) AS new_x
+      FROM (SELECT MAX(it) AS it FROM kz) t
+      CROSS JOIN (SELECT id, x FROM kz) v
+      LEFT JOIN (SELECT n.dst AS id, SUM(k.x * n.w) AS contrib
+                 FROM kz k JOIN norm n ON n.src = k.id GROUP BY n.dst) c ON c.id = v.id
+    ) WHERE it < {_KATZ_ITERS}
+  )
+SELECT id AS vertex, CAST(ROUND(x * 1048576) AS BIGINT) AS katz_q
+FROM kz WHERE it = {_KATZ_ITERS}"""
+
+
+@_q("katz_fixed20", _KATZ_SQL)
+def q_katz_fixed20(spark, sf_dir):
+    """Katz centrality (attenuated walk count), α=1/256, fixed 20
+    iterations, 2^-20 quantized."""
+    from tldr_spark.operators.katz import katz_centrality
+
+    res = katz_centrality(
+        derive_edges(spark, sf_dir), alpha=_KATZ_ALPHA, n_iter=_KATZ_ITERS
+    )
+    return res.scores.select(
+        F.col("id").alias("vertex"),
+        F.round(F.col("katz") * 1048576).cast("long").alias("katz_q"),
+    )
+
+
+_BIPARTITE_SQL = f"""WITH RECURSIVE {_E},
+  und AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+  reach(u, v) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM und)
+    UNION
+    SELECT r.u, d.v FROM reach r JOIN und d ON d.u = r.v
+  ),
+  comp AS (SELECT u AS vertex, MIN(v) AS component FROM reach GROUP BY u),
+  pw(c, v, p) AS (
+    SELECT component, component, 0 FROM (SELECT DISTINCT component FROM comp)
+    UNION
+    SELECT pw.c, d.v, 1 - pw.p FROM pw JOIN und d ON d.u = pw.v
+  ),
+  odd AS (SELECT DISTINCT c FROM (SELECT c, v FROM pw GROUP BY c, v HAVING COUNT(*) > 1)),
+  sizes AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY 1)
+SELECT s.component, CAST(s.n AS BIGINT) AS n_vertices,
+       odd.c IS NULL AS is_bipartite
+FROM sizes s LEFT JOIN odd ON odd.c = s.component"""
+
+
+@_q("bipartite_components", _BIPARTITE_SQL)
+def q_bipartite_components(spark, sf_dir):
+    """Per-component bipartiteness: BFS-parity 2-coloring conflict check
+    (the oracle equivalently tests whether any vertex is walk-reachable
+    from the root at both parities — both criteria are 'has an odd
+    cycle')."""
+    from tldr_spark.operators.bipartite import bipartite_components
+
+    return bipartite_components(derive_edges(spark, sf_dir))
+
+
 # -- connected components (small-star/large-star) ----------------------------
 
 _CC_SQL = f"""WITH RECURSIVE {_E},
@@ -3017,6 +3088,8 @@ _WINDOW_PRIORITY = [
     "triad_census",
     "landmark_sketch",
     "landmark_distance_est",
+    "katz_fixed20",
+    "bipartite_components",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

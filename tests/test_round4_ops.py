@@ -200,6 +200,87 @@ def test_landmark_sketch_matches_bfs(spark):
     assert got_to == want_to
 
 
+def test_katz_matches_python(spark):
+    from tldr_spark.operators.katz import katz_centrality
+
+    edges = _rand_edges(41, 25, 60)
+    alpha, n_iter = 1.0 / 64.0, 15
+    res = katz_centrality(_df(spark, edges), alpha=alpha, n_iter=n_iter)
+    got = {r["id"]: r["katz"] for r in res.scores.collect()}
+    # pure-python truncated-walk iteration (weights 1.0 from _df)
+    verts = sorted({v for e in edges for v in e})
+    x = {v: 1.0 for v in verts}
+    for _ in range(n_iter):
+        nx = {}
+        for v in verts:
+            s = sum(x[u] for u, d in edges if d == v)
+            nx[v] = 1.0 + alpha * s
+        x = nx
+    assert set(got) == set(x)
+    for v in verts:
+        assert got[v] == pytest.approx(x[v], rel=1e-12)
+
+
+def test_katz_tolerance_stops_early(spark):
+    from tldr_spark.operators.katz import katz_centrality
+
+    edges = _rand_edges(41, 25, 60)
+    res = katz_centrality(_df(spark, edges), alpha=1.0 / 64.0, n_iter=100, tolerance=1e-9)
+    assert res.iterations < 100
+    assert res.l1_delta <= 1e-9
+
+
+def _bipartite_py(edges):
+    """2-coloring oracle: component (by min vertex) → is_bipartite."""
+    from collections import deque
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    color, out = {}, {}
+    for start in sorted(adj):
+        if start in color:
+            continue
+        comp, ok = [start], True
+        color[start] = 0
+        dq = deque([start])
+        while dq:
+            u = dq.popleft()
+            for w in adj[u]:
+                if w not in color:
+                    color[w] = 1 - color[u]
+                    comp.append(w)
+                    dq.append(w)
+                elif color[w] == color[u]:
+                    ok = False
+        out[min(comp)] = (len(comp), ok)
+    return out
+
+
+def test_bipartite_components(spark):
+    from tldr_spark.operators.bipartite import bipartite_components
+
+    # even cycle (bipartite) + triangle (odd) + path (bipartite), disjoint
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (10, 11), (11, 12), (12, 10), (20, 21), (21, 22)]
+    got = {
+        r["component"]: (r["n_vertices"], r["is_bipartite"])
+        for r in bipartite_components(_df(spark, edges)).collect()
+    }
+    assert got == {0: (4, True), 10: (3, False), 20: (3, True)}
+
+
+def test_bipartite_random_differential(spark):
+    from tldr_spark.operators.bipartite import bipartite_components
+
+    edges = _rand_edges(53, 30, 45)
+    got = {
+        r["component"]: (r["n_vertices"], r["is_bipartite"])
+        for r in bipartite_components(_df(spark, edges)).collect()
+    }
+    assert got == _bipartite_py(edges)
+
+
 def test_landmark_estimates_are_upper_bounds_and_tight_via_landmark(spark):
     edges = _rand_edges(31, 25, 55)
     df = _df(spark, edges)
