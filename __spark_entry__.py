@@ -307,6 +307,62 @@ def q_bipartite_components(spark, sf_dir):
     return bipartite_components(derive_edges(spark, sf_dir))
 
 
+def _stratified_sample_sql() -> str:
+    from tldr_spark.operators.sampling import hash_bucket_ppm_sql
+
+    return f"""SELECT doc_id, lang FROM documents
+WHERE {hash_bucket_ppm_sql('doc_id', 7)}
+      < CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 500000 ELSE 100000 END"""
+
+
+@_q("stratified_sample_docs", _stratified_sample_sql())
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic per-language corpus downsample (en 25%, zh 50%,
+    default 10%) via the cross-engine Lehmer hash — zero-shuffle map-side
+    filter, reproducible across reruns/engines/partitionings."""
+    from tldr_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(
+        docs, "lang", {"en": 0.25, "zh": 0.5}, key_col="doc_id",
+        default_rate=0.1, salt=7,
+    ).select("doc_id", "lang")
+
+
+_RICH_CLUB_SQL = f"""WITH {_E},
+  undp AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+           FROM e WHERE src <> dst),
+  dg AS (SELECT v AS id, COUNT(*) AS deg
+         FROM (SELECT a AS v FROM undp UNION ALL SELECT b FROM undp) GROUP BY 1),
+  ks(k) AS (VALUES (1), (2), (4), (8), (16), (32)),
+  nr AS (SELECT k, COUNT(*) AS n_rich FROM ks JOIN dg ON dg.deg > ks.k GROUP BY 1),
+  er AS (SELECT ks.k, COUNT(*) AS e_rich
+         FROM undp JOIN dg da ON da.id = undp.a
+                   JOIN dg db ON db.id = undp.b
+                   CROSS JOIN ks
+         WHERE da.deg > ks.k AND db.deg > ks.k GROUP BY 1)
+SELECT nr.k, CAST(nr.n_rich AS BIGINT) AS n_rich,
+       CAST(COALESCE(er.e_rich, 0) AS BIGINT) AS e_rich,
+       CAST(ROUND(2.0 * COALESCE(er.e_rich, 0)
+                  / (nr.n_rich * (nr.n_rich - 1.0)) * 1048576) AS BIGINT) AS phi_q
+FROM nr LEFT JOIN er USING (k) WHERE nr.n_rich >= 2"""
+
+
+@_q("rich_club_coeffs", _RICH_CLUB_SQL)
+def q_rich_club_coeffs(spark, sf_dir):
+    """Rich-club coefficient φ(k) at k ∈ {1,2,4,8,16,32}: hub
+    interconnection density over the undirected simple graph, 2^-20
+    quantized (exact integer division → bit-stable across engines)."""
+    from tldr_spark.operators.richclub import rich_club
+
+    return rich_club(derive_edges(spark, sf_dir), [1, 2, 4, 8, 16, 32]).select(
+        "k",
+        "n_rich",
+        "e_rich",
+        F.round(F.col("phi") * 1048576).cast("long").alias("phi_q"),
+    )
+
+
 # -- connected components (small-star/large-star) ----------------------------
 
 _CC_SQL = f"""WITH RECURSIVE {_E},
@@ -3090,6 +3146,8 @@ _WINDOW_PRIORITY = [
     "landmark_distance_est",
     "katz_fixed20",
     "bipartite_components",
+    "stratified_sample_docs",
+    "rich_club_coeffs",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

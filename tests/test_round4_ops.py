@@ -281,6 +281,61 @@ def test_bipartite_random_differential(spark):
     assert got == _bipartite_py(edges)
 
 
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from tldr_spark.operators.sampling import hash_sample, stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else "de") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s1 = stratified_sample(df, "lang", {"en": 0.5}, "doc_id", default_rate=0.1, salt=3)
+    got1 = sorted(r["doc_id"] for r in s1.collect())
+    # rerun (and repartition) ⇒ identical sample
+    s2 = stratified_sample(
+        df.repartition(7), "lang", {"en": 0.5}, "doc_id", default_rate=0.1, salt=3
+    )
+    assert sorted(r["doc_id"] for r in s2.collect()) == got1
+    by_lang = {"en": 0, "de": 0}
+    for r in s1.collect():
+        by_lang[r["lang"]] += 1
+    assert by_lang["en"] == pytest.approx(1000 * 0.5, rel=0.15)
+    assert by_lang["de"] == pytest.approx(2000 * 0.1, rel=0.3)
+    # python mirror of the hash: exact membership, not just counts
+    M, A = 2_147_483_647, 48271
+    want = [
+        i for i, lang in rows
+        if (((i + 3) % M) * A) % M % 1_000_000 < (500_000 if lang == "en" else 100_000)
+    ]
+    assert got1 == want
+    # different salts give (near-)independent streams
+    h0 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2, salt=0).collect()}
+    h9 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2, salt=999).collect()}
+    assert h0 != h9
+
+
+def test_rich_club_matches_bruteforce(spark):
+    from tldr_spark.operators.richclub import rich_club
+
+    edges = _rand_edges(61, 24, 70)
+    ks = [0, 1, 2, 3, 5, 8]
+    got = {
+        r["k"]: (r["n_rich"], r["e_rich"], r["phi"])
+        for r in rich_club(_df(spark, edges), ks).collect()
+    }
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for k in ks:
+        rich = {v for v, dv in deg.items() if dv > k}
+        e_k = sum(1 for a, b in und if a in rich and b in rich)
+        if len(rich) < 2:
+            assert k not in got
+            continue
+        n_k = len(rich)
+        assert got[k][0] == n_k and got[k][1] == e_k
+        assert got[k][2] == pytest.approx(2.0 * e_k / (n_k * (n_k - 1)), rel=1e-12)
+
+
 def test_landmark_estimates_are_upper_bounds_and_tight_via_landmark(spark):
     edges = _rand_edges(31, 25, 55)
     df = _df(spark, edges)

@@ -1,0 +1,76 @@
+"""Deterministic hash sampling for training-data pipelines — the
+downsample-by-stratum pass every 100 TB corpus build runs (per-language /
+per-source / per-quality-bucket rates) where the sample must be
+REPRODUCIBLE across reruns, engines, and partitionings.
+
+Mechanism: a Lehmer/MINSTD integer hash of the row key,
+``h = ((key mod M) * 48271) mod M`` with M = 2^31−1, accepted when
+``h mod 10^6 < rate_ppm``. Pure bounded integer arithmetic — no engine
+hash function — so Spark (JVM longs) and any SQL oracle (DuckDB BIGINT,
+which errors on overflow rather than wrapping) compute bit-identical
+verdicts; intermediates stay < 2^48. Rates are parts-per-million ints to
+keep the comparison integral.
+
+Scale shape: zero shuffle — the rate table is a broadcast dim of
+|strata| rows and the accept test is per-row JVM codegen; the sample of a
+10^12-row table is one map-side filter. Sampling is salt-keyed so
+independent samples (train/eval splits) come from disjoint hash streams.
+
+Reference parity note: the reference (didasy/tldr) has no sampling stage;
+this is pipeline tooling the north rule's training-data scope calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_M = 2_147_483_647  # 2^31 − 1 (Mersenne prime, MINSTD modulus)
+_A = 48271
+_PPM = 1_000_000
+
+
+def hash_bucket_ppm(key, salt: int = 0):
+    """Column expr: deterministic bucket in [0, 10^6) from an integer key.
+    ``(((key + salt) mod M) * 48271 mod M) mod 10^6`` — every intermediate
+    fits comfortably in a signed 64-bit integer."""
+    k = F.pmod(key.cast("long") + F.lit(int(salt)), F.lit(_M))
+    return F.pmod(k * F.lit(_A), F.lit(_M)) % F.lit(_PPM)
+
+
+def hash_bucket_ppm_sql(key_expr: str, salt: int = 0) -> str:
+    """The identical bucket computation as a SQL fragment (DuckDB/ANSI):
+    guaranteed to agree with :func:`hash_bucket_ppm` row for row."""
+    return f"((((({key_expr}) + {int(salt)}) % {_M}) * {_A}) % {_M}) % {_PPM}"
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose key hashes
+    under ``rate`` (0..1). Same key + salt ⇒ same verdict, forever."""
+    ppm = int(round(rate * _PPM))
+    return df.filter(hash_bucket_ppm(F.col(key_col), salt) < F.lit(ppm))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value keeps its own
+    rate (``rates``), everything else keeps ``default_rate``. The rate
+    table broadcasts (|strata| rows); the accept test is a map-side filter
+    — the whole sample of a 10^12-row table costs zero shuffles."""
+    spark = df.sparkSession
+    rate_rows = [(k, int(round(v * _PPM))) for k, v in sorted(rates.items())]
+    rdf = spark.createDataFrame(rate_rows, f"{strata_col} string, rate_ppm int")
+    default_ppm = int(round(default_rate * _PPM))
+    return (
+        df.join(F.broadcast(rdf), strata_col, "left")
+        .withColumn("rate_ppm", F.coalesce("rate_ppm", F.lit(default_ppm)))
+        .filter(hash_bucket_ppm(F.col(key_col), salt) < F.col("rate_ppm"))
+        .drop("rate_ppm")
+    )
