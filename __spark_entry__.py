@@ -1452,6 +1452,58 @@ def q_degree_assortativity(spark, sf_dir):
     )
 
 
+_LANG_MIX_SQL = f"""WITH {_E}, {_SD_SQL}
+SELECT ds.lang AS attr_src, dd.lang AS attr_dst, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM sd JOIN documents ds ON ds.doc_id = sd.src
+        JOIN documents dd ON dd.doc_id = sd.dst
+GROUP BY 1, 2"""
+
+
+@_q("lang_mixing_matrix", _LANG_MIX_SQL)
+def q_lang_mixing_matrix(spark, sf_dir):
+    """Categorical mixing matrix (Newman 2003): how often language i links
+    to language j across the doc-id link graph — fact×dim star join."""
+    from tldr_spark.operators.stats import attribute_mixing_matrix
+
+    attrs = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), F.col("lang").alias("attr"))
+    return attribute_mixing_matrix(derive_edges(spark, sf_dir), attrs)
+
+
+@_q(
+    "lang_assortativity",
+    f"""WITH {_E}, {_SD_SQL},
+    mm AS (SELECT ds.lang AS als, dd.lang AS ald, COUNT(*) AS n
+           FROM sd JOIN documents ds ON ds.doc_id = sd.src
+                   JOIN documents dd ON dd.doc_id = sd.dst
+           GROUP BY 1, 2),
+    ma AS (SELECT als, SUM(n) AS a FROM mm GROUP BY 1),
+    mb AS (SELECT ald, SUM(n) AS b FROM mm GROUP BY 1),
+    ab AS (SELECT CAST(COALESCE(SUM(a * b), 0) AS BIGINT) AS sum_ab
+           FROM ma JOIN mb ON mb.ald = ma.als),
+    t AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS m,
+                 CAST(COALESCE(SUM(CASE WHEN als = ald THEN n END), 0) AS BIGINT) AS trace
+          FROM mm)
+    SELECT m, trace, sum_ab,
+           CAST(ROUND(CASE WHEN m * m - sum_ab <> 0
+                THEN CAST(m * trace - sum_ab AS DOUBLE)
+                     / CAST(m * m - sum_ab AS DOUBLE)
+                ELSE 0 END * 1048576) AS BIGINT) AS assortativity_q
+    FROM t, ab""",
+)
+def q_lang_assortativity(spark, sf_dir):
+    """Newman categorical assortativity of language across links: integer
+    mixing counts, exact marginals, one final division (2^-20 quantized)."""
+    from tldr_spark.operators.stats import attribute_assortativity
+
+    attrs = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), F.col("lang").alias("attr"))
+    return attribute_assortativity(derive_edges(spark, sf_dir), attrs).select(
+        "m",
+        "trace",
+        "sum_ab",
+        F.round(F.col("assortativity") * 1048576).cast("long").alias("assortativity_q"),
+    )
+
+
 # -- centrality ranking (op-14, deterministic §5.4 order) ---------------------
 
 @_q(
@@ -3148,6 +3200,8 @@ _WINDOW_PRIORITY = [
     "bipartite_components",
     "stratified_sample_docs",
     "rich_club_coeffs",
+    "lang_mixing_matrix",
+    "lang_assortativity",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

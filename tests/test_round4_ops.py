@@ -336,6 +336,44 @@ def test_rich_club_matches_bruteforce(spark):
         assert got[k][2] == pytest.approx(2.0 * e_k / (n_k * (n_k - 1)), rel=1e-12)
 
 
+def test_attribute_assortativity_matches_python(spark):
+    from tldr_spark.operators.stats import attribute_assortativity, attribute_mixing_matrix
+
+    edges = _rand_edges(71, 30, 80)
+    attr_of = lambda v: ["red", "green", "blue"][v % 3]  # noqa: E731
+    attrs = spark.createDataFrame(
+        [(v, attr_of(v)) for v in range(30)], "id long, attr string"
+    )
+    df = _df(spark, edges)
+    mm = {
+        (r["attr_src"], r["attr_dst"]): r["n_edges"]
+        for r in attribute_mixing_matrix(df, attrs).collect()
+    }
+    want_mm: dict[tuple[str, str], int] = {}
+    simple = {(s, d) for s, d in edges if s != d}
+    for s, d in simple:
+        k = (attr_of(s), attr_of(d))
+        want_mm[k] = want_mm.get(k, 0) + 1
+    assert mm == want_mm
+    row = attribute_assortativity(df, attrs).collect()[0]
+    m = sum(want_mm.values())
+    trace = sum(v for (a, b), v in want_mm.items() if a == b)
+    cats = {c for k in want_mm for c in k}
+    sum_ab = sum(
+        sum(v for (a, _), v in want_mm.items() if a == c)
+        * sum(v for (_, b), v in want_mm.items() if b == c)
+        for c in cats
+    )
+    assert (row["m"], row["trace"], row["sum_ab"]) == (m, trace, sum_ab)
+    assert row["assortativity"] == pytest.approx(
+        (m * trace - sum_ab) / (m * m - sum_ab), rel=1e-12
+    )
+    # perfectly assortative graph → r == 1
+    iso_edges = [(0, 3), (3, 6), (1, 4), (2, 5)]  # all same attr (mod 3) ends
+    r1 = attribute_assortativity(_df(spark, iso_edges), attrs).collect()[0]
+    assert r1["assortativity"] == pytest.approx(1.0)
+
+
 def test_landmark_estimates_are_upper_bounds_and_tight_via_landmark(spark):
     edges = _rand_edges(31, 25, 55)
     df = _df(spark, edges)

@@ -131,6 +131,70 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     return out
 
 
+def attribute_mixing_matrix(edges: DataFrame, attrs: DataFrame) -> DataFrame:
+    """(attr_src, attr_dst, n_edges) — the categorical mixing matrix over
+    simple directed edges (Newman 2003 §II): how often category i links to
+    category j. ``attrs`` is a (id, attr) dimension; edges with an
+    unlabeled endpoint are dropped (inner joins). Scale shape: the classic
+    fact×dim star join — two hash joins of the edge table against the
+    V-row attribute dimension (broadcast when the dim is small, AQE
+    decides), then a |categories|² aggregate."""
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    asrc = attrs.select(F.col("id").cast("long").alias("src"), F.col("attr").alias("attr_src"))
+    adst = attrs.select(F.col("id").cast("long").alias("dst"), F.col("attr").alias("attr_dst"))
+    return (
+        e.join(asrc, "src")
+        .join(adst, "dst")
+        .groupBy("attr_src", "attr_dst")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+def attribute_assortativity(edges: DataFrame, attrs: DataFrame) -> DataFrame:
+    """One row: (m, trace, sum_ab, assortativity) — Newman's categorical
+    assortativity r = (M·Tr(n) − Σᵢ aᵢ·bᵢ) / (M² − Σᵢ aᵢ·bᵢ) computed from
+    the INTEGER mixing counts (n = mixing matrix, aᵢ/bᵢ its row/column
+    marginals, M total labeled edges), so cross-engine parity is exact up
+    to the single final division. r = 1 ⇔ perfectly assortative, 0 ⇔
+    random mixing, < 0 ⇔ disassortative."""
+    mm = attribute_mixing_matrix(edges, attrs).persist()
+    marg_a = mm.groupBy("attr_src").agg(F.sum("n_edges").alias("a"))
+    marg_b = mm.groupBy("attr_dst").agg(F.sum("n_edges").alias("b"))
+    sum_ab = (
+        marg_a.join(marg_b, marg_a["attr_src"] == marg_b["attr_dst"])
+        .agg(F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0)).alias("sum_ab"))
+    )
+    totals = mm.agg(
+        F.coalesce(F.sum("n_edges"), F.lit(0)).alias("m"),
+        F.coalesce(
+            F.sum(F.when(F.col("attr_src") == F.col("attr_dst"), F.col("n_edges"))),
+            F.lit(0),
+        ).alias("trace"),
+    )
+    out = (
+        totals.crossJoin(F.broadcast(sum_ab))
+        .select(
+            "m",
+            "trace",
+            "sum_ab",
+            F.when(
+                F.col("m") * F.col("m") - F.col("sum_ab") != 0,
+                (F.col("m") * F.col("trace") - F.col("sum_ab")).cast("double")
+                / (F.col("m") * F.col("m") - F.col("sum_ab")).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("assortativity"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mm.unpersist()
+    return out
+
+
 def partition_modularity(edges: DataFrame, assignments: DataFrame) -> DataFrame:
     """Newman modularity Q of a vertex partition (e.g. label-propagation
     communities) on the UNDIRECTED simple graph:
