@@ -117,6 +117,42 @@ def test_running_sum_is_single_window(plans):
     assert "Join" not in plan
 
 
+def test_stratified_sample_zero_shuffle(spark):
+    """The corpus downsample must stay a map-side filter: the only Exchange
+    allowed is the BroadcastExchange of the tiny rate dimension, and the
+    documents scan must read exactly (doc_id, lang) — at 10^12 rows any
+    shuffle or wider scan here dominates the whole pipeline."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["stratified_sample_docs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Exchange rangepartitioning") == 0, plan
+    for _, schema in _scans(plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"doc_id", "lang"}, schema
+
+
+def test_triad_wedge_join_is_equi(spark):
+    """The census wedge self-join must hash/merge on the center vertex
+    (the x.w < y.w bound is a post-filter) — a nested-loop plan here is
+    the V² disaster the Batagelj-Mrvar strategy exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from tldr_spark.operators.triads import _pair_codes
+    from tldr_spark.sources.tables import derive_edges
+
+    pc = _pair_codes(derive_edges(spark, SF_DIR))
+    adj = pc.select(F.col("a").alias("v"), F.col("b").alias("w")).union(
+        pc.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    x, y = adj.alias("x"), adj.alias("y")
+    tri = x.join(y, (F.col("x.v") == F.col("y.v")) & (F.col("x.w") < F.col("y.w")))
+    plan = tri._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_token_pmi_no_unbounded_broadcast_hint(spark):
     """VERDICT r3: the PMI marginal table is VOCABULARY-sized (hapax-heavy,
     10^8-10^9 rows on a web corpus) — a forced broadcast hint there OOMs
