@@ -329,6 +329,28 @@ def q_stratified_sample_docs(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _reservoir_sql() -> str:
+    from tldr_spark.operators.sampling import hash_bucket_ppm_sql
+
+    return f"""SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {hash_bucket_ppm_sql('doc_id', 11)} ASC,
+                                     doc_id ASC) AS rn
+  FROM documents) WHERE rn <= 5"""
+
+
+@_q("reservoir_per_lang", _reservoir_sql())
+def q_reservoir_per_lang(spark, sf_dir):
+    """Deterministic fixed-size (5-doc) uniform sample per language —
+    bottom-n-by-hash reservoir, reproducible across reruns and engines."""
+    from tldr_spark.operators.sampling import reservoir_per_key
+
+    return reservoir_per_key(
+        _docs(spark, sf_dir).select("doc_id", "lang"), ["lang"], 5, "doc_id", salt=11
+    )
+
+
 _RICH_CLUB_SQL = f"""WITH {_E},
   undp AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
            FROM e WHERE src <> dst),
@@ -2119,6 +2141,18 @@ def q_fingerprints(spark, sf_dir):
 # -- link graph -> PageRank top-20 (rows-only: html bytes come from the
 # -- deterministic python generator, not SQL-reproducible) ----------------------
 
+@_q("greedy_coloring_colors", None)
+def q_greedy_coloring_colors(spark, sf_dir):
+    """Jones-Plassmann greedy coloring (deterministic Lehmer-hash
+    priorities) — rows-only: the priority-cascade rounds are not
+    recursive-CTE-expressible; semantics pinned by tests/test_round4_ops.py
+    (exact pure-Python JP mirror + proper-coloring/determinism
+    invariants)."""
+    from tldr_spark.operators.coloring import greedy_coloring
+
+    return greedy_coloring(derive_edges(spark, sf_dir), salt=5).colors
+
+
 @_q("luby_mis", None)
 def q_luby_mis(spark, sf_dir):
     """Maximal independent set (Luby, deterministic md5 priorities) —
@@ -3202,6 +3236,7 @@ _WINDOW_PRIORITY = [
     "rich_club_coeffs",
     "lang_mixing_matrix",
     "lang_assortativity",
+    "reservoir_per_lang",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

@@ -311,6 +311,30 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     assert h0 != h9
 
 
+def test_reservoir_per_key(spark):
+    from tldr_spark.operators.sampling import reservoir_per_key
+
+    rows = [(i, "en" if i % 3 == 0 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = reservoir_per_key(df, ["lang"], 4, "doc_id", salt=2).collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 4, "de": 4}
+    # exact membership: bottom-4 by the Lehmer hash, tie by id
+    M, A = 2_147_483_647, 48271
+    h = lambda i: ((((i + 2) % M) * A) % M % 1_000_000, i)  # noqa: E731
+    for lang in ("en", "de"):
+        ids = [i for i, l in rows if l == lang]
+        want = sorted(sorted(ids, key=h)[:4])
+        assert sorted(by_lang[lang]) == want
+    # repartitioning does not change the sample
+    got2 = reservoir_per_key(df.repartition(13), ["lang"], 4, "doc_id", salt=2).collect()
+    assert sorted((r["lang"], r["doc_id"]) for r in got2) == sorted(
+        (r["lang"], r["doc_id"]) for r in got
+    )
+
+
 def test_rich_club_matches_bruteforce(spark):
     from tldr_spark.operators.richclub import rich_club
 
@@ -372,6 +396,63 @@ def test_attribute_assortativity_matches_python(spark):
     iso_edges = [(0, 3), (3, 6), (1, 4), (2, 5)]  # all same attr (mod 3) ends
     r1 = attribute_assortativity(_df(spark, iso_edges), attrs).collect()[0]
     assert r1["assortativity"] == pytest.approx(1.0)
+
+
+def _jp_py(edges, salt):
+    """Pure-Python Jones-Plassmann mirror (same Lehmer priorities)."""
+    M, A = 2_147_483_647, 48271
+    pri = lambda v: ((((v + salt) % M) * A) % M % 1_000_000, v)  # noqa: E731
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    color: dict[int, int] = {}
+    unc = set(adj)
+    rounds = 0
+    while unc:
+        rounds += 1
+        winners = [
+            v for v in unc if all(pri(v) > pri(w) for w in adj[v] if w in unc)
+        ]
+        for v in winners:
+            used = {color[w] for w in adj[v] if w in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+        unc -= set(winners)
+    return color, rounds
+
+
+def test_greedy_coloring_matches_python_mirror(spark):
+    from tldr_spark.operators.coloring import greedy_coloring
+
+    edges = _rand_edges(83, 28, 80)
+    res = greedy_coloring(_df(spark, edges), salt=9)
+    got = {r["id"]: r["color"] for r in res.colors.collect()}
+    want, want_rounds = _jp_py(edges, 9)
+    assert got == want
+    assert res.rounds == want_rounds
+    # proper coloring + dense color range
+    for s, d in edges:
+        if s != d:
+            assert got[s] != got[d]
+    assert res.n_colors == max(got.values()) + 1
+    deg: dict[int, int] = {}
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert res.n_colors <= max(deg.values()) + 1
+
+
+def test_greedy_coloring_rejects_self_loop(spark):
+    from tldr_spark.operators.coloring import greedy_coloring
+
+    with pytest.raises(ValueError):
+        greedy_coloring(_df(spark, [(1, 1), (1, 2)]))
 
 
 def test_landmark_estimates_are_upper_bounds_and_tight_via_landmark(spark):

@@ -52,6 +52,30 @@ def hash_sample(
     return df.filter(hash_bucket_ppm(F.col(key_col), salt) < F.lit(ppm))
 
 
+def reservoir_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    id_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample per key: keep the ``n`` rows
+    with the smallest key-hash in each group (bottom-n-by-hash ≡ a
+    reproducible reservoir; ties broken by the id itself). One shuffle on
+    the group key + a per-partition window top-n — the same cost as any
+    per-key top-k; no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        hash_bucket_ppm(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
