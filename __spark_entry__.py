@@ -2141,16 +2141,17 @@ def q_fingerprints(spark, sf_dir):
 # -- link graph -> PageRank top-20 (rows-only: html bytes come from the
 # -- deterministic python generator, not SQL-reproducible) ----------------------
 
-@_q("greedy_coloring_colors", None)
-def q_greedy_coloring_colors(spark, sf_dir):
-    """Jones-Plassmann greedy coloring (deterministic Lehmer-hash
-    priorities) — rows-only: the priority-cascade rounds are not
+@_q("jp_coloring_colors", None)
+def q_jp_coloring_colors(spark, sf_dir):
+    """Jones-Plassmann priority-cascade coloring (deterministic Lehmer-hash
+    priorities, mex color choice; distinct from mis.py's iterated-MIS
+    greedy_coloring) — rows-only: the priority-cascade rounds are not
     recursive-CTE-expressible; semantics pinned by tests/test_round4_ops.py
     (exact pure-Python JP mirror + proper-coloring/determinism
     invariants)."""
-    from tldr_spark.operators.coloring import greedy_coloring
+    from tldr_spark.operators.coloring import jones_plassmann_coloring
 
-    return greedy_coloring(derive_edges(spark, sf_dir), salt=5).colors
+    return jones_plassmann_coloring(derive_edges(spark, sf_dir), salt=5).colors
 
 
 @_q("luby_mis", None)

@@ -427,10 +427,10 @@ def _jp_py(edges, salt):
 
 
 def test_greedy_coloring_matches_python_mirror(spark):
-    from tldr_spark.operators.coloring import greedy_coloring
+    from tldr_spark.operators.coloring import jones_plassmann_coloring
 
     edges = _rand_edges(83, 28, 80)
-    res = greedy_coloring(_df(spark, edges), salt=9)
+    res = jones_plassmann_coloring(_df(spark, edges), salt=9)
     got = {r["id"]: r["color"] for r in res.colors.collect()}
     want, want_rounds = _jp_py(edges, 9)
     assert got == want
@@ -449,10 +449,10 @@ def test_greedy_coloring_matches_python_mirror(spark):
 
 
 def test_greedy_coloring_rejects_self_loop(spark):
-    from tldr_spark.operators.coloring import greedy_coloring
+    from tldr_spark.operators.coloring import jones_plassmann_coloring
 
     with pytest.raises(ValueError):
-        greedy_coloring(_df(spark, [(1, 1), (1, 2)]))
+        jones_plassmann_coloring(_df(spark, [(1, 1), (1, 2)]))
 
 
 def test_landmark_estimates_are_upper_bounds_and_tight_via_landmark(spark):

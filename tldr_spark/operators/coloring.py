@@ -17,6 +17,14 @@ array algebra, zero Python UDFs. Expected O(log n) rounds under random
 priorities (Jones-Plassmann's martingale argument); web-scale state is the
 V-row color frame, lineage truncated per round.
 
+Relationship to operators/mis.py:greedy_coloring: that one colors by
+ITERATED MIS (each color class is a maximal independent set of the
+residual — rounds = colors × MIS-rounds, colors trend higher); this one is
+the classic single-cascade JP with a mex color choice — fewer rounds and
+tighter color counts on power-law graphs. Both are kept: the MIS variant
+reuses the Luby machinery and emits equal-size-ish classes (useful for
+balanced scheduling), this one optimizes color count.
+
 Reference parity note: the reference (didasy/tldr) has no coloring; this
 extends the MIS-style symmetry-breaking family the engine already ships.
 """
@@ -37,7 +45,7 @@ class ColoringResult:
     n_colors: int
 
 
-def greedy_coloring(
+def jones_plassmann_coloring(
     edges: DataFrame,
     salt: int = 0,
     max_rounds: int = 500,
