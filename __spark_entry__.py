@@ -1474,6 +1474,45 @@ def q_degree_assortativity(spark, sf_dir):
     )
 
 
+_DIAMETER_SQL = f"""WITH RECURSIVE {_E},
+  und AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+  reach(u, v) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM und)
+    UNION
+    SELECT r.u, d.v FROM reach r JOIN und d ON d.u = r.v
+  ),
+  comp AS (SELECT u AS vertex, MIN(v) AS component FROM reach GROUP BY u),
+  lc AS (SELECT component, COUNT(*) AS n FROM comp
+         GROUP BY 1 ORDER BY n DESC, component ASC LIMIT 1),
+  mem AS MATERIALIZED (SELECT vertex AS id FROM comp
+                       WHERE component = (SELECT component FROM lc)),
+  ue AS MATERIALIZED (SELECT u, v FROM und JOIN mem ON mem.id = und.u),
+  dw(u, v, d) AS (
+    SELECT id, id, 0 FROM mem
+    UNION
+    SELECT dw.u, ue.v, dw.d + 1 FROM dw JOIN ue ON ue.u = dw.v WHERE dw.d < 100
+  ),
+  mind AS (SELECT u, v, MIN(d) AS d FROM dw GROUP BY 1, 2)
+SELECT (SELECT component FROM lc) AS component,
+       CAST((SELECT n FROM lc) AS BIGINT) AS n_vertices,
+       CAST(MAX(d) AS INT) AS diameter
+FROM mind"""
+
+
+@_q("exact_diameter_largest_cc", _DIAMETER_SQL)
+def q_exact_diameter_largest_cc(spark, sf_dir):
+    """EXACT diameter of the largest undirected component via iFUB
+    (Crescenzi 2013) — a handful of BFS floods instead of all-pairs; the
+    oracle brute-forces the same number from the min-dist closure."""
+    from tldr_spark.operators.diameter import exact_diameter
+
+    r = exact_diameter(derive_edges(spark, sf_dir))
+    return spark.createDataFrame(
+        [(r.component, r.n_vertices, r.diameter)],
+        "component long, n_vertices long, diameter int",
+    )
+
+
 _LANG_MIX_SQL = f"""WITH {_E}, {_SD_SQL}
 SELECT ds.lang AS attr_src, dd.lang AS attr_dst, CAST(COUNT(*) AS BIGINT) AS n_edges
 FROM sd JOIN documents ds ON ds.doc_id = sd.src
@@ -3238,6 +3277,7 @@ _WINDOW_PRIORITY = [
     "lang_mixing_matrix",
     "lang_assortativity",
     "reservoir_per_lang",
+    "exact_diameter_largest_cc",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

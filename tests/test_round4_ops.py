@@ -480,3 +480,76 @@ def test_landmark_estimates_are_upper_bounds_and_tight_via_landmark(spark):
             if a is not None and b is not None:
                 best = min(best, a + b) if best is not None else a + b
         assert e == best
+
+
+# ---------------------------------------------------------------------------
+# exact diameter (iFUB)
+# ---------------------------------------------------------------------------
+
+def _diameter_py(edges):
+    """Brute force: (component_label, n, diameter) of the largest und CC."""
+    from collections import deque
+
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    seen: set[int] = set()
+    comps = []
+    for v in sorted(adj):
+        if v in seen:
+            continue
+        comp = {v}
+        dq = deque([v])
+        seen.add(v)
+        while dq:
+            u = dq.popleft()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    comp.add(w)
+                    dq.append(w)
+        comps.append(comp)
+    best = max(comps, key=lambda c: (len(c), -min(c)))
+    diam = 0
+    for s in best:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        diam = max(diam, max(dist.values()))
+    return min(best), len(best), diam
+
+
+@pytest.mark.parametrize("seed,n,m", [(91, 30, 50), (92, 40, 60), (93, 25, 28)])
+def test_exact_diameter_matches_bruteforce(spark, seed, n, m):
+    from tldr_spark.operators.diameter import exact_diameter
+
+    edges = _rand_edges(seed, n, m)
+    r = exact_diameter(_df(spark, edges))
+    assert (r.component, r.n_vertices, r.diameter) == _diameter_py(edges)
+
+
+def test_exact_diameter_path_graph(spark):
+    # the adversarial shape for iFUB: still exact, just more floods
+    from tldr_spark.operators.diameter import exact_diameter
+
+    edges = [(i, i + 1) for i in range(12)]
+    r = exact_diameter(_df(spark, edges))
+    assert (r.n_vertices, r.diameter) == (13, 12)
+    assert r.floods >= 2
+
+
+def test_exact_diameter_picks_largest_component(spark):
+    from tldr_spark.operators.diameter import exact_diameter
+
+    # small triangle + bigger path: must report the path's diameter
+    edges = [(100, 101), (101, 102), (102, 100), (0, 1), (1, 2), (2, 3), (3, 4)]
+    r = exact_diameter(_df(spark, edges))
+    assert (r.component, r.n_vertices, r.diameter) == (0, 5, 4)
