@@ -488,6 +488,17 @@ def run_secondary(deadline: float | None = None) -> dict:
             "degree_topk",
             lambda: edges.groupBy("dst").count().orderBy(F.desc("count")).limit(20).collect(),
         )
+        # round-4 operators (flagship additions this round)
+        from tldr_spark.operators.diameter import exact_diameter
+        t("diameter_ifub", lambda: exact_diameter(edges))
+        from tldr_spark.operators.triads import triad_census
+        t("triad_census", lambda: triad_census(edges).count())
+        from tldr_spark.operators.landmarks import landmark_sketch
+        t("landmark_sketch8", lambda: landmark_sketch(edges, n_landmarks=8).count())
+        from tldr_spark.operators.katz import katz_centrality
+        t("katz20", lambda: katz_centrality(edges, n_iter=20).scores.count())
+        from tldr_spark.operators.coloring import jones_plassmann_coloring
+        t("jp_coloring", lambda: jones_plassmann_coloring(edges).colors.count())
         # the V-too-big-to-broadcast iteration path, on a quarter-size graph
         from tldr_spark.operators.pagerank import pagerank
         n_docs = docs.count()
