@@ -32,6 +32,12 @@ HEADLINE = [
     "ann_brute_topk",
     "jaro_textbook_pairs",
     "containment_pairs",
+    # round-4 additions
+    "stratified_sample_docs",
+    "reservoir_per_lang",
+    "lang_mixing_matrix",
+    "dyad_census",
+    "rich_club_coeffs",
 ]
 
 FEATURES = [
