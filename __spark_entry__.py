@@ -1513,6 +1513,38 @@ def q_exact_diameter_largest_cc(spark, sf_dir):
     )
 
 
+_POWERLAW_SQL = f"""WITH {_E}, {_SD_SQL},
+  dg AS (SELECT dst AS id, COUNT(*) AS d FROM sd GROUP BY 1),
+  tail AS (SELECT d FROM dg WHERE d >= 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tail, CAST(2 AS BIGINT) AS d_min,
+       CAST(ROUND((1.0 + COUNT(*) / SUM(ln(d / 1.5))) * 1024) AS BIGINT) AS alpha_q
+FROM tail"""
+
+
+@_q("powerlaw_alpha_in", _POWERLAW_SQL)
+def q_powerlaw_alpha_in(spark, sf_dir):
+    """Clauset-Shalizi-Newman power-law exponent MLE over the in-degree
+    tail (d ≥ 2) — 2^-10 quantized (one log-sum, then one division)."""
+    from tldr_spark.operators.stats import powerlaw_alpha
+
+    return powerlaw_alpha(derive_edges(spark, sf_dir), d_min=2, direction="in").select(
+        "n_tail",
+        "d_min",
+        F.round(F.col("alpha") * 1024).cast("long").alias("alpha_q"),
+    )
+
+
+@_q("truss_decomposition", None)
+def q_truss_decomposition(spark, sf_dir):
+    """Per-edge trussness via progressive peel — rows-only: the nested
+    per-k fixpoint is not recursive-CTE-expressible (the single-k 3-truss
+    IS oracled as k_truss3); semantics pinned by tests/test_round4_ops.py
+    (brute-force python peel differential)."""
+    from tldr_spark.operators.triangles import truss_decomposition
+
+    return truss_decomposition(derive_edges(spark, sf_dir)).trussness
+
+
 _LANG_MIX_SQL = f"""WITH {_E}, {_SD_SQL}
 SELECT ds.lang AS attr_src, dd.lang AS attr_dst, CAST(COUNT(*) AS BIGINT) AS n_edges
 FROM sd JOIN documents ds ON ds.doc_id = sd.src
@@ -3278,6 +3310,7 @@ _WINDOW_PRIORITY = [
     "lang_assortativity",
     "reservoir_per_lang",
     "exact_diameter_largest_cc",
+    "powerlaw_alpha_in",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

@@ -553,3 +553,68 @@ def test_exact_diameter_picks_largest_component(spark):
     edges = [(100, 101), (101, 102), (102, 100), (0, 1), (1, 2), (2, 3), (3, 4)]
     r = exact_diameter(_df(spark, edges))
     assert (r.component, r.n_vertices, r.diameter) == (0, 5, 4)
+
+
+# ---------------------------------------------------------------------------
+# truss decomposition + power-law alpha
+# ---------------------------------------------------------------------------
+
+def _trussness_py(edges):
+    """Brute force: peel at k=3,4,... recomputing support each wave."""
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    truss: dict[tuple[int, int], int] = {}
+    cur = set(und)
+    k = 2
+    while cur:
+        k += 1
+        while True:
+            adj: dict[int, set[int]] = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {
+                (a, b): len(adj[a] & adj[b]) for a, b in cur
+            }
+            drop = {e for e in cur if sup[e] < k - 2}
+            if not drop:
+                break
+            cur -= drop
+        # edges of the (k-1)-truss not in the k-truss... recompute:
+        # peel happened in place; dropped edges this level get k-1
+        dropped_this_level = {e for e in und if e not in cur and e not in truss}
+        for e in dropped_this_level:
+            truss[e] = k - 1
+    return truss
+
+
+def test_truss_decomposition_matches_bruteforce(spark):
+    from tldr_spark.operators.triangles import k_truss, truss_decomposition
+
+    edges = _rand_edges(97, 20, 80)
+    res = truss_decomposition(_df(spark, edges))
+    got = {(r["a"], r["b"]): r["trussness"] for r in res.trussness.collect()}
+    want = _trussness_py(edges)
+    assert got == want
+    assert res.max_k == max(want.values())
+    # consistency with the single-k operator: trussness >= 3 edges == 3-truss
+    t3 = {
+        (r["a"], r["b"])
+        for r in k_truss(_df(spark, edges), 3).edges.collect()
+    }
+    assert {e for e, t in got.items() if t >= 3} == t3
+
+
+def test_powerlaw_alpha_matches_python(spark):
+    import math
+
+    from tldr_spark.operators.stats import powerlaw_alpha
+
+    edges = _rand_edges(99, 40, 200)
+    row = powerlaw_alpha(_df(spark, edges), d_min=2, direction="in").collect()[0]
+    indeg: dict[int, int] = {}
+    for _, d in {(s, d) for s, d in edges if s != d}:
+        indeg[d] = indeg.get(d, 0) + 1
+    tail = [d for d in indeg.values() if d >= 2]
+    alpha = 1.0 + len(tail) / sum(math.log(d / 1.5) for d in tail)
+    assert row["n_tail"] == len(tail)
+    assert row["alpha"] == pytest.approx(alpha, rel=1e-12)

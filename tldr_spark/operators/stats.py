@@ -131,6 +131,45 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     return out
 
 
+def powerlaw_alpha(
+    edges: DataFrame, d_min: int = 2, direction: str = "in"
+) -> DataFrame:
+    """One row: (n_tail, d_min, alpha) — the Clauset-Shalizi-Newman (SIAM
+    Review 2009) discrete-MLE approximation for the degree-distribution
+    power-law exponent, α ≈ 1 + n·[Σ ln(dᵢ/(d_min−½))]⁻¹ over the tail
+    dᵢ ≥ d_min. The hub-exponent profile that decides whether skew salting
+    is needed at all. ``direction``: "in", "out", or "total" degree over
+    simple directed edges. One degree aggregate + one scalar fold."""
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if direction == "in":
+        deg = e.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    elif direction == "out":
+        deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    elif direction == "total":
+        deg = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"direction must be in/out/total, got {direction!r}")
+    tail = deg.filter(F.col("d") >= d_min)
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.lit(int(d_min)).cast("long").alias("d_min"),
+        (
+            1.0
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("d").cast("double") / (d_min - 0.5)))
+        ).alias("alpha"),
+    )
+
+
 def attribute_mixing_matrix(edges: DataFrame, attrs: DataFrame) -> DataFrame:
     """(attr_src, attr_dst, n_edges) — the categorical mixing matrix over
     simple directed edges (Newman 2003 §II): how often category i links to

@@ -156,6 +156,86 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 50) -> TrussResult:
     return TrussResult(cur, rounds)
 
 
+@dataclass
+class TrussDecompositionResult:
+    trussness: DataFrame  # (a: long, b: long, trussness: int), a < b
+    max_k: int
+
+
+def truss_decomposition(
+    edges: DataFrame, max_rounds_per_k: int = 50, max_k: int = 100
+) -> TrussDecompositionResult:
+    """Per-edge trussness: the maximum k such that the edge survives in the
+    k-truss. PROGRESSIVE peel — level k starts from the (k-1)-truss's
+    surviving edge set (never from scratch), so total work is one pass of
+    the k_truss peel per level, the truss analogue of the coreness peel
+    (operators/kcore.py). Edges closing no triangle have trussness 2 (every
+    edge is trivially in the 2-truss). Support recount per round reuses the
+    degree-ordered wedge join of :func:`triangle_count` — hub-skew safe."""
+    spark = edges.sparkSession
+    cur = (
+        edges.select(
+            F.least(F.col("src").cast("long"), F.col("dst").cast("long")).alias("a"),
+            F.greatest(F.col("src").cast("long"), F.col("dst").cast("long")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    n = cur.count()
+    assigned = spark.createDataFrame([], "a long, b long, trussness int")
+    k = 2
+    while n > 0 and k < max_k:
+        k += 1
+        level_start = cur
+        rounds = 0
+        while rounds < max_rounds_per_k:
+            rounds += 1
+            o = _oriented(cur.select(F.col("a").alias("src"), F.col("b").alias("dst"))).persist()
+            e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            e2 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+            wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+            closer = o.select(F.col("a").alias("y"), F.col("b").alias("z")).union(
+                o.select(F.col("b").alias("y"), F.col("a").alias("z"))
+            )
+            tris = wedges.join(closer, ["y", "z"])
+            sup = (
+                tris.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+                .union(tris.select(F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")))
+                .union(tris.select(F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")))
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("sup"))
+            )
+            keep = (
+                cur.join(sup, ["a", "b"], "left")
+                .filter(F.coalesce("sup", F.lit(0)) >= k - 2)
+                .select("a", "b")
+                .localCheckpoint(eager=False)
+                .persist()
+            )
+            m = keep.count()
+            o.unpersist()
+            if cur is not level_start:
+                cur.unpersist()
+            stable = m == n
+            cur, n = keep, m
+            if stable or n == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"truss peel at k={k} did not stabilize within "
+                f"max_rounds_per_k={max_rounds_per_k}"
+            )
+        fell_out = level_start.join(cur, ["a", "b"], "left_anti").select(
+            "a", "b", F.lit(k - 1).cast("int").alias("trussness")
+        )
+        assigned = assigned.union(fell_out).localCheckpoint(eager=True)
+        level_start.unpersist()
+    if n > 0:
+        raise RuntimeError(f"truss decomposition exceeded max_k={max_k}")
+    return TrussDecompositionResult(assigned, k - 1)
+
+
 def four_clique_count(edges: DataFrame, by_degree: bool = True) -> int:
     """Number of 4-cliques (K4 motifs) in the undirected simple graph.
 
