@@ -17,6 +17,25 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_spark_cache_between_modules():
+    """The 250+-test suite shares one 4g JVM; cached/locally-checkpointed
+    blocks accumulate across modules and can starve late modules of
+    execution memory (observed: UNABLE_TO_ACQUIRE_MEMORY in test_sinks
+    after the round-4 module grew). Dropping the cache at module teardown
+    keeps each module's memory footprint independent."""
+    yield
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            s.catalog.clearCache()
+            s.sparkContext._jvm.System.gc()
+    except Exception:  # session already stopped or JVM gone
+        pass
+
+
 REFERENCE_DIR = "/root/reference"
 
 
