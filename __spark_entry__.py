@@ -1400,6 +1400,46 @@ def q_random_walks(spark, sf_dir):
     return random_walks(derive_edges(spark, sf_dir), walk_length=8, walks_per_vertex=2)
 
 
+# walk-PMI reuses the EXACT rw recursion from _WALKS_SQL (sliced, so the
+# two oracles cannot drift) and adds the skip-gram pair/marginal algebra
+_WALK_PMI_SQL = _WALKS_SQL[: _WALKS_SQL.rindex("SELECT start")] + """,
+  occ AS (SELECT vertex, COUNT(*) AS n FROM rw GROUP BY 1),
+  tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM rw),
+  prs_all AS (
+    SELECT LEAST(a.vertex, b.vertex) AS u, GREATEST(a.vertex, b.vertex) AS v,
+           CAST(COUNT(*) AS BIGINT) AS n_uv
+    FROM rw a JOIN rw b ON b.start = a.start AND b.walk = a.walk
+     AND b.step > a.step AND b.step <= a.step + 2
+    WHERE a.vertex <> b.vertex
+    GROUP BY 1, 2),
+  ptot AS (SELECT CAST(COALESCE(SUM(n_uv), 0) AS BIGINT) AS p FROM prs_all)
+SELECT pr.u, pr.v, pr.n_uv,
+       CAST(ROUND(ln(CAST(pr.n_uv AS DOUBLE) * tot.t * tot.t
+                     / (CAST(ptot.p AS DOUBLE) * ou.n * ov.n)) * 1048576) AS BIGINT)
+         AS pmi_q
+FROM prs_all pr
+JOIN occ ou ON ou.vertex = pr.u
+JOIN occ ov ON ov.vertex = pr.v
+CROSS JOIN tot CROSS JOIN ptot
+WHERE pr.n_uv >= 2"""
+
+
+@_q("walk_pmi_pairs", _WALK_PMI_SQL)
+def q_walk_pmi_pairs(spark, sf_dir):
+    """DeepWalk-style skip-gram co-occurrence PMI over the deterministic
+    random walks (window 2, n_uv ≥ 2) — the matrix a walk embedding
+    factorizes (Levy-Goldberg 2014), 2^-20 quantized."""
+    from tldr_spark.operators.walks import walk_pmi_pairs
+
+    return walk_pmi_pairs(
+        derive_edges(spark, sf_dir), window=2, walk_length=8,
+        walks_per_vertex=2, min_count=2,
+    ).select(
+        "u", "v", "n_uv",
+        F.round(F.col("pmi") * 1048576).cast("long").alias("pmi_q"),
+    )
+
+
 # -- whole-graph summary profile ----------------------------------------------
 
 @_q(
@@ -3311,6 +3351,7 @@ _WINDOW_PRIORITY = [
     "reservoir_per_lang",
     "exact_diameter_largest_cc",
     "powerlaw_alpha_in",
+    "walk_pmi_pairs",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

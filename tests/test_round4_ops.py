@@ -618,3 +618,44 @@ def test_powerlaw_alpha_matches_python(spark):
     alpha = 1.0 + len(tail) / sum(math.log(d / 1.5) for d in tail)
     assert row["n_tail"] == len(tail)
     assert row["alpha"] == pytest.approx(alpha, rel=1e-12)
+
+
+def test_walk_pmi_matches_python(spark):
+    import math
+
+    from tldr_spark.operators.walks import random_walks, walk_pmi_pairs
+
+    edges = _rand_edges(13, 20, 60)
+    df = _df(spark, edges)
+    walks = random_walks(df, walk_length=6, walks_per_vertex=2).collect()
+    # python mirror of the pair/marginal algebra over the SAME walks
+    t = len(walks)
+    occ: dict[int, int] = {}
+    by_walk: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for r in walks:
+        occ[r["vertex"]] = occ.get(r["vertex"], 0) + 1
+        by_walk.setdefault((r["start"], r["walk"]), []).append((r["step"], r["vertex"]))
+    pairs: dict[tuple[int, int], int] = {}
+    for seq in by_walk.values():
+        seq.sort()
+        for i, (sa, va) in enumerate(seq):
+            for sb, vb in seq[i + 1:]:
+                if sb - sa > 2:
+                    break
+                if va != vb:
+                    k = (min(va, vb), max(va, vb))
+                    pairs[k] = pairs.get(k, 0) + 1
+    p = sum(pairs.values())
+    want = {
+        k: (n, math.log(n * float(t) * t / (float(p) * occ[k[0]] * occ[k[1]])))
+        for k, n in pairs.items()
+        if n >= 2
+    }
+    got = {
+        (r["u"], r["v"]): (r["n_uv"], r["pmi"])
+        for r in walk_pmi_pairs(df, window=2, walk_length=6, walks_per_vertex=2).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-12)

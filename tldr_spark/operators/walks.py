@@ -88,3 +88,71 @@ def random_walks(
     adj.unpersist()
     deg.unpersist()
     return out
+
+
+def walk_pmi_pairs(
+    edges: DataFrame,
+    window: int = 2,
+    walk_length: int = 8,
+    walks_per_vertex: int = 2,
+    min_count: int = 2,
+) -> DataFrame:
+    """(u, v, n_uv, pmi) — pointwise mutual information of vertex pairs
+    co-occurring within ``window`` steps on the deterministic random walks:
+    the DeepWalk/node2vec feature corpus (walk skip-gram co-occurrence)
+    reduced to its PMI matrix, which is what the embedding factorizes
+    (Levy & Goldberg, NeurIPS 2014).
+
+    pmi = ln( (n_uv/P) / ((n_u/T)·(n_v/T)) ) with T total walk positions,
+    P total co-occurrence observations (counted BEFORE the ``min_count``
+    filter, so the filter prunes output without re-weighting survivors).
+
+    Scale shape: the pair join is a self-join on the (start, walk) key —
+    fan-out bounded by walk_length², a constant — then one hash aggregate;
+    marginals are one V-row aggregate. The two corpus scalars ride in as
+    literals (they are exact integers, so both engines compute the single
+    final division + ln bit-identically)."""
+    w = random_walks(edges, walk_length, walks_per_vertex).persist()
+    t = w.count()  # total positions (exact int, deterministic)
+    a = w.select(
+        "start", "walk", F.col("step").alias("sa"), F.col("vertex").alias("va")
+    )
+    b = w.select(
+        "start", "walk", F.col("step").alias("sb"), F.col("vertex").alias("vb")
+    )
+    prs = (
+        a.join(b, ["start", "walk"])
+        .filter(
+            (F.col("sb") > F.col("sa"))
+            & (F.col("sb") <= F.col("sa") + window)
+            & (F.col("va") != F.col("vb"))
+        )
+        .select(F.least("va", "vb").alias("u"), F.greatest("va", "vb").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_uv"))
+        .persist()
+    )
+    p = int(prs.agg(F.coalesce(F.sum("n_uv"), F.lit(0))).collect()[0][0])
+    occ = w.groupBy(F.col("vertex")).agg(F.count(F.lit(1)).alias("n"))
+    ou = occ.select(F.col("vertex").alias("u"), F.col("n").alias("n_u"))
+    ov = occ.select(F.col("vertex").alias("v"), F.col("n").alias("n_v"))
+    out = (
+        prs.filter(F.col("n_uv") >= min_count)
+        .join(ou, "u")
+        .join(ov, "v")
+        .select(
+            "u",
+            "v",
+            "n_uv",
+            F.log(
+                F.col("n_uv").cast("double")
+                * F.lit(float(t))
+                * F.lit(float(t))
+                / (F.lit(float(p)) * F.col("n_u") * F.col("n_v"))
+            ).alias("pmi"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    w.unpersist()
+    prs.unpersist()
+    return out
