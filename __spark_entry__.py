@@ -1553,6 +1553,32 @@ def q_exact_diameter_largest_cc(spark, sf_dir):
     )
 
 
+_VERTEX_RECIP_SQL = f"""WITH {_E}, {_SD_SQL},
+  rc AS (SELECT a.src AS vertex, COUNT(*) AS n_reciprocal
+         FROM sd a SEMI JOIN sd b ON b.src = a.dst AND b.dst = a.src
+         GROUP BY 1),
+  od AS (SELECT src AS vertex, COUNT(*) AS out_deg FROM sd GROUP BY 1)
+SELECT od.vertex, CAST(od.out_deg AS BIGINT) AS out_deg,
+       CAST(COALESCE(rc.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+       CAST(ROUND(CAST(COALESCE(rc.n_reciprocal, 0) AS DOUBLE) / od.out_deg
+                  * 1048576) AS BIGINT) AS reciprocity_q
+FROM od LEFT JOIN rc ON rc.vertex = od.vertex"""
+
+
+@_q("vertex_reciprocity", _VERTEX_RECIP_SQL)
+def q_vertex_reciprocity(spark, sf_dir):
+    """Per-vertex out-link reciprocity (link-exchange / spam-farm signal)
+    — exact integer counts, 2^-20 quantized ratio."""
+    from tldr_spark.operators.stats import vertex_reciprocity
+
+    return vertex_reciprocity(derive_edges(spark, sf_dir)).select(
+        "vertex",
+        "out_deg",
+        "n_reciprocal",
+        F.round(F.col("reciprocity") * 1048576).cast("long").alias("reciprocity_q"),
+    )
+
+
 _POWERLAW_SQL = f"""WITH {_E}, {_SD_SQL},
   dg AS (SELECT dst AS id, COUNT(*) AS d FROM sd GROUP BY 1),
   tail AS (SELECT d FROM dg WHERE d >= 2)
@@ -3352,6 +3378,7 @@ _WINDOW_PRIORITY = [
     "exact_diameter_largest_cc",
     "powerlaw_alpha_in",
     "walk_pmi_pairs",
+    "vertex_reciprocity",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

@@ -659,3 +659,25 @@ def test_walk_pmi_matches_python(spark):
     for k in want:
         assert got[k][0] == want[k][0]
         assert got[k][1] == pytest.approx(want[k][1], rel=1e-12)
+
+
+def test_vertex_reciprocity_matches_python(spark):
+    from tldr_spark.operators.stats import vertex_reciprocity
+
+    edges = _rand_edges(17, 25, 90)
+    simple = {(s, d) for s, d in edges if s != d}
+    got = {
+        r["vertex"]: (r["out_deg"], r["n_reciprocal"], r["reciprocity"])
+        for r in vertex_reciprocity(_df(spark, edges)).collect()
+    }
+    outd: dict[int, int] = {}
+    rec: dict[int, int] = {}
+    for s, d in simple:
+        outd[s] = outd.get(s, 0) + 1
+        if (d, s) in simple:
+            rec[s] = rec.get(s, 0) + 1
+    assert set(got) == set(outd)
+    for v in outd:
+        assert got[v][0] == outd[v]
+        assert got[v][1] == rec.get(v, 0)
+        assert got[v][2] == pytest.approx(rec.get(v, 0) / outd[v], rel=1e-12)

@@ -131,6 +131,43 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     return out
 
 
+def vertex_reciprocity(edges: DataFrame) -> DataFrame:
+    """(vertex, out_deg, n_reciprocal, reciprocity) — per-vertex fraction
+    of out-links whose reverse edge also exists (the whole-graph
+    reciprocity of :func:`graph_summary`, broken out per vertex: the
+    link-exchange / spam-farm signal). One self-semi-join of the simple
+    edge set on the flipped key + one aggregate; exact integer counts,
+    one final division."""
+    sd = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    rev = sd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = sd.join(rev, ["src", "dst"], "left_semi").groupBy(
+        F.col("src").alias("vertex")
+    ).agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    outd = sd.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    out = (
+        outd.join(recip, "vertex", "left")
+        .select(
+            "vertex",
+            F.col("out_deg").cast("long").alias("out_deg"),
+            F.coalesce("n_reciprocal", F.lit(0)).cast("long").alias("n_reciprocal"),
+            (
+                F.coalesce("n_reciprocal", F.lit(0)).cast("double")
+                / F.col("out_deg")
+            ).alias("reciprocity"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sd.unpersist()
+    return out
+
+
 def powerlaw_alpha(
     edges: DataFrame, d_min: int = 2, direction: str = "in"
 ) -> DataFrame:
