@@ -1579,6 +1579,53 @@ def q_vertex_reciprocity(spark, sf_dir):
     )
 
 
+_SIMRANK_SQL = f"""WITH {_E}, {_SD_SQL},
+  ein AS MATERIALIZED (SELECT dst AS id, src AS inn FROM sd),
+  indeg AS (SELECT id, COUNT(*) AS ind FROM ein GROUP BY 1),
+  pd AS MATERIALIZED (
+    SELECT p.ia, p.ib, p.cab, da.ind AS inda, db.ind AS indb
+    FROM (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS cab
+          FROM ein a JOIN ein b ON a.inn = b.inn AND a.id < b.id
+          GROUP BY 1, 2) p
+    JOIN indeg da ON da.id = p.ia JOIN indeg db ON db.id = p.ib),
+  s1 AS (SELECT ia, ib, 0.8 * cab / (inda * indb) AS s FROM pd),
+  off2 AS (
+    SELECT pd.ia, pd.ib, SUM(k.s) AS off
+    FROM pd JOIN ein ea ON ea.id = pd.ia JOIN ein eb ON eb.id = pd.ib
+    JOIN s1 k ON k.ia = LEAST(ea.inn, eb.inn) AND k.ib = GREATEST(ea.inn, eb.inn)
+    WHERE ea.inn <> eb.inn GROUP BY 1, 2),
+  s2 AS MATERIALIZED (
+    SELECT pd.ia, pd.ib,
+           0.8 * (pd.cab + COALESCE(o.off, 0.0)) / (pd.inda * pd.indb) AS s
+    FROM pd LEFT JOIN off2 o ON o.ia = pd.ia AND o.ib = pd.ib),
+  off3 AS (
+    SELECT pd.ia, pd.ib, SUM(k.s) AS off
+    FROM pd JOIN ein ea ON ea.id = pd.ia JOIN ein eb ON eb.id = pd.ib
+    JOIN s2 k ON k.ia = LEAST(ea.inn, eb.inn) AND k.ib = GREATEST(ea.inn, eb.inn)
+    WHERE ea.inn <> eb.inn GROUP BY 1, 2),
+  s3 AS (
+    SELECT pd.ia, pd.ib,
+           0.8 * (pd.cab + COALESCE(o.off, 0.0)) / (pd.inda * pd.indb) AS s
+    FROM pd LEFT JOIN off3 o ON o.ia = pd.ia AND o.ib = pd.ib)
+SELECT ia AS id_a, ib AS id_b, CAST(ROUND(s * 1048576) AS BIGINT) AS simrank_q
+FROM s3"""
+
+
+@_q("simrank_fixed3", _SIMRANK_SQL)
+def q_simrank_fixed3(spark, sf_dir):
+    """Truncated SimRank (Jeh-Widom 2002), 3 fixed iterations at C=0.8 on
+    the cocitation support — the recursive member of the pairwise link-
+    similarity family (operators/simrank.py). Oracle unrolls the same
+    support-frozen algebra; 2^-20 quantized to absorb sum-order noise."""
+    from tldr_spark.operators.simrank import simrank
+
+    return simrank(derive_edges(spark, sf_dir), c=0.8, iterations=3).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("score") * 1048576).cast("long").alias("simrank_q"),
+    )
+
+
 _POWERLAW_SQL = f"""WITH {_E}, {_SD_SQL},
   dg AS (SELECT dst AS id, COUNT(*) AS d FROM sd GROUP BY 1),
   tail AS (SELECT d FROM dg WHERE d >= 2)
@@ -3379,6 +3426,7 @@ _WINDOW_PRIORITY = [
     "powerlaw_alpha_in",
     "walk_pmi_pairs",
     "vertex_reciprocity",
+    "simrank_fixed3",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

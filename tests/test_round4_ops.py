@@ -681,3 +681,86 @@ def test_vertex_reciprocity_matches_python(spark):
         assert got[v][0] == outd[v]
         assert got[v][1] == rec.get(v, 0)
         assert got[v][2] == pytest.approx(rec.get(v, 0) / outd[v], rel=1e-12)
+
+
+def _simrank_py(edges, c=0.8, iterations=3, min_cocite=1, max_in_degree=0):
+    """Independent mirror of the truncated algebra: frozen cocitation
+    support, s read as 0 off-support, diagonal fixed at 1."""
+    simple = {(s, d) for s, d in edges if s != d}
+    inn: dict[int, set[int]] = {}
+    for s, d in simple:
+        inn.setdefault(d, set()).add(s)
+    if max_in_degree > 0:
+        inn = {v: ns for v, ns in inn.items() if len(ns) <= max_in_degree}
+    vs = sorted(inn)
+    support = {}
+    for i, a in enumerate(vs):
+        for b in vs[i + 1 :]:
+            cab = len(inn[a] & inn[b])
+            if cab >= min_cocite:
+                support[(a, b)] = cab
+    s = {
+        p: c * cab / (len(inn[p[0]]) * len(inn[p[1]]))
+        for p, cab in support.items()
+    }
+    for _ in range(iterations - 1):
+        nxt = {}
+        for (a, b), cab in support.items():
+            off = sum(
+                s.get((min(i, j), max(i, j)), 0.0)
+                for i in inn[a]
+                for j in inn[b]
+                if i != j
+            )
+            nxt[(a, b)] = c * (cab + off) / (len(inn[a]) * len(inn[b]))
+        s = nxt
+    return s
+
+
+def test_simrank_matches_python(spark):
+    from tldr_spark.operators.simrank import simrank
+
+    edges = _rand_edges(23, 30, 140)
+    want = _simrank_py(edges, c=0.8, iterations=3)
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in simrank(_df(spark, edges), c=0.8, iterations=3).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_simrank_exact_on_shared_hub(spark):
+    """Two leaves fed only by the same two hubs: the truncation is exact
+    there and the textbook closed form applies at k=1 (all in-neighbor
+    pairs of (4,5) are diagonal or the non-co-cited hub pair)."""
+    from tldr_spark.operators.simrank import simrank
+
+    edges = [(1, 4), (1, 5), (2, 4), (2, 5), (3, 1)]
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in simrank(_df(spark, edges), c=0.8, iterations=3).collect()
+    }
+    # I(4)=I(5)={1,2}; hubs 1,2 never co-cited so s(1,2)=0 at every k:
+    # s(4,5) = 0.8*(2 + 0)/(2*2) = 0.4, stable across iterations
+    assert got[(4, 5)] == pytest.approx(0.4, rel=1e-12)
+    assert set(got) == {(4, 5)}
+
+
+def test_simrank_prunes_and_min_iter(spark):
+    from tldr_spark.operators.simrank import simrank
+
+    edges = _rand_edges(29, 20, 80)
+    want = _simrank_py(edges, c=0.8, iterations=2, min_cocite=2, max_in_degree=5)
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in simrank(
+            _df(spark, edges), c=0.8, iterations=2, min_cocite=2, max_in_degree=5
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    with pytest.raises(ValueError):
+        simrank(_df(spark, edges), iterations=0)
