@@ -630,6 +630,50 @@ def q_neighborhood_function_exact(spark, sf_dir):
     return neighborhood_function(derive_edges(spark, sf_dir), max_h=6)
 
 
+_EFF_DIAM_SQL = f"""WITH RECURSIVE {_E},
+    g AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+    verts AS (SELECT DISTINCT v FROM (
+      SELECT src AS v FROM g UNION SELECT dst FROM g)),
+    r(root, v, h) AS (
+      SELECT v, v, 0 FROM verts
+      UNION
+      SELECT r.root, g.dst, r.h + 1 FROM r JOIN g ON g.src = r.v WHERE r.h < 6
+    ),
+    minh AS (SELECT root, v, MIN(h) AS mh FROM r GROUP BY 1, 2),
+    hs AS (SELECT UNNEST(RANGE(0, 7)) AS h),
+    nf AS (SELECT CAST(hs.h AS INTEGER) AS h, CAST(COUNT(m.mh) AS BIGINT) AS n_pairs
+           FROM hs LEFT JOIN minh m ON m.mh <= hs.h GROUP BY 1),
+    tot AS (SELECT MAX(n_pairs) AS total FROM nf),
+    lagd AS (SELECT h, n_pairs, LAG(n_pairs) OVER (ORDER BY h) AS prev_n FROM nf),
+    pick AS (SELECT l.h, l.n_pairs, l.prev_n, t.total
+             FROM lagd l, tot t WHERE l.n_pairs >= 0.9 * t.total
+             ORDER BY l.h LIMIT 1)
+SELECT CAST(900 AS BIGINT) AS q_permille, CAST(total AS BIGINT) AS n_total,
+       CAST(ROUND(CASE WHEN h = 0 THEN 0.0
+                       ELSE (h - 1) + (0.9 * total - prev_n) / (n_pairs - prev_n)
+                  END * 1048576) AS BIGINT) AS eff_diameter_q
+FROM pick"""
+
+
+@_q("effective_diameter_q90", _EFF_DIAM_SQL)
+def q_effective_diameter_q90(spark, sf_dir):
+    """Interpolated 90% effective diameter (Palmer-Gibbons-Faloutsos ANF
+    convention) from the EXACT neighborhood function at max_h=6 — the
+    one-number "how far apart are pages" summary; hyper_anf computes the
+    same curve sketched at 10^12-page scale. Bit-identical cross-engine:
+    the interpolation is two exact-integer-derived double ops."""
+    from tldr_spark.operators.anf import effective_diameter, neighborhood_function
+
+    nf = neighborhood_function(derive_edges(spark, sf_dir), max_h=6)
+    rows = {r["h"]: r["n_pairs"] for r in nf.collect()}
+    eff = effective_diameter(nf, quantile=0.9)
+    total = max(rows.values())
+    return spark.createDataFrame(
+        [(900, int(total), int(round(eff * 1048576)))],
+        "q_permille long, n_total long, eff_diameter_q long",
+    )
+
+
 @_q("hyper_anf", None)
 def q_hyper_anf(spark, sf_dir):
     """HyperANF (Boldi-Rosa-Vigna): N(h) estimated from per-vertex
@@ -3427,6 +3471,7 @@ _WINDOW_PRIORITY = [
     "walk_pmi_pairs",
     "vertex_reciprocity",
     "simrank_fixed3",
+    "effective_diameter_q90",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",
