@@ -1670,6 +1670,69 @@ def q_simrank_fixed3(spark, sf_dir):
     )
 
 
+_MATCHING_UNROLL = 12
+
+
+def _matching_sql(depth: int) -> str:
+    """Unrolled locally-minimal-edge elimination, one CTE block per round
+    (same fixed-unroll-plus-runtime-gate contract as the coreness oracle:
+    q_maximal_matching raises if the engine needed more rounds than the
+    oracle unrolls, so a too-shallow unroll can never pass silently)."""
+    from tldr_spark.operators.matching import priority_sql
+
+    p = priority_sql("a", "b")
+    blocks = [
+        f"""a0 AS MATERIALIZED (SELECT a, b, {p} AS p FROM (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM sd) WHERE a <> b)"""
+    ]
+    # every per-round CTE is MATERIALIZED: a{{k}} is referenced five times
+    # downstream — inlined, the chain re-evaluates exponentially in depth
+    for k in range(depth):
+        blocks.append(
+            f"""i{k} AS MATERIALIZED (SELECT a AS v, p, a, b FROM a{k}
+               UNION ALL SELECT b, p, a, b FROM a{k}),
+  v{k} AS MATERIALIZED (SELECT v, p, a, b FROM (
+      SELECT v, p, a, b,
+             ROW_NUMBER() OVER (PARTITION BY v ORDER BY p, a, b) AS rn
+      FROM i{k}) WHERE rn = 1),
+  w{k} AS MATERIALIZED (SELECT t.a, t.b FROM a{k} t
+           JOIN v{k} va ON va.v = t.a AND va.p = t.p AND va.a = t.a AND va.b = t.b
+           JOIN v{k} vb ON vb.v = t.b AND vb.p = t.p AND vb.a = t.a AND vb.b = t.b),
+  m{k} AS MATERIALIZED (SELECT a AS v FROM w{k} UNION SELECT b FROM w{k}),
+  a{k + 1} AS MATERIALIZED (SELECT t.a, t.b, t.p FROM a{k} t
+               ANTI JOIN m{k} ma ON ma.v = t.a
+               ANTI JOIN m{k} mb ON mb.v = t.b)"""
+        )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT a, b, {k + 1} AS matched_round FROM w{k}" for k in range(depth)
+    )
+    return (
+        f"WITH {_E}, {_SD_SQL},\n  "
+        + ",\n  ".join(blocks)
+        + "\nSELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
+        + " CAST(matched_round AS INTEGER) AS matched_round FROM ("
+        + unions
+        + ")"
+    )
+
+
+@_q("maximal_matching", _matching_sql(_MATCHING_UNROLL))
+def q_maximal_matching(spark, sf_dir):
+    """Greedy parallel maximal matching (Preis-style locally-minimal
+    edges, Lehmer-hash priorities shared bit-for-bit with the oracle).
+    Raises if the elimination needed more rounds than the oracle unrolls
+    — the coreness-style depth gate."""
+    from tldr_spark.operators.matching import maximal_matching
+
+    r = maximal_matching(derive_edges(spark, sf_dir))
+    if r.rounds > _MATCHING_UNROLL:
+        raise RuntimeError(
+            f"matching took {r.rounds} rounds; oracle unrolls {_MATCHING_UNROLL}"
+        )
+    return r.pairs
+
+
 _POWERLAW_SQL = f"""WITH {_E}, {_SD_SQL},
   dg AS (SELECT dst AS id, COUNT(*) AS d FROM sd GROUP BY 1),
   tail AS (SELECT d FROM dg WHERE d >= 2)
@@ -3472,6 +3535,7 @@ _WINDOW_PRIORITY = [
     "vertex_reciprocity",
     "simrank_fixed3",
     "effective_diameter_q90",
+    "maximal_matching",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

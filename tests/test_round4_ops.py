@@ -764,3 +764,71 @@ def test_simrank_prunes_and_min_iter(spark):
         assert got[k] == pytest.approx(want[k], rel=1e-12)
     with pytest.raises(ValueError):
         simrank(_df(spark, edges), iterations=0)
+
+
+def _matching_py(edges, max_rounds=64):
+    """Independent mirror of the local-min-edge elimination."""
+    M, A = 2_147_483_647, 48271
+    alive = {}
+    for s, d in edges:
+        if s != d:
+            a, b = min(s, d), max(s, d)
+            alive[(a, b)] = ((((a % M) * A) % M + b % M) % M * A) % M
+    out = {}
+    rounds = 0
+    while alive:
+        assert rounds < max_rounds
+        rounds += 1
+        vmin: dict[int, tuple] = {}
+        for (a, b), p in alive.items():
+            for v in (a, b):
+                k = (p, a, b)
+                if v not in vmin or k < vmin[v]:
+                    vmin[v] = k
+        win = [
+            (a, b)
+            for (a, b), p in alive.items()
+            if vmin[a] == (p, a, b) and vmin[b] == (p, a, b)
+        ]
+        for a, b in win:
+            out[(a, b)] = rounds
+        gone = {v for ab in win for v in ab}
+        alive = {e: p for e, p in alive.items() if e[0] not in gone and e[1] not in gone}
+    return out, rounds
+
+
+def test_maximal_matching_matches_python(spark):
+    from tldr_spark.operators.matching import maximal_matching
+
+    edges = _rand_edges(31, 40, 200)
+    want, want_rounds = _matching_py(edges)
+    r = maximal_matching(_df(spark, edges))
+    got = {(x["a"], x["b"]): x["matched_round"] for x in r.pairs.collect()}
+    assert got == want
+    assert r.rounds == want_rounds
+
+
+def test_maximal_matching_invariants(spark):
+    """Matching (no shared vertex) + maximality (every edge hits a matched
+    vertex) + negative-id safety."""
+    from tldr_spark.operators.matching import maximal_matching
+
+    edges = [(s - 15, d - 15) for s, d in _rand_edges(37, 30, 120)]
+    r = maximal_matching(_df(spark, edges))
+    pairs = [(x["a"], x["b"]) for x in r.pairs.collect()]
+    seen: set[int] = set()
+    for a, b in pairs:
+        assert a not in seen and b not in seen
+        seen.update((a, b))
+    for s, d in edges:
+        if s != d:
+            assert s in seen or d in seen
+    want, _ = _matching_py(edges)
+    assert set(pairs) == set(want)
+
+
+def test_maximal_matching_empty_and_selfloops(spark):
+    from tldr_spark.operators.matching import maximal_matching
+
+    r = maximal_matching(_df(spark, [(1, 1), (2, 2)]))
+    assert r.pairs.count() == 0 and r.rounds == 0
