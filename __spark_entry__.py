@@ -1673,7 +1673,7 @@ def q_simrank_fixed3(spark, sf_dir):
 _MATCHING_UNROLL = 12
 
 
-def _matching_sql(depth: int) -> str:
+def _matching_sql(depth: int, cover: bool = False) -> str:
     """Unrolled locally-minimal-edge elimination, one CTE block per round
     (same fixed-unroll-plus-runtime-gate contract as the coreness oracle:
     q_maximal_matching raises if the engine needed more rounds than the
@@ -1707,14 +1707,24 @@ def _matching_sql(depth: int) -> str:
     unions = "\n  UNION ALL ".join(
         f"SELECT a, b, {k + 1} AS matched_round FROM w{k}" for k in range(depth)
     )
-    return (
-        f"WITH {_E}, {_SD_SQL},\n  "
-        + ",\n  ".join(blocks)
-        + "\nSELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
-        + " CAST(matched_round AS INTEGER) AS matched_round FROM ("
-        + unions
-        + ")"
-    )
+    if cover:
+        # Gavril 2-approx vertex cover = the matched endpoints; each vertex
+        # is matched at most once so MIN is exact, not a tie-break
+        final = (
+            "SELECT CAST(v AS BIGINT) AS v,"
+            " CAST(MIN(matched_round) AS INTEGER) AS matched_round FROM ("
+            "SELECT a AS v, matched_round FROM (" + unions + ")"
+            " UNION ALL SELECT b, matched_round FROM (" + unions + ")"
+            ") GROUP BY v"
+        )
+    else:
+        final = (
+            "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
+            " CAST(matched_round AS INTEGER) AS matched_round FROM ("
+            + unions
+            + ")"
+        )
+    return f"WITH {_E}, {_SD_SQL},\n  " + ",\n  ".join(blocks) + "\n" + final
 
 
 @_q("maximal_matching", _matching_sql(_MATCHING_UNROLL))
@@ -1731,6 +1741,21 @@ def q_maximal_matching(spark, sf_dir):
             f"matching took {r.rounds} rounds; oracle unrolls {_MATCHING_UNROLL}"
         )
     return r.pairs
+
+
+@_q("vertex_cover_2approx", _matching_sql(_MATCHING_UNROLL, cover=True))
+def q_vertex_cover_2approx(spark, sf_dir):
+    """Gavril/Yannakakis 2-approximate minimum vertex cover: the endpoint
+    set of the maximal matching (≤ 2·OPT since any cover pays ≥1 per
+    matched edge). Same depth gate as q_maximal_matching."""
+    from tldr_spark.operators.matching import maximal_matching, vertex_cover_2approx
+
+    r = maximal_matching(derive_edges(spark, sf_dir))
+    if r.rounds > _MATCHING_UNROLL:
+        raise RuntimeError(
+            f"matching took {r.rounds} rounds; oracle unrolls {_MATCHING_UNROLL}"
+        )
+    return vertex_cover_2approx(r)
 
 
 _POWERLAW_SQL = f"""WITH {_E}, {_SD_SQL},
@@ -3536,6 +3561,7 @@ _WINDOW_PRIORITY = [
     "simrank_fixed3",
     "effective_diameter_q90",
     "maximal_matching",
+    "vertex_cover_2approx",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

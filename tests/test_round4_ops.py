@@ -827,6 +827,24 @@ def test_maximal_matching_invariants(spark):
     assert set(pairs) == set(want)
 
 
+def test_vertex_cover_2approx(spark):
+    """Cover = matched endpoints; covers every edge; round provenance."""
+    from tldr_spark.operators.matching import maximal_matching, vertex_cover_2approx
+
+    edges = _rand_edges(43, 35, 150)
+    r = maximal_matching(_df(spark, edges))
+    cover = {x["v"]: x["matched_round"] for x in vertex_cover_2approx(r).collect()}
+    want, _ = _matching_py(edges)
+    want_cover = {}
+    for (a, b), rd in want.items():
+        want_cover[a] = rd
+        want_cover[b] = rd
+    assert cover == want_cover
+    for s, d in edges:
+        if s != d:
+            assert s in cover or d in cover
+
+
 def test_maximal_matching_empty_and_selfloops(spark):
     from tldr_spark.operators.matching import maximal_matching
 

@@ -64,6 +64,22 @@ class MatchingResult:
     rounds: int       # elimination rounds executed
 
 
+def vertex_cover_2approx(result: "MatchingResult") -> DataFrame:
+    """Gavril/Yannakakis 2-approximate minimum vertex cover: the endpoints
+    of a maximal matching. Every edge of the graph touches a matched vertex
+    (maximality), and any cover must pick ≥1 endpoint per matched edge, so
+    |cover| = 2|M| ≤ 2·OPT. ``matched_round`` carries provenance — the
+    elimination round whose matched edge put the vertex into the cover
+    (each vertex is matched at most once, so the MIN is exact)."""
+    p = result.pairs
+    return (
+        p.select(F.col("a").alias("v"), "matched_round")
+        .union(p.select(F.col("b").alias("v"), "matched_round"))
+        .groupBy("v")
+        .agg(F.min("matched_round").alias("matched_round"))
+    )
+
+
 def maximal_matching(edges: DataFrame, max_rounds: int = 64) -> MatchingResult:
     """Greedy parallel maximal matching over the undirected simple graph
     of ``edges`` (direction and multiplicity ignored; self-loops dropped).
