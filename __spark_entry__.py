@@ -1758,6 +1758,91 @@ def q_vertex_cover_2approx(spark, sf_dir):
     return vertex_cover_2approx(r)
 
 
+def _msf_sql(final: str) -> str:
+    """Cycle-property oracle: an edge is in the unique MSF (total order
+    (w, a, b), w = the shared Lehmer priority) iff its endpoints are NOT
+    connected by strictly-lighter edges. `reach` closes, per edge, the
+    vertex set reachable from endpoint a through lighter edges — the
+    same V×E-bounded closure family as the CC/diameter oracles."""
+    from tldr_spark.operators.matching import priority_sql
+
+    p = priority_sql("a", "b")
+    return f"""WITH RECURSIVE {_E}, {_SD_SQL},
+  ce AS MATERIALIZED (SELECT a, b, {p} AS w FROM (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM sd)
+      WHERE a <> b),
+  reach(a0, b0, w0, v) AS (
+    SELECT a, b, w, a FROM ce
+    UNION
+    SELECT r.a0, r.b0, r.w0, CASE WHEN g.a = r.v THEN g.b ELSE g.a END
+    FROM reach r JOIN ce g
+      ON (g.a = r.v OR g.b = r.v)
+     AND (g.w < r.w0 OR (g.w = r.w0 AND (g.a < r.a0
+          OR (g.a = r.a0 AND g.b < r.b0))))
+  ),
+  lighter_connected AS MATERIALIZED (
+    SELECT a0 AS a, b0 AS b FROM reach WHERE v = b0),
+  msf AS MATERIALIZED (
+    SELECT e.a, e.b, e.w FROM ce e
+    ANTI JOIN lighter_connected r ON r.a = e.a AND r.b = e.b)
+{final}"""
+
+
+@_q(
+    "msf_edges",
+    _msf_sql(
+        "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
+        " CAST(w AS BIGINT) AS w FROM msf"
+    ),
+)
+def q_msf_edges(spark, sf_dir):
+    """Borůvka hook-and-contract MSF vs the Kruskal-equivalent
+    cycle-property closure (boruvka_round dropped — not SQL-derivable;
+    pinned instead by the exact python Borůvka mirror in
+    tests/test_round4_ops.py)."""
+    from tldr_spark.operators.msf import minimum_spanning_forest
+
+    return minimum_spanning_forest(derive_edges(spark, sf_dir)).edges.select(
+        "a", "b", "w"
+    )
+
+
+@_q(
+    "msf_component_weights",
+    _msf_sql(""",
+  und AS (SELECT a AS u, b AS v FROM ce UNION SELECT b, a FROM ce),
+  creach(u, v) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM und)
+    UNION
+    SELECT r.u, d.v FROM creach r JOIN und d ON d.u = r.v
+  ),
+  comp AS MATERIALIZED (SELECT u, MIN(v) AS component FROM creach GROUP BY u)
+SELECT CAST(c.component AS BIGINT) AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(m.w) AS BIGINT) AS total_w
+FROM msf m JOIN comp c ON c.u = m.a GROUP BY 1"""),
+)
+def q_msf_component_weights(spark, sf_dir):
+    """Single-linkage skeleton cost per connected component: the MSF
+    edges rolled up by the component they span (min-vertex label)."""
+    from tldr_spark.operators.components import connected_components
+    from tldr_spark.operators.msf import minimum_spanning_forest
+
+    ed = derive_edges(spark, sf_dir)
+    f = minimum_spanning_forest(ed).edges
+    asg = connected_components(ed).assignments.select(
+        F.col("id").alias("a"), "component"
+    )
+    return (
+        f.join(asg, "a")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("w").alias("total_w"),
+        )
+    )
+
+
 _POWERLAW_SQL = f"""WITH {_E}, {_SD_SQL},
   dg AS (SELECT dst AS id, COUNT(*) AS d FROM sd GROUP BY 1),
   tail AS (SELECT d FROM dg WHERE d >= 2)
@@ -3562,6 +3647,8 @@ _WINDOW_PRIORITY = [
     "effective_diameter_q90",
     "maximal_matching",
     "vertex_cover_2approx",
+    "msf_edges",
+    "msf_component_weights",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

@@ -845,6 +845,135 @@ def test_vertex_cover_2approx(spark):
             assert s in cover or d in cover
 
 
+def _msf_kruskal(edges):
+    """Independent Kruskal mirror under the (w, a, b) total order."""
+    M, A = 2_147_483_647, 48271
+    ce = {}
+    for s, d in edges:
+        if s != d:
+            a, b = min(s, d), max(s, d)
+            ce[(a, b)] = ((((a % M) * A) % M + b % M) % M * A) % M
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = {}
+    for (a, b), w in sorted(ce.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out[(a, b)] = w
+    return out
+
+
+def _msf_boruvka_rounds(edges):
+    """Independent Borůvka mirror: per-round chosen-edge sets (the round
+    an edge joins depends only on the component partition, so this pins
+    the engine's boruvka_round without mirroring its contraction)."""
+    M, A = 2_147_483_647, 48271
+    ce = {}
+    for s, d in edges:
+        if s != d:
+            a, b = min(s, d), max(s, d)
+            ce[(a, b)] = ((((a % M) * A) % M + b % M) % M * A) % M
+    comp = {v: v for ab in ce for v in ab}
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    rounds = {}
+    rn = 0
+    while True:
+        best = {}
+        for (a, b), w in ce.items():
+            ca, cb = find(a), find(b)
+            if ca == cb:
+                continue
+            key = (w, a, b)
+            for c in (ca, cb):
+                if c not in best or key < best[c]:
+                    best[c] = key
+        if not best:
+            return rounds, rn
+        rn += 1
+        for w, a, b in set(best.values()):
+            rounds[(a, b)] = (w, rn)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                comp[ra] = rb
+
+
+def test_msf_matches_kruskal_and_boruvka_rounds(spark):
+    from tldr_spark.operators.msf import minimum_spanning_forest
+
+    edges = _rand_edges(53, 60, 300)
+    r = minimum_spanning_forest(_df(spark, edges))
+    got = {(x["a"], x["b"]): (x["w"], x["boruvka_round"]) for x in r.edges.collect()}
+    want_set = _msf_kruskal(edges)
+    assert {k: v[0] for k, v in got.items()} == want_set
+    want_rounds, want_rn = _msf_boruvka_rounds(edges)
+    assert got == want_rounds
+    assert r.rounds == want_rn
+
+
+def test_msf_forest_invariants(spark):
+    """Acyclic + spanning: |F| = V − #components, and F connects exactly
+    the components of the input graph; negative ids safe."""
+    from tldr_spark.operators.msf import minimum_spanning_forest
+
+    edges = [(s - 20, d - 20) for s, d in _rand_edges(59, 40, 90)]
+    r = minimum_spanning_forest(_df(spark, edges))
+    fe = [(x["a"], x["b"]) for x in r.edges.collect()]
+    verts = {v for s, d in edges if s != d for v in (s, d)}
+    # component count of the input graph (python union-find)
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        if s != d:
+            parent[find(s)] = find(d)
+    n_comp = len({find(v) for v in verts})
+    assert len(fe) == len(verts) - n_comp
+    # the forest reproduces the same partition
+    fparent = {v: v for v in verts}
+
+    def ffind(x):
+        while fparent[x] != x:
+            fparent[x] = fparent[fparent[x]]
+            x = fparent[x]
+        return x
+
+    for a, b in fe:
+        assert ffind(a) != ffind(b)  # acyclic
+        fparent[ffind(a)] = ffind(b)
+    def groups(root):
+        g = {}
+        for v in verts:
+            g.setdefault(root(v), set()).add(v)
+        return {frozenset(s) for s in g.values()}
+
+    assert groups(find) == groups(ffind)  # identical partitions
+
+
+def test_msf_empty_and_selfloops(spark):
+    from tldr_spark.operators.msf import minimum_spanning_forest
+
+    r = minimum_spanning_forest(_df(spark, [(7, 7)]))
+    assert r.edges.count() == 0 and r.rounds == 0
+
+
 def test_maximal_matching_empty_and_selfloops(spark):
     from tldr_spark.operators.matching import maximal_matching
 

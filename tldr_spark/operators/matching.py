@@ -40,7 +40,7 @@ _M = 2_147_483_647  # 2^31 − 1, MINSTD modulus (same constants as sampling.py)
 _A = 48271
 
 
-def _priority(a, b):
+def edge_priority(a, b):
     """Column expr: Lehmer-mix of the canonical pair — every intermediate
     < 2^48; pmod keeps negative vertex ids lawful (python-% semantics,
     matching the test mirror)."""
@@ -89,7 +89,7 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 64) -> MatchingResult:
         edges.select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .withColumn("p", _priority(F.col("a"), F.col("b")))
+        .withColumn("p", edge_priority(F.col("a"), F.col("b")))
         .persist()
     )
     spark = edges.sparkSession
