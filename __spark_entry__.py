@@ -1843,6 +1843,61 @@ def q_msf_component_weights(spark, sf_dir):
     )
 
 
+# bridge ⇔ endpoints NOT connected when the edge itself is excluded; the
+# closure rows where v reaches b0 are therefore exactly the NON-bridges
+_BRIDGE_CORE = f"""WITH RECURSIVE {_E}, {_SD_SQL},
+  bce AS MATERIALIZED (SELECT a, b FROM (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM sd)
+      WHERE a <> b),
+  breach(a0, b0, v) AS (
+    SELECT a, b, a FROM bce
+    UNION
+    SELECT r.a0, r.b0, CASE WHEN g.a = r.v THEN g.b ELSE g.a END
+    FROM breach r JOIN bce g
+      ON (g.a = r.v OR g.b = r.v) AND NOT (g.a = r.a0 AND g.b = r.b0)
+  ),
+  nonbridge AS MATERIALIZED (
+    SELECT DISTINCT a0 AS a, b0 AS b FROM breach WHERE v = b0)"""
+
+
+@_q(
+    "bridge_edges",
+    _BRIDGE_CORE
+    + """
+SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b
+FROM bce e ANTI JOIN nonbridge c ON c.a = e.a AND c.b = e.b""",
+)
+def q_bridge_edges(spark, sf_dir):
+    """Cut edges via the BFS-forest XOR-cover sketch vs the exact
+    per-edge-removal closure oracle (an XOR collision — ~2^-62 per tree
+    edge — would hash-mismatch here loudly)."""
+    from tldr_spark.operators.bridges import bridges
+
+    return bridges(derive_edges(spark, sf_dir)).bridges
+
+
+@_q(
+    "two_edge_components",
+    _BRIDGE_CORE
+    + """,
+  und2 AS (SELECT a AS u, b AS v FROM nonbridge UNION SELECT b, a FROM nonbridge),
+  verts AS (SELECT a AS u FROM bce UNION SELECT b FROM bce),
+  reach2(u, v) AS (
+    SELECT u, u FROM verts
+    UNION
+    SELECT r.u, d.v FROM reach2 r JOIN und2 d ON d.u = r.v
+  )
+SELECT CAST(u AS BIGINT) AS id, CAST(MIN(v) AS BIGINT) AS label
+FROM reach2 GROUP BY u""",
+)
+def q_two_edge_components(spark, sf_dir):
+    """2-edge-connected component labels: CC after bridge deletion
+    (min-member label; all-bridge vertices become singletons)."""
+    from tldr_spark.operators.bridges import two_edge_components
+
+    return two_edge_components(derive_edges(spark, sf_dir))
+
+
 _POWERLAW_SQL = f"""WITH {_E}, {_SD_SQL},
   dg AS (SELECT dst AS id, COUNT(*) AS d FROM sd GROUP BY 1),
   tail AS (SELECT d FROM dg WHERE d >= 2)
@@ -3649,6 +3704,8 @@ _WINDOW_PRIORITY = [
     "vertex_cover_2approx",
     "msf_edges",
     "msf_component_weights",
+    "bridge_edges",
+    "two_edge_components",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

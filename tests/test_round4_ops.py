@@ -974,6 +974,111 @@ def test_msf_empty_and_selfloops(spark):
     assert r.edges.count() == 0 and r.rounds == 0
 
 
+def _bridges_py(edges):
+    """Exact bridges via iterative Tarjan lowlink (independent of the
+    engine's XOR-sketch approach)."""
+    adj = {}
+    eset = set()
+    for s, d in edges:
+        if s != d:
+            a, b = min(s, d), max(s, d)
+            if (a, b) not in eset:
+                eset.add((a, b))
+                adj.setdefault(a, []).append(b)
+                adj.setdefault(b, []).append(a)
+    disc, low = {}, {}
+    out = set()
+    t = [0]
+    for root in adj:
+        if root in disc:
+            continue
+        stack = [(root, None, iter(adj[root]))]
+        disc[root] = low[root] = t[0]
+        t[0] += 1
+        while stack:
+            v, pe, it = stack[-1]
+            nxt = next(it, None)
+            if nxt is None:
+                stack.pop()
+                if stack:
+                    p = stack[-1][0]
+                    low[p] = min(low[p], low[v])
+                    if low[v] > disc[p]:
+                        out.add((min(v, p), max(v, p)))
+                continue
+            if nxt == pe:
+                # skip ONE parent edge occurrence (simple graph: exactly one)
+                stack[-1] = (v, None, it)
+                continue
+            if nxt in disc:
+                low[v] = min(low[v], disc[nxt])
+            else:
+                disc[nxt] = low[nxt] = t[0]
+                t[0] += 1
+                stack.append((nxt, v, iter(adj[nxt])))
+    return out
+
+
+def _two_ecc_py(edges):
+    """2ECC labels: CC after deleting bridges (min-member label)."""
+    br = _bridges_py(edges)
+    verts = {v for s, d in edges if s != d for v in (s, d)}
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        if s != d:
+            a, b = min(s, d), max(s, d)
+            if (a, b) not in br:
+                parent[find(a)] = find(b)
+    groups = {}
+    for v in verts:
+        groups.setdefault(find(v), []).append(v)
+    return {v: min(g) for g in groups.values() for v in g}
+
+
+def test_bridges_match_tarjan(spark):
+    from tldr_spark.operators.bridges import bridges
+
+    for seed, n, m in ((61, 40, 60), (67, 30, 33), (71, 50, 140)):
+        edges = _rand_edges(seed, n, m)
+        got = {(x["a"], x["b"]) for x in bridges(_df(spark, edges)).bridges.collect()}
+        assert got == _bridges_py(edges), f"seed {seed}"
+
+
+def test_bridges_path_and_cycle(spark):
+    """Closed forms: every path edge is a bridge; no cycle edge is."""
+    from tldr_spark.operators.bridges import bridges
+
+    path = [(i, i + 1) for i in range(8)]
+    assert {
+        (x["a"], x["b"]) for x in bridges(_df(spark, path)).bridges.collect()
+    } == {(i, i + 1) for i in range(8)}
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    r = bridges(_df(spark, cyc + [(0, 9)]))
+    assert {(x["a"], x["b"]) for x in r.bridges.collect()} == {(0, 9)}
+
+
+def test_two_edge_components_match_python(spark):
+    from tldr_spark.operators.bridges import two_edge_components
+
+    edges = [(s - 11, d - 11) for s, d in _rand_edges(73, 35, 70)]
+    got = {x["id"]: x["label"] for x in two_edge_components(_df(spark, edges)).collect()}
+    assert got == _two_ecc_py(edges)
+
+
+def test_bridges_empty(spark):
+    from tldr_spark.operators.bridges import bridges
+
+    r = bridges(_df(spark, [(3, 3)]))
+    assert r.bridges.count() == 0 and r.levels == 0
+
+
 def test_maximal_matching_empty_and_selfloops(spark):
     from tldr_spark.operators.matching import maximal_matching
 
