@@ -1758,19 +1758,29 @@ def q_vertex_cover_2approx(spark, sf_dir):
     return vertex_cover_2approx(r)
 
 
-def _msf_sql(final: str) -> str:
+def _msf_sql(final: str, weighted: bool = False) -> str:
     """Cycle-property oracle: an edge is in the unique MSF (total order
-    (w, a, b), w = the shared Lehmer priority) iff its endpoints are NOT
-    connected by strictly-lighter edges. `reach` closes, per edge, the
-    vertex set reachable from endpoint a through lighter edges — the
-    same V×E-bounded closure family as the CC/diameter oracles."""
+    (w, a, b); w = the shared Lehmer priority, or with ``weighted`` the
+    real edge weight with reversed/parallel duplicates collapsed to their
+    minimum) iff its endpoints are NOT connected by strictly-lighter
+    edges. `reach` closes, per edge, the vertex set reachable from
+    endpoint a through lighter edges — the same V×E-bounded closure
+    family as the CC/diameter oracles."""
     from tldr_spark.operators.matching import priority_sql
 
     p = priority_sql("a", "b")
-    return f"""WITH RECURSIVE {_E}, {_SD_SQL},
-  ce AS MATERIALIZED (SELECT a, b, {p} AS w FROM (
+    ce = (
+        """ce AS MATERIALIZED (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+             MIN(weight) AS w
+      FROM e GROUP BY 1, 2)"""
+        if weighted
+        else f"""ce AS MATERIALIZED (SELECT a, b, {p} AS w FROM (
       SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM sd)
-      WHERE a <> b),
+      WHERE a <> b)"""
+    )
+    return f"""WITH RECURSIVE {_E}, {_SD_SQL},
+  {ce},
   reach(a0, b0, w0, v) AS (
     SELECT a, b, w, a FROM ce
     UNION
@@ -1841,6 +1851,24 @@ def q_msf_component_weights(spark, sf_dir):
             F.sum("w").alias("total_w"),
         )
     )
+
+
+@_q(
+    "msf_weighted_edges",
+    _msf_sql(
+        "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
+        " CAST(w AS DOUBLE) AS w FROM msf",
+        weighted=True,
+    ),
+)
+def q_msf_weighted_edges(spark, sf_dir):
+    """MSF over the REAL edge weights ({1,2,3} hamming-band doubles —
+    exact in IEEE on both engines), ties broken by (a, b)."""
+    from tldr_spark.operators.msf import minimum_spanning_forest
+
+    return minimum_spanning_forest(
+        derive_edges(spark, sf_dir), weight_col="weight"
+    ).edges.select("a", "b", "w")
 
 
 # bridge ⇔ endpoints NOT connected when the edge itself is excluded; the
@@ -3704,6 +3732,7 @@ _WINDOW_PRIORITY = [
     "vertex_cover_2approx",
     "msf_edges",
     "msf_component_weights",
+    "msf_weighted_edges",
     "bridge_edges",
     "two_edge_components",
     # -- (a) implementation changed in round 4 --

@@ -967,6 +967,45 @@ def test_msf_forest_invariants(spark):
     assert groups(find) == groups(ffind)  # identical partitions
 
 
+def test_msf_weighted_matches_kruskal(spark):
+    """Real weights (heavy ties — only 3 distinct values) broken by
+    (a, b); reversed duplicates collapse to their minimum weight."""
+    from tldr_spark.operators.msf import minimum_spanning_forest
+
+    import random
+
+    rng = random.Random(79)
+    rows = []
+    for s, d in _rand_edges(79, 45, 180):
+        rows.append((s, d, float(rng.randint(1, 3))))
+        if rng.random() < 0.3:
+            rows.append((d, s, float(rng.randint(1, 3))))  # reversed dup
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    r = minimum_spanning_forest(df, weight_col="weight")
+    got = {(x["a"], x["b"]): x["w"] for x in r.edges.collect()}
+    # python Kruskal under the (w, a, b) order with min-collapsed weights
+    ce = {}
+    for s, d, w in rows:
+        if s != d:
+            a, b = min(s, d), max(s, d)
+            ce[(a, b)] = min(ce.get((a, b), w), w)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = {}
+    for (a, b), w in sorted(ce.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            want[(a, b)] = w
+    assert got == want
+
+
 def test_msf_empty_and_selfloops(spark):
     from tldr_spark.operators.msf import minimum_spanning_forest
 

@@ -69,23 +69,42 @@ def _pointer_jump(p: DataFrame) -> DataFrame:
             return p
 
 
-def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 40) -> MSFResult:
+def minimum_spanning_forest(
+    edges: DataFrame, max_rounds: int = 40, weight_col: str | None = None
+) -> MSFResult:
     """Unique minimum spanning forest of the undirected simple graph of
     ``edges`` (direction/multiplicity ignored, self-loops dropped), under
-    the total edge order (w, a, b) with w = edge_priority(a, b).
-    Deterministic: same edge set ⇒ same forest AND same per-edge
-    boruvka_round, on any partitioning (round membership depends only on
-    the component partition, never on label representatives)."""
+    the total edge order (w, a, b). With ``weight_col`` the real weights
+    are used (parallel/reversed duplicates collapse to their MINIMUM —
+    the cheapest realization of the link); otherwise w is the
+    deterministic Lehmer hash edge_priority(a, b). Ties on w are broken
+    by (a, b), so the forest is unique either way. Deterministic: same
+    edge set ⇒ same forest AND same per-edge boruvka_round, on any
+    partitioning (round membership depends only on the component
+    partition, never on label representatives)."""
     s, d = F.col("src").cast("long"), F.col("dst").cast("long")
-    ce = (
-        edges.select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .withColumn("w", edge_priority(F.col("a"), F.col("b")))
-        .persist()
-    )
+    base = edges.select(
+        F.least(s, d).alias("a"), F.greatest(s, d).alias("b"), "*"
+    ).filter(F.col("a") != F.col("b"))
+    if weight_col is not None:
+        ce = (
+            base.groupBy("a", "b")
+            .agg(F.min(F.col(weight_col).cast("double")).alias("w"))
+            .persist()
+        )
+        w_type = "double"
+    else:
+        ce = (
+            base.select("a", "b")
+            .distinct()
+            .withColumn("w", edge_priority(F.col("a"), F.col("b")))
+            .persist()
+        )
+        w_type = "long"
     spark = edges.sparkSession
-    forest = spark.createDataFrame([], "a long, b long, w long, boruvka_round int")
+    forest = spark.createDataFrame(
+        [], f"a long, b long, w {w_type}, boruvka_round int"
+    )
     labels = (
         ce.select(F.col("a").alias("v"))
         .union(ce.select("b"))
