@@ -1871,6 +1871,48 @@ def q_msf_weighted_edges(spark, sf_dir):
     ).edges.select("a", "b", "w")
 
 
+_HIT_ITERS = 15
+
+_HITTING_SQL = f"""WITH RECURSIVE {_E}, {_SD_SQL},
+  verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM sd UNION SELECT dst FROM sd)),
+  ht(it, id, h) AS (
+    SELECT 0, v, CAST(0.0 AS DOUBLE) FROM verts
+    UNION ALL
+    SELECT it + 1, id, new_h FROM (
+      SELECT t.it AS it, v.id AS id,
+             CASE WHEN v.id % 97 = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE 1.0 + COALESCE(c.m, v.h) END AS new_h
+      FROM (SELECT MAX(it) AS it FROM ht) t
+      CROSS JOIN (SELECT id, h FROM ht) v
+      LEFT JOIN (SELECT n.src AS id, SUM(k.h) / COUNT(*) AS m
+                 FROM ht k JOIN sd n ON n.dst = k.id GROUP BY n.src) c
+        ON c.id = v.id
+    ) WHERE it < {_HIT_ITERS}
+  )
+SELECT id AS vertex, CAST(ROUND(h * 1048576) AS BIGINT) AS hit_q
+FROM ht WHERE it = {_HIT_ITERS}"""
+
+
+@_q("hitting_time_fixed15", _HITTING_SQL)
+def q_hitting_time_fixed15(spark, sf_dir):
+    """K-truncated expected hitting time to the deterministic seed set
+    {id % 97 = 0} (absorbing-walk value iteration, 15 steps, 2^-20
+    quantized like the other fixed-point oracles)."""
+    from tldr_spark.operators.hitting import hitting_time
+
+    ed = derive_edges(spark, sf_dir)
+    seeds = (
+        ed.select(F.col("src").alias("id"))
+        .union(ed.select("dst"))
+        .distinct()
+        .filter(F.col("id") % 97 == 0)
+    )
+    return hitting_time(ed, seeds, iterations=_HIT_ITERS).select(
+        F.col("id").alias("vertex"),
+        F.round(F.col("hit") * 1048576).cast("long").alias("hit_q"),
+    )
+
+
 # bridge ⇔ endpoints NOT connected when the edge itself is excluded; the
 # closure rows where v reaches b0 are therefore exactly the NON-bridges
 _BRIDGE_CORE = f"""WITH RECURSIVE {_E}, {_SD_SQL},
@@ -3735,6 +3777,7 @@ _WINDOW_PRIORITY = [
     "msf_weighted_edges",
     "bridge_edges",
     "two_edge_components",
+    "hitting_time_fixed15",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

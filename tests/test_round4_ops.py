@@ -1013,6 +1013,69 @@ def test_msf_empty_and_selfloops(spark):
     assert r.edges.count() == 0 and r.rounds == 0
 
 
+def _df_ids(spark, ids):
+    return spark.createDataFrame([(int(v),) for v in ids], "id long")
+
+
+def _hitting_py(edges, targets, iters):
+    """Exact value-iteration mirror of hitting_time."""
+    sd = {(s, d) for s, d in edges if s != d}
+    out = {}
+    verts = set()
+    for s, d in sd:
+        out.setdefault(s, []).append(d)
+        verts.update((s, d))
+    t = set(targets) & verts
+    h = {v: 0.0 for v in verts}
+    for _ in range(iters):
+        nh = {}
+        for v in verts:
+            if v in t:
+                nh[v] = 0.0
+            elif v in out:
+                nh[v] = 1.0 + sum(h[u] for u in out[v]) / len(out[v])
+            else:
+                nh[v] = 1.0 + h[v]
+        h = nh
+    return h
+
+
+def test_hitting_time_matches_python(spark):
+    from tldr_spark.operators.hitting import hitting_time
+
+    edges = _rand_edges(83, 30, 90)
+    targets = [v for v in range(30) if v % 7 == 0]
+    got = {
+        x["id"]: x["hit"]
+        for x in hitting_time(
+            _df(spark, edges), _df_ids(spark, targets), iterations=12
+        ).collect()
+    }
+    want = _hitting_py(edges, targets, 12)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12, abs=1e-12)
+
+
+def test_hitting_time_semantics(spark):
+    """Targets pin to 0; a path feeding a target counts exact steps up to
+    the horizon; dangling vertices walk in place."""
+    from tldr_spark.operators.hitting import hitting_time
+
+    #  3 → 2 → 1 → 0(target);  9 isolated-dangling via (9→8) with 8 dangling
+    edges = [(3, 2), (2, 1), (1, 0), (9, 8)]
+    got = {
+        x["id"]: x["hit"]
+        for x in hitting_time(
+            _df(spark, edges), _df_ids(spark, [0]), iterations=10
+        ).collect()
+    }
+    assert got[0] == 0.0 and got[1] == 1.0 and got[2] == 2.0 and got[3] == 3.0
+    assert got[8] == 10.0 and got[9] == 10.0  # stuck walks saturate at K
+    with pytest.raises(ValueError):
+        hitting_time(_df(spark, edges), _df_ids(spark, [0]), iterations=0)
+
+
 def _bridges_py(edges):
     """Exact bridges via iterative Tarjan lowlink (independent of the
     engine's XOR-sketch approach)."""
