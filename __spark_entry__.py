@@ -1871,6 +1871,52 @@ def q_msf_weighted_edges(spark, sf_dir):
     ).edges.select("a", "b", "w")
 
 
+_SPREAD_ITERS = 8
+
+_SPREAD_SQL = f"""WITH RECURSIVE {_E}, {_SD_SQL},
+  und AS (SELECT src AS u, dst AS v FROM sd UNION SELECT dst, src FROM sd),
+  sverts AS (SELECT DISTINCT u AS id FROM und),
+  ls(it, id, cls) AS (
+    SELECT 0, id, CASE WHEN id % 89 = 0 THEN id % 5 END FROM sverts
+    UNION ALL
+    SELECT it + 1, id, new_cls FROM (
+      SELECT t.it AS it, x.id AS id,
+             CASE WHEN x.id % 89 = 0 THEN x.id % 5
+                  ELSE COALESCE(b.bcls, x.cls) END AS new_cls
+      FROM (SELECT MAX(it) AS it FROM ls) t
+      CROSS JOIN (SELECT id, cls FROM ls) x
+      LEFT JOIN (
+        SELECT u, 1048575 - (MAX(cnt * 1048576 + (1048575 - cls)) % 1048576) AS bcls
+        FROM (SELECT d.u AS u, k.cls AS cls, COUNT(*) AS cnt
+              FROM ls k JOIN und d ON d.v = k.id
+              WHERE k.cls IS NOT NULL GROUP BY d.u, k.cls)
+        GROUP BY u) b ON b.u = x.id
+    ) WHERE it < {_SPREAD_ITERS}
+  )
+SELECT id AS vertex, CAST(cls AS BIGINT) AS cls
+FROM ls WHERE it = {_SPREAD_ITERS} AND cls IS NOT NULL"""
+
+
+@_q("seeded_labels_fixed8", _SPREAD_SQL)
+def q_seeded_labels_fixed8(spark, sf_dir):
+    """Semi-supervised label spreading from the deterministic seed set
+    {id % 89 = 0, class = id % 5}, 8 synchronous clamped rounds (argmax
+    neighbour class, min-class tie-break — LPA's aggregate)."""
+    from tldr_spark.operators.spreading import seeded_label_spreading
+
+    ed = derive_edges(spark, sf_dir)
+    seeds = (
+        ed.select(F.col("src").alias("id"))
+        .union(ed.select("dst"))
+        .distinct()
+        .filter(F.col("id") % 89 == 0)
+        .select("id", (F.col("id") % 5).alias("cls"))
+    )
+    return seeded_label_spreading(ed, seeds, iterations=_SPREAD_ITERS).select(
+        F.col("id").alias("vertex"), "cls"
+    )
+
+
 _HIT_ITERS = 15
 
 _HITTING_SQL = f"""WITH RECURSIVE {_E}, {_SD_SQL},
@@ -3778,6 +3824,7 @@ _WINDOW_PRIORITY = [
     "bridge_edges",
     "two_edge_components",
     "hitting_time_fixed15",
+    "seeded_labels_fixed8",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",
@@ -3792,7 +3839,18 @@ _WINDOW_PRIORITY = [
     "closeness_centrality",
     "harmonic_centrality",
     "ego_subgraph_2hop",
-    # -- (b) round-3 verdict re-check list --
+    # -- (b) core regression set: flagship fixpoints, every round
+    # (moved ahead of the re-check list when the round-4 additions grew
+    # past 27: new queries + changed impls + flagships fill 46 of the 50
+    # driver slots; the re-check list holds the remaining 4 — everything
+    # pushed out has r1-r3 driver rows AND local judge verification) --
+    "edges",
+    "pagerank_fixed20",
+    "pagerank_converged",
+    "triangles_total",
+    "lpa_labels",
+    "lpa_modularity",
+    # -- (c) round-3 verdict re-check list --
     "betweenness_probes",
     "random_walks",
     "stream_edges_hourly",
@@ -3804,13 +3862,6 @@ _WINDOW_PRIORITY = [
     "boolean_and_docs",
     "phrase_matches",
     "bm25_scores",
-    # -- (c) core regression set: flagship fixpoints, every round --
-    "edges",
-    "pagerank_fixed20",
-    "pagerank_converged",
-    "triangles_total",
-    "lpa_labels",
-    "lpa_modularity",
     # -- (d) off-window in round 3, rotating back in --
     "cocitation_pairs",
     "common_neighbor_jaccard",

@@ -1076,6 +1076,66 @@ def test_hitting_time_semantics(spark):
         hitting_time(_df(spark, edges), _df_ids(spark, [0]), iterations=0)
 
 
+def _spreading_py(edges, seeds, iters):
+    """Exact mirror of clamped synchronous label spreading."""
+    und = {}
+    for s, d in edges:
+        if s != d:
+            und.setdefault(s, set()).add(d)
+            und.setdefault(d, set()).add(s)
+    seed_cls = {}
+    for v, c in seeds:
+        if v in und:
+            seed_cls[v] = min(c, seed_cls.get(v, c))
+    cls = {v: seed_cls.get(v) for v in und}
+    for _ in range(iters):
+        nxt = {}
+        for v in und:
+            if v in seed_cls:
+                nxt[v] = seed_cls[v]
+                continue
+            counts = {}
+            for u in und[v]:
+                if cls[u] is not None:
+                    counts[cls[u]] = counts.get(cls[u], 0) + 1
+            if counts:
+                nxt[v] = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            else:
+                nxt[v] = cls[v]
+        cls = nxt
+    return {v: c for v, c in cls.items() if c is not None}
+
+
+def test_seeded_spreading_matches_python(spark):
+    from tldr_spark.operators.spreading import seeded_label_spreading
+
+    edges = _rand_edges(97, 40, 110)
+    seeds = [(v, v % 3) for v in range(0, 40, 9)]
+    sdf = spark.createDataFrame(seeds, "id long, cls long")
+    got = {
+        x["id"]: x["cls"]
+        for x in seeded_label_spreading(_df(spark, edges), sdf, iterations=6).collect()
+    }
+    assert got == _spreading_py(edges, seeds, 6)
+
+
+def test_seeded_spreading_semantics(spark):
+    """Clamping beats the neighbourhood; unlabeled islands stay out;
+    duplicate seeds collapse to min class."""
+    from tldr_spark.operators.spreading import seeded_label_spreading
+
+    #  path 0-1-2 seeded at 0; disconnected pair 8-9 unseeded
+    edges = [(0, 1), (1, 2), (8, 9)]
+    sdf = spark.createDataFrame([(0, 4), (0, 2)], "id long, cls long")
+    got = {
+        x["id"]: x["cls"]
+        for x in seeded_label_spreading(_df(spark, edges), sdf, iterations=5).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2}  # min duplicate class wins, spreads
+    with pytest.raises(ValueError):
+        seeded_label_spreading(_df(spark, edges), sdf, iterations=0)
+
+
 def _bridges_py(edges):
     """Exact bridges via iterative Tarjan lowlink (independent of the
     engine's XOR-sketch approach)."""
