@@ -1871,6 +1871,43 @@ def q_msf_weighted_edges(spark, sf_dir):
     ).edges.select("a", "b", "w")
 
 
+_WL_ROUNDS = 3
+
+
+def _wl_sql(rounds: int) -> str:
+    """Unrolled 1-WL refinement; signatures are exact sorted LISTs and
+    class names are MIN-member ids, so the rounds are engine-identical."""
+    blocks = [
+        "w0 AS MATERIALIZED (SELECT DISTINCT u AS id, CAST(0 AS BIGINT) AS c FROM undw)"
+    ]
+    for k in range(rounds):
+        blocks.append(
+            f"""n{k} AS MATERIALIZED (SELECT d.u AS id, LIST(k.c ORDER BY k.c) AS ns
+        FROM w{k} k JOIN undw d ON d.v = k.id GROUP BY d.u),
+  s{k} AS MATERIALIZED (SELECT w.id, w.c, n.ns FROM w{k} w JOIN n{k} n ON n.id = w.id),
+  r{k} AS MATERIALIZED (SELECT c, ns, MIN(id) AS rep FROM s{k} GROUP BY c, ns),
+  w{k + 1} AS MATERIALIZED (SELECT s.id, r.rep AS c FROM s{k} s
+        JOIN r{k} r ON r.c = s.c AND r.ns = s.ns)"""
+        )
+    return (
+        f"WITH {_E}, {_SD_SQL},\n"
+        "  undw AS (SELECT src AS u, dst AS v FROM sd UNION SELECT dst, src FROM sd),\n  "
+        + ",\n  ".join(blocks)
+        + f"\nSELECT CAST(id AS BIGINT) AS vertex, CAST(c AS BIGINT) AS color FROM w{rounds}"
+    )
+
+
+@_q("wl_colors_fixed3", _wl_sql(_WL_ROUNDS))
+def q_wl_colors_fixed3(spark, sf_dir):
+    """1-WL structural role classes after 3 refinement rounds (color =
+    min member vertex) — template/role detection over the link graph."""
+    from tldr_spark.operators.wl import wl_colors
+
+    return wl_colors(derive_edges(spark, sf_dir), rounds=_WL_ROUNDS).select(
+        F.col("id").alias("vertex"), "color"
+    )
+
+
 _SPREAD_ITERS = 8
 
 _SPREAD_SQL = f"""WITH RECURSIVE {_E}, {_SD_SQL},
@@ -3825,6 +3862,7 @@ _WINDOW_PRIORITY = [
     "two_edge_components",
     "hitting_time_fixed15",
     "seeded_labels_fixed8",
+    "wl_colors_fixed3",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

@@ -1136,6 +1136,52 @@ def test_seeded_spreading_semantics(spark):
         seeded_label_spreading(_df(spark, edges), sdf, iterations=0)
 
 
+def _wl_py(edges, rounds):
+    """Exact 1-WL mirror (min-member class names)."""
+    und = {}
+    for s, d in edges:
+        if s != d:
+            und.setdefault(s, set()).add(d)
+            und.setdefault(d, set()).add(s)
+    col = {v: 0 for v in und}
+    for _ in range(rounds):
+        sig = {v: (col[v], tuple(sorted(col[u] for u in und[v]))) for v in und}
+        rep = {}
+        for v in und:
+            rep[sig[v]] = min(rep.get(sig[v], v), v)
+        col = {v: rep[sig[v]] for v in und}
+    return col
+
+
+def test_wl_matches_python(spark):
+    from tldr_spark.operators.wl import wl_colors
+
+    edges = _rand_edges(101, 36, 80)
+    got = {x["id"]: x["color"] for x in wl_colors(_df(spark, edges), rounds=3).collect()}
+    assert got == _wl_py(edges, 3)
+    # hashed signatures refine identically (collision-free at this size)
+    hashed = {
+        x["id"]: x["color"]
+        for x in wl_colors(_df(spark, edges), rounds=3, hash_signatures=True).collect()
+    }
+    assert hashed == got
+
+
+def test_wl_closed_forms(spark):
+    """A cycle stays color-uniform; a star separates center from leaves
+    in one round and refines no further."""
+    from tldr_spark.operators.wl import wl_colors
+
+    cyc = [(i, (i + 1) % 7) for i in range(7)]
+    got = {x["id"]: x["color"] for x in wl_colors(_df(spark, cyc), rounds=4).collect()}
+    assert set(got.values()) == {0}
+    star = [(0, i) for i in range(1, 6)]
+    got = {x["id"]: x["color"] for x in wl_colors(_df(spark, star), rounds=2).collect()}
+    assert got[0] == 0 and all(got[i] == 1 for i in range(1, 6))
+    with pytest.raises(ValueError):
+        wl_colors(_df(spark, star), rounds=0)
+
+
 def _bridges_py(edges):
     """Exact bridges via iterative Tarjan lowlink (independent of the
     engine's XOR-sketch approach)."""
