@@ -1871,6 +1871,44 @@ def q_msf_weighted_edges(spark, sf_dir):
     ).edges.select("a", "b", "w")
 
 
+_TEMPORAL_SQL = """WITH RECURSIVE ev AS (
+    SELECT user_id, ts, event_id, (event_id * 131 + 7) % 211 AS page
+    FROM events WHERE event_id % 7 = 0),
+  te AS MATERIALIZED (
+    SELECT prev AS src, page AS dst, epoch_us(ts) AS t FROM (
+      SELECT page, LAG(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, ts
+      FROM ev)
+    WHERE prev IS NOT NULL AND prev <> page),
+  tseeds AS (SELECT DISTINCT v AS id FROM
+    (SELECT src AS v FROM te UNION SELECT dst FROM te) WHERE v % 50 = 0),
+  tarr(v, t) AS (
+    SELECT id, CAST(-1 AS BIGINT) FROM tseeds
+    UNION
+    SELECT g.dst, g.t FROM tarr r JOIN te g ON g.src = r.v AND g.t >= r.t
+  )
+SELECT CAST(v AS BIGINT) AS vertex, CAST(MIN(t) AS BIGINT) AS arrival_us
+FROM tarr GROUP BY v"""
+
+
+@_q("temporal_earliest_arrival", _TEMPORAL_SQL)
+def q_temporal_earliest_arrival(spark, sf_dir):
+    """Earliest time-respecting arrival over the sampled per-user
+    clickstream (pages % 50 = 0 as seeds): temporal paths must ride
+    non-decreasing timestamps; seeds report -1."""
+    from tldr_spark.operators.temporal import clickstream_edges, earliest_arrival
+
+    te = clickstream_edges(load(spark, sf_dir, "events"), sample_mod=7)
+    seeds = (
+        te.select(F.col("src").alias("id"))
+        .union(te.select("dst"))
+        .distinct()
+        .filter(F.col("id") % 50 == 0)
+    )
+    return earliest_arrival(te, seeds).select(
+        F.col("id").alias("vertex"), "arrival_us"
+    )
+
+
 _WL_ROUNDS = 3
 
 
@@ -3863,6 +3901,7 @@ _WINDOW_PRIORITY = [
     "hitting_time_fixed15",
     "seeded_labels_fixed8",
     "wl_colors_fixed3",
+    "temporal_earliest_arrival",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",

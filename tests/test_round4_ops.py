@@ -1182,6 +1182,84 @@ def test_wl_closed_forms(spark):
         wl_colors(_df(spark, star), rounds=0)
 
 
+def _earliest_py(tedges, seeds):
+    """Exact earliest-arrival mirror (label-correcting relaxation)."""
+    arr = {s: -1 for s in seeds}
+    changed = True
+    while changed:
+        changed = False
+        for s, d, t in tedges:
+            if s in arr and t >= arr[s] and t < arr.get(d, float("inf")):
+                arr[d] = t
+                changed = True
+    return arr
+
+
+def test_earliest_arrival_matches_python(spark):
+    from tldr_spark.operators.temporal import earliest_arrival
+
+    import random
+
+    rng = random.Random(103)
+    tedges = [
+        (rng.randrange(20), rng.randrange(20), rng.randrange(100)) for _ in range(120)
+    ]
+    tedges = [(s, d, t) for s, d, t in tedges if s != d]
+    tdf = spark.createDataFrame(tedges, "src long, dst long, t long")
+    seeds = [0, 5]
+    got = {
+        x["id"]: x["arrival_us"]
+        for x in earliest_arrival(tdf, _df_ids(spark, seeds)).collect()
+    }
+    assert got == _earliest_py(tedges, seeds)
+
+
+def test_earliest_arrival_time_respecting(spark):
+    """A path whose second hop happens BEFORE the first is not traversable;
+    reversing the times makes it so."""
+    from tldr_spark.operators.temporal import earliest_arrival
+
+    bad = spark.createDataFrame([(0, 1, 10), (1, 2, 5)], "src long, dst long, t long")
+    got = {
+        x["id"]: x["arrival_us"]
+        for x in earliest_arrival(bad, _df_ids(spark, [0])).collect()
+    }
+    assert got == {0: -1, 1: 10}  # 2 unreachable: its edge left at t=5 < 10
+    ok = spark.createDataFrame([(0, 1, 5), (1, 2, 10)], "src long, dst long, t long")
+    got = {
+        x["id"]: x["arrival_us"]
+        for x in earliest_arrival(ok, _df_ids(spark, [0])).collect()
+    }
+    assert got == {0: -1, 1: 5, 2: 10}
+
+
+def test_clickstream_edges_derivation(spark):
+    """Per-user LAG ordering by (ts, event_id); self-transitions dropped;
+    sampling is on event_id."""
+    from tldr_spark.operators.temporal import clickstream_edges
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: events 0, 7, 14 (sample_mod=7) → pages 7, 924%211, 1841%211
+        (0, base, 1, "click", 0.0, "{}"),
+        (7, base + datetime.timedelta(minutes=1), 1, "click", 0.0, "{}"),
+        (14, base + datetime.timedelta(minutes=2), 1, "click", 0.0, "{}"),
+        (3, base, 2, "click", 0.0, "{}"),  # not sampled
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = sorted(
+        (x["src"], x["dst"], x["t"])
+        for x in clickstream_edges(ev, sample_mod=7).collect()
+    )
+    p = lambda eid: (eid * 131 + 7) % 211
+    us = lambda m: int((base + datetime.timedelta(minutes=m)).timestamp() * 1_000_000)
+    assert got == sorted([(p(0), p(7), us(1)), (p(7), p(14), us(2))])
+
+
 def _bridges_py(edges):
     """Exact bridges via iterative Tarjan lowlink (independent of the
     engine's XOR-sketch approach)."""
