@@ -499,6 +499,22 @@ def run_secondary(deadline: float | None = None) -> dict:
         t("katz20", lambda: katz_centrality(edges, n_iter=20).scores.count())
         from tldr_spark.operators.coloring import jones_plassmann_coloring
         t("jp_coloring", lambda: jones_plassmann_coloring(edges).colors.count())
+        # round-4 continuation operators
+        from tldr_spark.operators.matching import maximal_matching
+        t("matching", lambda: maximal_matching(edges).pairs.count())
+        from tldr_spark.operators.msf import minimum_spanning_forest
+        t("msf", lambda: minimum_spanning_forest(edges).edges.count())
+        from tldr_spark.operators.bridges import bridges as _bridges
+        t("bridges", lambda: _bridges(edges).bridges.count())
+        from tldr_spark.operators.hitting import hitting_time
+        t("hitting15", lambda: hitting_time(edges, seeds, iterations=15).count())
+        from tldr_spark.operators.spreading import seeded_label_spreading
+        t("spreading8", lambda: seeded_label_spreading(
+            edges, seeds.select("id", (F.col("id") % 5).alias("cls")), iterations=8
+        ).count())
+        from tldr_spark.operators.wl import wl_colors
+        t("wl3_hashed", lambda: wl_colors(
+            edges, rounds=3, hash_signatures=True).count())
         # the V-too-big-to-broadcast iteration path, on a quarter-size graph
         from tldr_spark.operators.pagerank import pagerank
         n_docs = docs.count()
