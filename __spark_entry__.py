@@ -1871,6 +1871,85 @@ def q_msf_weighted_edges(spark, sf_dir):
     ).edges.select("a", "b", "w")
 
 
+_PART_ROUNDS, _PART_N = 4, 8
+
+
+def _partition_sql(final: str) -> str:
+    """Unrolled synchronous plurality-move refinement; the argmax over
+    (count, -size, -part) is integer-encoded as
+    (c*(n+1) + (n-s))*P + (P-1-part), order-preserving since c,s ≤ n."""
+    P = _PART_N
+    blocks = [
+        f"""p0 AS MATERIALIZED (SELECT DISTINCT u AS id, u % {P} AS part FROM undp),
+  nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM p0)"""
+    ]
+    for k in range(_PART_ROUNDS):
+        blocks.append(
+            f"""sz{k} AS MATERIALIZED (SELECT part, COUNT(*) AS s FROM p{k} GROUP BY part),
+  cn{k} AS MATERIALIZED (SELECT d.u AS id, q.part AS part, COUNT(*) AS c
+        FROM undp d JOIN p{k} q ON q.id = d.v GROUP BY d.u, q.part),
+  p{k + 1} AS MATERIALIZED (
+    SELECT id, {P - 1} - (MAX((c * (n + 1) + (n - s)) * {P} + ({P - 1} - part)) % {P}) AS part
+    FROM cn{k} JOIN sz{k} USING (part) CROSS JOIN nv GROUP BY id)"""
+        )
+    return (
+        f"WITH {_E}, {_SD_SQL},\n"
+        "  undp AS (SELECT src AS u, dst AS v FROM sd UNION SELECT dst, src FROM sd),\n  "
+        + ",\n  ".join(blocks)
+        + "\n"
+        + final
+    )
+
+
+@_q(
+    "balanced_partition_fixed4",
+    _partition_sql(
+        f"SELECT CAST(id AS BIGINT) AS vertex, CAST(part AS BIGINT) AS part"
+        f" FROM p{_PART_ROUNDS}"
+    ),
+)
+def q_balanced_partition_fixed4(spark, sf_dir):
+    """Restreaming-LDG-style balanced partition refinement: 4 synchronous
+    plurality moves over an 8-way hash start (load then min-id
+    tie-breaks — all-integer, engine-exact)."""
+    from tldr_spark.operators.partition import balanced_partition
+
+    return balanced_partition(
+        derive_edges(spark, sf_dir), n_parts=_PART_N, rounds=_PART_ROUNDS
+    ).select(F.col("id").alias("vertex"), "part")
+
+
+@_q(
+    "partition_cut_stats",
+    _partition_sql(
+        f""",
+  ced AS MATERIALIZED (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM undp),
+  cut0 AS (SELECT CAST(SUM(CASE WHEN x.part <> y.part THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+                  CAST(COUNT(*) AS BIGINT) AS n_edges
+           FROM ced JOIN p0 x ON x.id = ced.a JOIN p0 y ON y.id = ced.b),
+  cutr AS (SELECT CAST(SUM(CASE WHEN x.part <> y.part THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+                  CAST(COUNT(*) AS BIGINT) AS n_edges
+           FROM ced JOIN p{_PART_ROUNDS} x ON x.id = ced.a
+                    JOIN p{_PART_ROUNDS} y ON y.id = ced.b)
+SELECT 'hash' AS scheme, n_cut, n_edges FROM cut0
+UNION ALL SELECT 'refined', n_cut, n_edges FROM cutr"""
+    ),
+)
+def q_partition_cut_stats(spark, sf_dir):
+    """Edge-cut (≈ cross-partition shuffle volume) of the hash start vs
+    the refined assignment — the operator's raison d'être, priced."""
+    from tldr_spark.operators.partition import balanced_partition, edge_cut
+
+    ed = derive_edges(spark, sf_dir)
+    hash_asg = balanced_partition(ed, n_parts=_PART_N, rounds=0)
+    ref_asg = balanced_partition(ed, n_parts=_PART_N, rounds=_PART_ROUNDS)
+    return edge_cut(ed, hash_asg).select(
+        F.lit("hash").alias("scheme"), "n_cut", "n_edges"
+    ).union(
+        edge_cut(ed, ref_asg).select(F.lit("refined").alias("scheme"), "n_cut", "n_edges")
+    )
+
+
 _TEMPORAL_SQL = """WITH RECURSIVE ev AS (
     SELECT user_id, ts, event_id, (event_id * 131 + 7) % 211 AS page
     FROM events WHERE event_id % 7 = 0),
@@ -3902,6 +3981,8 @@ _WINDOW_PRIORITY = [
     "seeded_labels_fixed8",
     "wl_colors_fixed3",
     "temporal_earliest_arrival",
+    "balanced_partition_fixed4",
+    "partition_cut_stats",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",
@@ -3917,10 +3998,12 @@ _WINDOW_PRIORITY = [
     "harmonic_centrality",
     "ego_subgraph_2hop",
     # -- (b) core regression set: flagship fixpoints, every round
-    # (moved ahead of the re-check list when the round-4 additions grew
-    # past 27: new queries + changed impls + flagships fill 46 of the 50
-    # driver slots; the re-check list holds the remaining 4 — everything
-    # pushed out has r1-r3 driver rows AND local judge verification) --
+    # (moved ahead of the re-check list when the round-4 additions grew:
+    # 31 new queries + 13 changed impls + these 6 flagships fill the 50
+    # driver slots EXACTLY; the re-check list below is fully off-window —
+    # every pushed-out query has r1-r3 driver rows AND local judge
+    # verification. Any further oracled addition must displace a (a)-list
+    # entry consciously, never a flagship.) --
     "edges",
     "pagerank_fixed20",
     "pagerank_converged",

@@ -1260,6 +1260,61 @@ def test_clickstream_edges_derivation(spark):
     assert got == sorted([(p(0), p(7), us(1)), (p(7), p(14), us(2))])
 
 
+def _partition_py(edges, n_parts, rounds):
+    """Exact mirror of the synchronous plurality-move refinement."""
+    und = {}
+    for s, d in edges:
+        if s != d:
+            und.setdefault(s, set()).add(d)
+            und.setdefault(d, set()).add(s)
+    p = {v: v % n_parts for v in und}
+    for _ in range(rounds):
+        sz = {}
+        for v in und:
+            sz[p[v]] = sz.get(p[v], 0) + 1
+        np_ = {}
+        for v in und:
+            c = {}
+            for u in und[v]:
+                c[p[u]] = c.get(p[u], 0) + 1
+            np_[v] = max(c, key=lambda q: (c[q], -sz[q], -q))
+        p = np_
+    return p
+
+
+def test_balanced_partition_matches_python(spark):
+    from tldr_spark.operators.partition import balanced_partition
+
+    edges = _rand_edges(107, 42, 130)
+    got = {
+        x["id"]: x["part"]
+        for x in balanced_partition(_df(spark, edges), n_parts=5, rounds=3).collect()
+    }
+    assert got == _partition_py(edges, 5, 3)
+
+
+def test_partition_refinement_cuts_edges(spark):
+    """Refinement must not leave more cut edges than the hash start on a
+    graph of two dense cliques bridged by one edge; parts stay in range."""
+    from tldr_spark.operators.partition import balanced_partition, edge_cut
+
+    cl = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    cl += [(i, j) for i in range(10, 18) for j in range(i + 1, 18)]
+    cl.append((0, 10))
+    df = _df(spark, cl)
+    h = balanced_partition(df, n_parts=4, rounds=0)
+    r = balanced_partition(df, n_parts=4, rounds=4)
+    cut_h = edge_cut(df, h).first()
+    cut_r = edge_cut(df, r).first()
+    assert cut_r["n_edges"] == cut_h["n_edges"] == len(cl)
+    assert cut_r["n_cut"] <= cut_h["n_cut"]
+    assert cut_r["n_cut"] <= 1  # two cliques collapse to one part each
+    parts = {x["part"] for x in r.collect()}
+    assert parts <= set(range(4))
+    with pytest.raises(ValueError):
+        balanced_partition(df, n_parts=0)
+
+
 def _bridges_py(edges):
     """Exact bridges via iterative Tarjan lowlink (independent of the
     engine's XOR-sketch approach)."""
