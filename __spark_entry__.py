@@ -1871,6 +1871,124 @@ def q_msf_weighted_edges(spark, sf_dir):
     ).edges.select("a", "b", "w")
 
 
+_DOMSET_UNROLL = 12
+
+
+def _domset_sql(depth: int) -> str:
+    """Unrolled local-max coverage elimination (matching-style fixed
+    unroll + runtime depth gate). The (coverage, −id) order is integer-
+    encoded as c*(mid+2) + (mid+1−id) — order-preserving since ids ≤ mid."""
+    blocks = [
+        """undd AS MATERIALIZED (SELECT src AS u, dst AS v FROM sd UNION SELECT dst, src FROM sd),
+  cld AS MATERIALIZED (SELECT u AS id, v AS nb FROM undd UNION SELECT u, u FROM undd),
+  u0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM undd),
+  mxd AS MATERIALIZED (SELECT MAX(id) AS mid FROM u0)"""
+    ]
+    for k in range(depth):
+        blocks.append(
+            f"""cv{k} AS MATERIALIZED (SELECT cl.id, COUNT(*) AS c
+        FROM cld cl JOIN u{k} q ON q.id = cl.nb GROUP BY cl.id),
+  nb{k} AS MATERIALIZED (SELECT cl.id,
+        MAX(s.c * (mid + 2) + (mid + 1 - cl.nb)) AS enc
+        FROM cld cl JOIN cv{k} s ON s.id = cl.nb CROSS JOIN mxd GROUP BY cl.id),
+  w{k} AS MATERIALIZED (SELECT c.id FROM cv{k} c JOIN nb{k} b ON b.id = c.id
+        CROSS JOIN mxd
+        WHERE c.c * (mid + 2) + (mid + 1 - c.id) = b.enc),
+  cd{k} AS MATERIALIZED (SELECT DISTINCT cl.nb AS id
+        FROM cld cl JOIN w{k} w ON w.id = cl.id),
+  u{k + 1} AS MATERIALIZED (SELECT q.id FROM u{k} q ANTI JOIN cd{k} x ON x.id = q.id)"""
+        )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT id, {k + 1} AS round_added FROM w{k}" for k in range(depth)
+    )
+    return (
+        f"WITH {_E}, {_SD_SQL},\n  "
+        + ",\n  ".join(blocks)
+        + "\nSELECT CAST(id AS BIGINT) AS id,"
+        + " CAST(round_added AS INTEGER) AS round_added FROM ("
+        + unions
+        + ")"
+    )
+
+
+@_q("dominating_set", _domset_sql(_DOMSET_UNROLL))
+def q_dominating_set(spark, sf_dir):
+    """Greedy dominating set (crawl-seed selection); raises if the
+    elimination needed more rounds than the oracle unrolls."""
+    from tldr_spark.operators.domset import dominating_set
+
+    r = dominating_set(derive_edges(spark, sf_dir))
+    if r.rounds > _DOMSET_UNROLL:
+        raise RuntimeError(
+            f"dominating set took {r.rounds} rounds; oracle unrolls {_DOMSET_UNROLL}"
+        )
+    return r.members
+
+
+_PUSH_ROUNDS = 8
+
+
+def _push_sql(rounds: int) -> str:
+    """Unrolled integer-exact forward push (α = 1/4, floor division,
+    remainder retained): every quantity is a BIGINT so the engines agree
+    bit-for-bit — no floating-point threshold races at the push boundary."""
+    from tldr_spark.operators.ppr_push import SCALE, THRESHOLD
+
+    blocks = [
+        """dgp AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM sd GROUP BY 1),
+  pverts AS MATERIALIZED (
+    SELECT v.id, COALESCE(g.d, 0) AS d FROM
+      (SELECT DISTINCT x AS id FROM (SELECT src AS x FROM sd UNION SELECT dst FROM sd)) v
+      LEFT JOIN dgp g ON g.id = v.id),
+  nsd AS MATERIALIZED (SELECT COUNT(*) AS ns FROM pverts WHERE id % 97 = 0),"""
+        + f"""
+  s0 AS MATERIALIZED (
+    SELECT id, d, CAST(0 AS BIGINT) AS p,
+           CAST(CASE WHEN id % 97 = 0 THEN {SCALE} // ns ELSE 0 END AS BIGINT) AS r
+    FROM pverts CROSS JOIN nsd)"""
+    ]
+    for k in range(rounds):
+        blocks.append(
+            f"""a{k} AS MATERIALIZED (SELECT id, d, r, r // 4 AS gain
+        FROM s{k} WHERE r > {THRESHOLD} * d AND d > 0),
+  m{k} AS MATERIALIZED (SELECT id, gain, (r - gain) // d AS q,
+        r - gain - ((r - gain) // d) * d AS leftover FROM a{k}),
+  i{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(m.q) AS inc
+        FROM m{k} m JOIN sd e ON e.src = m.id GROUP BY e.dst),
+  s{k + 1} AS MATERIALIZED (SELECT s.id, s.d,
+        s.p + COALESCE(m.gain, 0) AS p,
+        COALESCE(m.leftover, s.r) + COALESCE(i.inc, 0) AS r
+        FROM s{k} s LEFT JOIN m{k} m ON m.id = s.id LEFT JOIN i{k} i ON i.id = s.id)"""
+        )
+    return (
+        f"WITH {_E}, {_SD_SQL},\n  "
+        + ",\n  ".join(blocks)
+        + f"""
+SELECT CAST(id AS BIGINT) AS vertex, CAST(p AS BIGINT) AS p_units,
+       CAST(r AS BIGINT) AS r_units
+FROM s{rounds} WHERE p > 0 OR r > 0"""
+    )
+
+
+@_q("ppr_push_fixed8", _push_sql(_PUSH_ROUNDS))
+def q_ppr_push_fixed8(spark, sf_dir):
+    """Andersen-Chung-Lang forward-push PPR from {id % 97 = 0}, 8
+    synchronous integer-exact rounds (mass in 2^-40 units, α = 1/4,
+    floor-division spreading with retained remainders)."""
+    from tldr_spark.operators.ppr_push import ppr_push
+
+    ed = derive_edges(spark, sf_dir)
+    seeds = (
+        ed.select(F.col("src").alias("id"))
+        .union(ed.select("dst"))
+        .distinct()
+        .filter(F.col("id") % 97 == 0)
+    )
+    return ppr_push(ed, seeds, rounds=_PUSH_ROUNDS).mass.select(
+        F.col("id").alias("vertex"), "p_units", "r_units"
+    )
+
+
 _PART_ROUNDS, _PART_N = 4, 8
 
 
@@ -1967,6 +2085,44 @@ _TEMPORAL_SQL = """WITH RECURSIVE ev AS (
   )
 SELECT CAST(v AS BIGINT) AS vertex, CAST(MIN(t) AS BIGINT) AS arrival_us
 FROM tarr GROUP BY v"""
+
+
+_LATEST_SQL = """WITH RECURSIVE ev AS (
+    SELECT user_id, ts, event_id, (event_id * 131 + 7) % 211 AS page
+    FROM events WHERE event_id % 7 = 0),
+  te AS MATERIALIZED (
+    SELECT prev AS src, page AS dst, epoch_us(ts) AS t FROM (
+      SELECT page, LAG(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, ts
+      FROM ev)
+    WHERE prev IS NOT NULL AND prev <> page),
+  tseeds AS (SELECT DISTINCT v AS id FROM
+    (SELECT src AS v FROM te UNION SELECT dst FROM te) WHERE v % 50 = 0),
+  tld(v, t) AS (
+    SELECT id, CAST(4611686018427387904 AS BIGINT) FROM tseeds
+    UNION
+    SELECT g.src, g.t FROM tld r JOIN te g ON g.dst = r.v AND g.t <= r.t
+  )
+SELECT CAST(v AS BIGINT) AS vertex, CAST(MAX(t) AS BIGINT) AS departure_us
+FROM tld GROUP BY v"""
+
+
+@_q("temporal_latest_departure", _LATEST_SQL)
+def q_temporal_latest_departure(spark, sf_dir):
+    """Latest time-respecting departure toward the same page seed set —
+    the backward dual of temporal_earliest_arrival (targets report the
+    2^62 sentinel)."""
+    from tldr_spark.operators.temporal import clickstream_edges, latest_departure
+
+    te = clickstream_edges(load(spark, sf_dir, "events"), sample_mod=7)
+    targets = (
+        te.select(F.col("src").alias("id"))
+        .union(te.select("dst"))
+        .distinct()
+        .filter(F.col("id") % 50 == 0)
+    )
+    return latest_departure(te, targets).select(
+        F.col("id").alias("vertex"), "departure_us"
+    )
 
 
 @_q("temporal_earliest_arrival", _TEMPORAL_SQL)
@@ -3981,22 +4137,30 @@ _WINDOW_PRIORITY = [
     "seeded_labels_fixed8",
     "wl_colors_fixed3",
     "temporal_earliest_arrival",
+    "temporal_latest_departure",
     "balanced_partition_fixed4",
     "partition_cut_stats",
+    "ppr_push_fixed8",
+    "dominating_set",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",
     "user_sessions",
     "cc_assign",
-    "cc_sizes",
+    # cc_sizes rotated off-window for dominating_set: same operator and
+    # change as cc_assign (its in-window witness); r3 driver row + local
+    # verify_entry.py verification.
     "scc_assign",
     "scc_condensation",
     "bowtie_regions",
     "bfs_hops",
     "eccentricity_probes",
     "closeness_centrality",
-    "harmonic_centrality",
-    "ego_subgraph_2hop",
+    # harmonic_centrality and ego_subgraph_2hop rotated off-window to
+    # make room for ppr_push_fixed8 + temporal_latest_departure: the
+    # shared bfs local-finish change keeps three in-window witnesses
+    # (bfs_hops, eccentricity_probes, closeness_centrality); both have
+    # r3 driver rows and local verify_entry.py verification.
     # -- (b) core regression set: flagship fixpoints, every round
     # (moved ahead of the re-check list when the round-4 additions grew:
     # 31 new queries + 13 changed impls + these 6 flagships fill the 50

@@ -1233,6 +1233,51 @@ def test_earliest_arrival_time_respecting(spark):
     assert got == {0: -1, 1: 5, 2: 10}
 
 
+def test_latest_departure_matches_python(spark):
+    from tldr_spark.operators.temporal import LATEST_SENTINEL, latest_departure
+
+    import random
+
+    rng = random.Random(127)
+    tedges = [
+        (rng.randrange(18), rng.randrange(18), rng.randrange(60)) for _ in range(90)
+    ]
+    tedges = [(s, d, t) for s, d, t in tedges if s != d]
+    tdf = spark.createDataFrame(tedges, "src long, dst long, t long")
+    targets = [2, 9]
+    got = {
+        x["id"]: x["departure_us"]
+        for x in latest_departure(tdf, _df_ids(spark, targets)).collect()
+    }
+    ld = {t: LATEST_SENTINEL for t in targets}
+    changed = True
+    while changed:
+        changed = False
+        for s, d, t in tedges:
+            if d in ld and t <= ld[d] and t > ld.get(s, -1):
+                ld[s] = t
+                changed = True
+    assert got == ld
+
+
+def test_latest_departure_duality(spark):
+    """On the two-hop chain the duals agree on traversability."""
+    from tldr_spark.operators.temporal import LATEST_SENTINEL, latest_departure
+
+    ok = spark.createDataFrame([(0, 1, 5), (1, 2, 10)], "src long, dst long, t long")
+    got = {
+        x["id"]: x["departure_us"]
+        for x in latest_departure(ok, _df_ids(spark, [2])).collect()
+    }
+    assert got == {2: LATEST_SENTINEL, 1: 10, 0: 5}
+    bad = spark.createDataFrame([(0, 1, 10), (1, 2, 5)], "src long, dst long, t long")
+    got = {
+        x["id"]: x["departure_us"]
+        for x in latest_departure(bad, _df_ids(spark, [2])).collect()
+    }
+    assert got == {2: LATEST_SENTINEL, 1: 5}  # 0 cannot reach 2 in time
+
+
 def test_clickstream_edges_derivation(spark):
     """Per-user LAG ordering by (ts, event_id); self-transitions dropped;
     sampling is on event_id."""
@@ -1313,6 +1358,127 @@ def test_partition_refinement_cuts_edges(spark):
     assert parts <= set(range(4))
     with pytest.raises(ValueError):
         balanced_partition(df, n_parts=0)
+
+
+def _push_py(edges, seeds, rounds):
+    """Exact integer mirror of the forward push (alpha=1/4, SCALE 2^40,
+    THRESHOLD 2^16, floor division, remainder retained)."""
+    SCALE, T = 1 << 40, 1 << 16
+    sd = {(s, d) for s, d in edges if s != d}
+    out = {}
+    verts = set()
+    for s, d in sd:
+        out.setdefault(s, []).append(d)
+        verts.update((s, d))
+    sl = sorted(set(seeds) & verts)
+    p = {v: 0 for v in verts}
+    r = {v: SCALE // len(sl) if v in sl else 0 for v in verts}
+    for _ in range(rounds):
+        act = [v for v in verts if v in out and r[v] > T * len(out[v])]
+        inc = {}
+        for v in act:
+            d = len(out[v])
+            gain = r[v] // 4
+            spread = r[v] - gain
+            q, leftover = spread // d, spread - (spread // d) * d
+            p[v] += gain
+            r[v] = leftover
+            for u in out[v]:
+                inc[u] = inc.get(u, 0) + q
+        for u, x in inc.items():
+            r[u] += x
+    return p, r
+
+
+def test_ppr_push_matches_python(spark):
+    from tldr_spark.operators.ppr_push import SCALE, ppr_push
+
+    edges = _rand_edges(109, 30, 110)
+    seeds = [0, 7, 14]
+    res = ppr_push(_df(spark, edges), _df_ids(spark, seeds), rounds=6)
+    got = {x["id"]: (x["p_units"], x["r_units"]) for x in res.mass.collect()}
+    p, r = _push_py(edges, seeds, 6)
+    want = {v: (p[v], r[v]) for v in p if p[v] > 0 or r[v] > 0}
+    assert got == want
+    # exact mass conservation: floors retain remainders, nothing leaks
+    n = len({v for s, d in edges if s != d for v in (s, d)} & set(seeds))
+    assert sum(a + b for a, b in got.values()) == (SCALE // n) * n
+
+
+def test_ppr_push_convergence_mode(spark):
+    # a high threshold converges in a handful of rounds — the loop logic
+    # is what's under test, the default-threshold depth is bench's job
+    T = 1 << 34
+
+    from tldr_spark.operators.ppr_push import ppr_push
+
+    edges = _rand_edges(113, 25, 70)
+    res = ppr_push(_df(spark, edges), _df_ids(spark, [1]), threshold=T)
+    assert res.converged
+    # frontier is truly empty: every vertex is at/below its threshold
+    deg = {}
+    for s, d in {(s, d) for s, d in edges if s != d}:
+        deg[s] = deg.get(s, 0) + 1
+    for x in res.mass.collect():
+        assert x["r_units"] <= T * deg.get(x["id"], 0) or deg.get(x["id"], 0) == 0
+    with pytest.raises(ValueError):
+        ppr_push(_df(spark, edges), _df_ids(spark, [99999]))
+
+
+def _domset_py(edges, max_rounds=64):
+    """Exact mirror of the local-max coverage elimination."""
+    closed = {}
+    for s, d in edges:
+        if s != d:
+            closed.setdefault(s, {s}).add(d)
+            closed.setdefault(d, {d}).add(s)
+    unc = set(closed)
+    out = {}
+    rounds = 0
+    while unc:
+        assert rounds < max_rounds
+        rounds += 1
+        cov = {v: len(closed[v] & unc) for v in closed}
+        cov = {v: c for v, c in cov.items() if c > 0}
+        win = [
+            v
+            for v in cov
+            if (cov[v], -v) == max((cov[w], -w) for w in closed[v] if w in cov)
+        ]
+        for v in win:
+            out[v] = rounds
+            unc -= closed[v]
+    return out, rounds
+
+
+def test_dominating_set_matches_python(spark):
+    from tldr_spark.operators.domset import dominating_set
+
+    edges = _rand_edges(131, 38, 100)
+    r = dominating_set(_df(spark, edges))
+    got = {x["id"]: x["round_added"] for x in r.members.collect()}
+    want, want_rounds = _domset_py(edges)
+    assert got == want and r.rounds == want_rounds
+
+
+def test_dominating_set_invariants(spark):
+    """Every vertex is a member or adjacent to one; star collapses to
+    its center in one round."""
+    from tldr_spark.operators.domset import dominating_set
+
+    edges = [(s - 9, d - 9) for s, d in _rand_edges(137, 30, 60)]
+    r = dominating_set(_df(spark, edges))
+    dom = {x["id"] for x in r.members.collect()}
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, {s}).add(d)
+            adj.setdefault(d, {d}).add(s)
+    for v in adj:
+        assert adj[v] & dom, v
+    star = [(0, i) for i in range(1, 9)]
+    r2 = dominating_set(_df(spark, star))
+    assert {x["id"] for x in r2.members.collect()} == {0} and r2.rounds == 1
 
 
 def _bridges_py(edges):

@@ -63,6 +63,58 @@ def clickstream_edges(events: DataFrame, sample_mod: int | None = None) -> DataF
     )
 
 
+LATEST_SENTINEL = 1 << 62  # targets: depart whenever you like
+
+
+def latest_departure(
+    tedges: DataFrame, targets: DataFrame, max_rounds: int = 100
+) -> DataFrame:
+    """(id, departure_us) — the LATEST time a walk may leave each vertex
+    and still reach the target set along non-decreasing timestamps (the
+    backward dual of :func:`earliest_arrival`): ld(v) = max over edges
+    (v, u, t) with t ≤ ld(u) of t; targets report LATEST_SENTINEL.
+    Unreachable-from vertices are omitted."""
+    te = tedges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"), F.col("t").cast("long")
+    ).persist()
+    ld = (
+        targets.select(F.col("id").cast("long"))
+        .distinct()
+        .select("id", F.lit(LATEST_SENTINEL).cast("long").alias("ld"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        cand = (
+            ld.join(te, ld["id"] == te["dst"])
+            .filter(F.col("t") <= F.col("ld"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.max("t").alias("cand"))
+        )
+        merged = (
+            ld.join(cand, "id", "full_outer")
+            .select(
+                "id",
+                F.greatest(
+                    F.coalesce("ld", F.lit(-1)), F.coalesce("cand", F.lit(-1))
+                ).alias("new"),
+                "ld",
+            )
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            merged.filter(F.col("ld").isNull() | (F.col("new") > F.col("ld")))
+            .limit(1)
+            .count()
+        )
+        ld = merged.select("id", F.col("new").alias("ld"))
+        if improved == 0:
+            break
+    else:
+        raise RuntimeError(f"latest_departure did not converge in {max_rounds} rounds")
+    te.unpersist()
+    return ld.select("id", F.col("ld").alias("departure_us"))
+
+
 def earliest_arrival(
     tedges: DataFrame, sources: DataFrame, max_rounds: int = 100
 ) -> DataFrame:
