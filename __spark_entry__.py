@@ -4084,6 +4084,58 @@ def q_host_linkgraph_top(spark, sf_dir):
     )
 
 
+_FOUR_CYCLES_SQL = f"""WITH {_E}, {_SD_SQL},
+  adj AS MATERIALIZED (SELECT src AS u, dst AS v FROM sd UNION SELECT dst, src FROM sd),
+  cn AS (SELECT a.v AS x, b.v AS y, COUNT(*) AS c
+         FROM adj a JOIN adj b ON b.u = a.u AND a.v < b.v
+         GROUP BY 1, 2)
+SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) // 4 AS BIGINT) AS four_cycles FROM cn"""
+
+
+@_q("four_cycles_total", _FOUR_CYCLES_SQL)
+def q_four_cycles_total(spark, sf_dir):
+    """Rectangle (C4 subgraph) count — vertex-priority formulation
+    (Wang et al. VLDB'19): each rectangle counted once at its
+    (degree, id)-max vertex, wedge arms walk priority-UP from the center
+    so hub centers never emit deg^2 wedges. The oracle uses the
+    independent unoriented identity sum over endpoint pairs of
+    C(common_neighbors, 2), halved (each rectangle seen from both
+    diagonals) — no shared formulation with the engine."""
+    from tldr_spark.operators.triangles import four_cycle_count
+
+    n = four_cycle_count(derive_edges(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "four_cycles long")
+
+
+_KNN_CURVE_SQL = f"""WITH {_E}, {_SD_SQL},
+  adj AS MATERIALIZED (SELECT src AS u, dst AS v FROM sd UNION SELECT dst, src FROM sd),
+  deg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY 1),
+  snd AS (SELECT a.u, SUM(d.deg) AS snd FROM adj a JOIN deg d ON d.u = a.v GROUP BY 1)
+SELECT CAST(deg.deg AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(snd.snd) AS BIGINT) AS sum_neighbor_deg,
+       CAST(ROUND(CAST(SUM(snd.snd) AS DOUBLE) / (deg.deg * COUNT(*)) * 1048576)
+            AS BIGINT) AS knn_q
+FROM deg JOIN snd ON snd.u = deg.u
+GROUP BY deg.deg"""
+
+
+@_q("avg_neighbor_degree", _KNN_CURVE_SQL)
+def q_avg_neighbor_degree(spark, sf_dir):
+    """knn(k) degree-correlation curve (Pastor-Satorras et al. PRL'01) —
+    the full curve whose scalar summary is degree_assortativity. Exact
+    integer numerators/denominators; the one ratio is a double division
+    of exact integers (bit-identical across engines), 2^-20 quantized."""
+    from tldr_spark.operators.stats import avg_neighbor_degree
+
+    return avg_neighbor_degree(derive_edges(spark, sf_dir)).select(
+        "degree",
+        "n_vertices",
+        "sum_neighbor_deg",
+        F.round(F.col("knn") * 1048576).cast("long").alias("knn_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4142,6 +4194,8 @@ _WINDOW_PRIORITY = [
     "partition_cut_stats",
     "ppr_push_fixed8",
     "dominating_set",
+    "four_cycles_total",
+    "avg_neighbor_degree",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",
@@ -4154,13 +4208,13 @@ _WINDOW_PRIORITY = [
     "scc_condensation",
     "bowtie_regions",
     "bfs_hops",
-    "eccentricity_probes",
-    "closeness_centrality",
     # harmonic_centrality and ego_subgraph_2hop rotated off-window to
-    # make room for ppr_push_fixed8 + temporal_latest_departure: the
-    # shared bfs local-finish change keeps three in-window witnesses
-    # (bfs_hops, eccentricity_probes, closeness_centrality); both have
-    # r3 driver rows and local verify_entry.py verification.
+    # make room for ppr_push_fixed8 + temporal_latest_departure, then
+    # eccentricity_probes and closeness_centrality rotated off for
+    # four_cycles_total + avg_neighbor_degree: the shared bfs
+    # local-finish change keeps bfs_hops as its in-window witness; all
+    # four displaced queries have r3 driver rows and local
+    # verify_entry.py verification.
     # -- (b) core regression set: flagship fixpoints, every round
     # (moved ahead of the re-check list when the round-4 additions grew:
     # 31 new queries + 13 changed impls + these 6 flagships fill the 50

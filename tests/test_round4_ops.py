@@ -1591,3 +1591,83 @@ def test_maximal_matching_empty_and_selfloops(spark):
 
     r = maximal_matching(_df(spark, [(1, 1), (2, 2)]))
     assert r.pairs.count() == 0 and r.rounds == 0
+
+
+# ---------------------------------------------------------------------------
+# 4-cycle (rectangle) counting + knn degree-correlation curve
+# ---------------------------------------------------------------------------
+
+def _c4_py(edges):
+    """Independent pair-formula oracle: sum over vertex pairs of
+    C(common_neighbors, 2), halved (each rectangle has two diagonals)."""
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+    tot = 0
+    for u, w in itertools.combinations(verts, 2):
+        c = len(adj[u] & adj[w])
+        tot += c * (c - 1) // 2
+    return tot // 2
+
+
+def test_four_cycles_closed_forms(spark):
+    from tldr_spark.operators.triangles import four_cycle_count
+
+    k4 = list(itertools.combinations(range(4), 2))
+    k5 = list(itertools.combinations(range(5), 2))
+    k23 = [(a, b) for a in (0, 1) for b in (2, 3, 4)]
+    assert four_cycle_count(_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])) == 1
+    assert four_cycle_count(_df(spark, [(0, 1), (1, 2), (2, 3)])) == 0
+    assert four_cycle_count(_df(spark, k4)) == 3
+    assert four_cycle_count(_df(spark, k5)) == 15
+    assert four_cycle_count(_df(spark, k23)) == 3  # K_{2,3}: C(2,2)*C(3,2)
+    # triangles alone contain no rectangle; self-loops/multi-edges ignored
+    assert four_cycle_count(_df(spark, [(0, 1), (1, 2), (2, 0), (0, 0), (1, 0)])) == 0
+
+
+def test_four_cycles_match_python(spark):
+    from tldr_spark.operators.triangles import four_cycle_count
+
+    for seed, n, m in ((5, 14, 40), (29, 20, 60)):
+        edges = [(s - 7, d - 7) for s, d in _rand_edges(seed, n, m)]
+        assert four_cycle_count(_df(spark, edges)) == _c4_py(edges)
+
+
+def _knn_py(edges):
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per_k = {}
+    for v, ns in adj.items():
+        k = len(ns)
+        s = sum(len(adj[n]) for n in ns)
+        n, t = per_k.get(k, (0, 0))
+        per_k[k] = (n + 1, t + s)
+    return {k: (n, t, t / (k * n)) for k, (n, t) in per_k.items()}
+
+
+def test_avg_neighbor_degree_matches_python(spark):
+    from tldr_spark.operators.stats import avg_neighbor_degree
+
+    for seed, n, m in ((3, 15, 40), (17, 25, 70)):
+        edges = [(s - 9, d - 9) for s, d in _rand_edges(seed, n, m)]
+        got = {
+            r["degree"]: (r["n_vertices"], r["sum_neighbor_deg"], r["knn"])
+            for r in avg_neighbor_degree(_df(spark, edges)).collect()
+        }
+        assert got == _knn_py(edges)
+
+
+def test_avg_neighbor_degree_star(spark):
+    from tldr_spark.operators.stats import avg_neighbor_degree
+
+    got = {
+        r["degree"]: r["knn"]
+        for r in avg_neighbor_degree(_df(spark, [(0, i) for i in range(1, 6)])).collect()
+    }
+    assert got == {5: 1.0, 1: 5.0}

@@ -334,3 +334,58 @@ def partition_modularity(edges: DataFrame, assignments: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Degree-correlation curve knn(k) over the undirected simple graph
+    (Pastor-Satorras, Vazquez & Vespignani PRL'01): one row per degree
+    class k with
+
+      n_vertices         vertices of undirected degree k
+      sum_neighbor_deg   sum over those vertices of sum-of-neighbor-degrees
+      knn                sum_neighbor_deg / (k * n_vertices) — the mean
+                         neighbor degree of a degree-k vertex
+
+    Rising knn(k) = assortative wiring, falling = the disassortative
+    hub-to-leaf pattern typical of the web (the scalar summary of this
+    curve is :func:`degree_assortativity`). Exact integer numerators /
+    denominators, one final division. Three shuffles: degree aggregate,
+    neighbor-degree join + per-vertex sum, degree-class aggregate — all
+    on (vertex) or (degree) keys, no skew hazard beyond the degree
+    aggregate every other operator already pays."""
+    adj = (
+        edges.select(F.col("src").cast("long").alias("u"), F.col("dst").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .union(
+            edges.select(F.col("dst").cast("long").alias("u"), F.col("src").cast("long").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    snd = (
+        adj.join(deg.withColumnsRenamed({"u": "v", "deg": "nd"}), "v")
+        .groupBy("u")
+        .agg(F.sum("nd").alias("snd"))
+    )
+    out = (
+        deg.join(snd, "u")
+        .groupBy(F.col("deg").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("snd").cast("long").alias("sum_neighbor_deg"),
+        )
+        .select(
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            "sum_neighbor_deg",
+            (
+                F.col("sum_neighbor_deg").cast("double")
+                / (F.col("degree") * F.col("n_vertices"))
+            ).alias("knn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    adj.unpersist()
+    return out
