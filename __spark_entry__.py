@@ -4136,6 +4136,76 @@ def q_avg_neighbor_degree(spark, sf_dir):
     )
 
 
+_EMBEDDEDNESS_SQL = f"""WITH {_E}, {_SD_SQL},
+  und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM sd GROUP BY 1, 2),
+  adj AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und),
+  deg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY 1),
+  cn AS (SELECT e.a, e.b, COUNT(*) AS c
+         FROM und e JOIN adj x ON x.u = e.a JOIN adj y ON y.u = e.b AND y.v = x.v
+         GROUP BY 1, 2)
+SELECT und.a, und.b, CAST(COALESCE(cn.c, 0) AS BIGINT) AS support,
+       CAST(ROUND(CASE WHEN da.deg + db.deg - 2 - COALESCE(cn.c, 0) = 0 THEN 0
+                       ELSE CAST(COALESCE(cn.c, 0) AS DOUBLE)
+                            / (da.deg + db.deg - 2 - COALESCE(cn.c, 0)) END
+                  * 1048576) AS BIGINT) AS embeddedness_q
+FROM und JOIN deg da ON da.u = und.a JOIN deg db ON db.u = und.b
+LEFT JOIN cn ON cn.a = und.a AND cn.b = und.b"""
+
+
+@_q("edge_embeddedness", _EMBEDDEDNESS_SQL)
+def q_edge_embeddedness(spark, sf_dir):
+    """Per-edge tie strength (Granovetter embeddedness): triangle support
+    + neighborhood Jaccard restricted to existing edges. Engine counts
+    support via the degree-ordered oriented triangle join; the oracle via
+    a per-edge common-neighbor equi-join — independent formulations."""
+    from tldr_spark.operators.linksim import edge_embeddedness
+
+    return edge_embeddedness(derive_edges(spark, sf_dir)).select(
+        "a",
+        "b",
+        "support",
+        F.round(F.col("embeddedness") * 1048576).cast("long").alias("embeddedness_q"),
+    )
+
+
+_CK_CURVE_SQL = f"""WITH {_E}, {_SD_SQL},
+  und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM sd GROUP BY 1, 2),
+  adj AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und),
+  deg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY 1),
+  tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+          JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+  pv AS (SELECT v, COUNT(*) AS t
+         FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri) GROUP BY 1)
+SELECT CAST(deg.deg AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(COALESCE(pv.t, 0)) AS BIGINT) AS sum_triangles,
+       CAST(ROUND(2.0 * SUM(COALESCE(pv.t, 0))
+                  / (COUNT(*) * deg.deg * (deg.deg - 1)) * 1048576)
+            AS BIGINT) AS coeff_q
+FROM deg LEFT JOIN pv ON pv.v = deg.u
+WHERE deg.deg >= 2
+GROUP BY deg.deg"""
+
+
+@_q("clustering_by_degree", _CK_CURVE_SQL)
+def q_clustering_by_degree(spark, sf_dir):
+    """c(k) mean-local-clustering-per-degree-class curve (the
+    Ravasz-Barabasi hierarchical-modularity diagnostic; companion to
+    avg_neighbor_degree). Exact integer sums, 2^-20 quantized ratio."""
+    from tldr_spark.operators.linksim import clustering_by_degree
+
+    return clustering_by_degree(derive_edges(spark, sf_dir)).select(
+        "degree",
+        "n_vertices",
+        "sum_triangles",
+        F.round(F.col("coeff") * 1048576).cast("long").alias("coeff_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4196,6 +4266,8 @@ _WINDOW_PRIORITY = [
     "dominating_set",
     "four_cycles_total",
     "avg_neighbor_degree",
+    "edge_embeddedness",
+    "clustering_by_degree",
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",
@@ -4205,8 +4277,10 @@ _WINDOW_PRIORITY = [
     # change as cc_assign (its in-window witness); r3 driver row + local
     # verify_entry.py verification.
     "scc_assign",
-    "scc_condensation",
-    "bowtie_regions",
+    # scc_condensation and bowtie_regions rotated off-window for
+    # edge_embeddedness + clustering_by_degree: both are consumers of the
+    # same SCC pass that scc_assign witnesses in-window; both have r3
+    # driver rows and local verify_entry.py verification.
     "bfs_hops",
     # harmonic_centrality and ego_subgraph_2hop rotated off-window to
     # make room for ppr_push_fixed8 + temporal_latest_departure, then

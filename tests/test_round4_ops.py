@@ -1671,3 +1671,76 @@ def test_avg_neighbor_degree_star(spark):
         for r in avg_neighbor_degree(_df(spark, [(0, i) for i in range(1, 6)])).collect()
     }
     assert got == {5: 1.0, 1: 5.0}
+
+
+# ---------------------------------------------------------------------------
+# edge embeddedness (tie strength) + c(k) clustering curve
+# ---------------------------------------------------------------------------
+
+def _adj_und(edges):
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return und, adj
+
+
+def test_edge_embeddedness_matches_python(spark):
+    from tldr_spark.operators.linksim import edge_embeddedness
+
+    for seed, n, m in ((2, 14, 38), (13, 22, 55)):
+        edges = [(s - 5, d - 5) for s, d in _rand_edges(seed, n, m)]
+        und, adj = _adj_und(edges)
+        exp = {}
+        for a, b in und:
+            sup = len(adj[a] & adj[b])
+            den = len(adj[a]) + len(adj[b]) - 2 - sup
+            exp[(a, b)] = (sup, 0.0 if den == 0 else sup / den)
+        got = {
+            (r["a"], r["b"]): (r["support"], r["embeddedness"])
+            for r in edge_embeddedness(_df(spark, edges)).collect()
+        }
+        assert got == exp
+
+
+def test_edge_embeddedness_closed_forms(spark):
+    from tldr_spark.operators.linksim import edge_embeddedness
+
+    # isolated edge -> (0, 0.0); triangle edges -> (1, 1.0); self-loops dropped
+    got = {
+        (r["a"], r["b"]): (r["support"], r["embeddedness"])
+        for r in edge_embeddedness(
+            _df(spark, [(0, 1), (2, 3), (3, 4), (4, 2), (5, 5)])
+        ).collect()
+    }
+    assert got == {
+        (0, 1): (0, 0.0),
+        (2, 3): (1, 1.0),
+        (3, 4): (1, 1.0),
+        (2, 4): (1, 1.0),
+    }
+
+
+def test_clustering_by_degree_matches_python(spark):
+    from tldr_spark.operators.linksim import clustering_by_degree
+
+    for seed, n, m in ((2, 14, 38), (31, 18, 50)):
+        edges = [(s - 3, d - 3) for s, d in _rand_edges(seed, n, m)]
+        _, adj = _adj_und(edges)
+        per_k = {}
+        for v, ns in adj.items():
+            k = len(ns)
+            if k < 2:
+                continue
+            t = sum(
+                1 for x, y in itertools.combinations(sorted(ns), 2) if y in adj[x]
+            )
+            c, st = per_k.get(k, (0, 0))
+            per_k[k] = (c + 1, st + t)
+        exp = {k: (c, st, 2.0 * st / (c * k * (k - 1))) for k, (c, st) in per_k.items()}
+        got = {
+            r["degree"]: (r["n_vertices"], r["sum_triangles"], r["coeff"])
+            for r in clustering_by_degree(_df(spark, edges)).collect()
+        }
+        assert got == exp

@@ -300,3 +300,110 @@ def link_recommendations(
         cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def edge_embeddedness(edges: DataFrame) -> DataFrame:
+    """(a, b, support, embeddedness), a < b, one row per undirected edge:
+    the Granovetter tie-strength signal (Easley & Kleinberg ch. 3).
+    ``support`` = common neighbors of the endpoints (triangles the edge
+    closes), ``embeddedness`` = support / |N(a) ∪ N(b) \\ {a,b}| =
+    support / (deg_a + deg_b - 2 - support) — neighborhood Jaccard
+    restricted to EXISTING edges (``common_neighbor_jaccard`` scores
+    candidate pairs instead and drops zero-overlap pairs; here zero-support
+    bridges are the interesting rows). Support comes from the same
+    degree-ordered oriented triangle enumeration as :func:`triangle_count`
+    (out-degree O(sqrt E), hub-safe) with the 3 member edges exploded —
+    never a per-pair neighbor-set join."""
+    from tldr_spark.operators.triangles import _oriented
+
+    und = (
+        edges.select(
+            F.least(F.col("src").cast("long"), F.col("dst").cast("long")).alias("a"),
+            F.greatest(F.col("src").cast("long"), F.col("dst").cast("long")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    und.count()
+    o = _oriented(und.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+    closer = o.select(F.col("a").alias("y"), F.col("b").alias("z")).union(
+        o.select(F.col("b").alias("y"), F.col("a").alias("z"))
+    )
+    tris = wedges.join(closer, ["y", "z"])
+    sup = (
+        tris.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .union(tris.select(F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")))
+        .union(tris.select(F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    out = (
+        und.join(sup, ["a", "b"], "left")
+        .join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            F.when(
+                F.col("da") + F.col("db") - F.lit(2) - F.coalesce("support", F.lit(0))
+                == F.lit(0),
+                F.lit(0.0),  # isolated edge: neighbor union is empty
+            )
+            .otherwise(
+                F.coalesce("support", F.lit(0)).cast("double")
+                / (F.col("da") + F.col("db") - F.lit(2) - F.coalesce("support", F.lit(0)))
+            )
+            .alias("embeddedness"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out
+
+
+def clustering_by_degree(edges: DataFrame) -> DataFrame:
+    """c(k) curve (Vazquez, Pastor-Satorras & Vespignani PRE'02): one row
+    per degree class k >= 2 with
+
+      n_vertices     vertices of undirected degree k
+      sum_triangles  total triangles those vertices sit in
+      coeff          2·sum_triangles / (n_vertices·k·(k−1)) — the mean
+                     local clustering coefficient of a degree-k vertex
+
+    A falling c(k) ~ k^-1 is the hierarchical-modularity signature
+    (Ravasz-Barabasi) crawl analyses look for; companion curve to
+    ``stats.avg_neighbor_degree``. Exact integer numerators, one final
+    division; cost = one triangle count + two key-partitioned aggregates."""
+    from tldr_spark.operators.triangles import triangle_count
+
+    nb = _undirected_neighbors(edges)
+    deg = nb.groupBy("id").agg(F.count(F.lit(1)).alias("degree")).filter("degree >= 2")
+    tri = triangle_count(edges).per_vertex
+    return (
+        deg.join(tri, "id", "left")
+        .groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum(F.coalesce("triangles", F.lit(0))).alias("sum_triangles"),
+        )
+        .select(
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.col("sum_triangles").cast("long").alias("sum_triangles"),
+            (
+                F.lit(2.0) * F.col("sum_triangles")
+                / (F.col("n_vertices") * F.col("degree") * (F.col("degree") - F.lit(1)))
+            ).alias("coeff"),
+        )
+    )
