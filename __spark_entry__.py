@@ -3484,6 +3484,49 @@ FROM c1_0 v0 LEFT JOIN lvl ON lvl.id = v0.id GROUP BY v0.id"""
     )
 
 
+def _onion_sql(max_k: int = 6, rounds: int = 16) -> str:
+    """Coreness unroll (see :func:`_coreness_sql`) extended with per-wave
+    DROP sets: a vertex's onion layer is the dense rank of its removal
+    wave among all nonempty waves ordered by (k, wave) — empty waves
+    (converged levels padded to the fixed unroll) rank nothing, exactly
+    the engine's nonempty-wave counter. Same truncation gate as
+    q_coreness: the Spark side asserts (max_k, rounds) covers the graph."""
+    parts = [
+        _E,
+        """und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+             SELECT src AS u, dst AS v FROM e WHERE src <> dst
+             UNION SELECT dst, src FROM e WHERE src <> dst))""",
+        "c1_0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM und)",
+    ]
+    drops = []
+    for k in range(1, max_k + 1):
+        if k > 1:
+            parts.append(f"c{k}_0 AS MATERIALIZED (SELECT id FROM c{k - 1}_{rounds})")
+        for r in range(1, rounds + 1):
+            p = f"c{k}_{r - 1}"
+            parts.append(
+                f"""c{k}_{r} AS MATERIALIZED (SELECT und.u AS id FROM und
+                   JOIN {p} a ON a.id = und.u
+                   JOIN {p} b ON b.id = und.v
+                   GROUP BY und.u HAVING COUNT(*) >= {k})"""
+            )
+            drops.append(
+                f"""SELECT a.id, {k} AS k, {r} AS r FROM {p} a
+                    ANTI JOIN c{k}_{r} s ON s.id = a.id"""
+            )
+    parts.append("all_drops AS (" + " UNION ALL ".join(drops) + ")")
+    parts.append(
+        """waves AS (SELECT k, r, DENSE_RANK() OVER (ORDER BY k, r) AS layer
+           FROM (SELECT DISTINCT k, r FROM all_drops))"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + """\nSELECT d.id AS vertex, CAST(d.k - 1 AS BIGINT) AS coreness,
+       CAST(w.layer AS BIGINT) AS layer
+FROM all_drops d JOIN waves w ON w.k = d.k AND w.r = d.r"""
+    )
+
+
 _CORENESS_MAX_K, _CORENESS_ROUNDS = 6, 16
 
 
@@ -3504,6 +3547,26 @@ def q_coreness(spark, sf_dir):
             f"({_CORENESS_MAX_K}, {_CORENESS_ROUNDS}) unroll; regenerate _coreness_sql deeper"
         )
     return res.assignments.select(F.col("id").alias("vertex"), "coreness")
+
+
+@_q("onion_layers", _onion_sql(_CORENESS_MAX_K, _CORENESS_ROUNDS))
+def q_onion_layers(spark, sf_dir):
+    """Onion decomposition (Hebert-Dufresne et al. Sci Rep 2016):
+    (vertex, coreness, layer) with layer = global nonempty peel-wave
+    index — the multi-scale refinement of coreness that flags link-farm
+    vs organic peel profiles. Same unroll-coverage gate as q_coreness."""
+    from tldr_spark.operators.kcore import onion_decomposition
+
+    res = onion_decomposition(derive_edges(spark, sf_dir))
+    if res.max_k >= _CORENESS_MAX_K or any(
+        r > _CORENESS_ROUNDS for r in res.rounds_per_k
+    ):
+        raise RuntimeError(
+            f"onion decomposition observed max_k={res.max_k}, "
+            f"rounds_per_k={res.rounds_per_k} — outside the oracle's "
+            f"({_CORENESS_MAX_K}, {_CORENESS_ROUNDS}) unroll; regenerate _onion_sql deeper"
+        )
+    return res.assignments.select(F.col("id").alias("vertex"), "coreness", "layer")
 
 
 _CONDENSATION_SQL = f"""WITH RECURSIVE {_E},
@@ -4206,6 +4269,44 @@ def q_clustering_by_degree(spark, sf_dir):
     )
 
 
+_DEGREE_MOMENTS_SQL = f"""WITH {_E}, {_SD_SQL},
+  und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM sd),
+  adj AS (SELECT a AS id FROM und UNION ALL SELECT b FROM und),
+  deg AS (SELECT id, COUNT(*) AS deg FROM adj GROUP BY 1),
+  m AS (SELECT COUNT(*) AS n, SUM(deg) AS sd, SUM(deg * deg) AS sd2 FROM deg)
+SELECT CAST(n AS BIGINT) AS n_vertices,
+       CAST(sd // 2 AS BIGINT) AS n_und_edges,
+       CAST(sd AS BIGINT) AS sum_deg,
+       CAST(sd2 AS BIGINT) AS sum_deg2,
+       CAST(ROUND(CAST(sd AS DOUBLE) / n * 1048576) AS BIGINT) AS mean_deg_q,
+       CAST(ROUND(CAST(sd2 AS DOUBLE) / n * 1048576) AS BIGINT) AS second_moment_q,
+       CAST(ROUND(CAST(sd2 AS DOUBLE) / sd * 1048576) AS BIGINT) AS kappa_q,
+       CAST(ROUND(CASE WHEN sd2 > sd
+                       THEN CAST(1 AS DOUBLE) - CAST(sd AS DOUBLE) / (sd2 - sd)
+                       ELSE 0 END * 1048576) AS BIGINT) AS fc_q
+FROM m"""
+
+
+@_q("degree_moments", _DEGREE_MOMENTS_SQL)
+def q_degree_moments(spark, sf_dir):
+    """Degree-distribution moments + percolation robustness: Molloy-Reed
+    kappa = <k^2>/<k> (giant component iff > 2) and the Cohen et al.
+    PRL'00 random-failure threshold fc = 1 - 1/(kappa-1). Exact integer
+    moments; each scalar one double division, 2^-20 quantized."""
+    from tldr_spark.operators.stats import degree_moments
+
+    return degree_moments(derive_edges(spark, sf_dir)).select(
+        "n_vertices",
+        "n_und_edges",
+        "sum_deg",
+        "sum_deg2",
+        F.round(F.col("mean_deg") * 1048576).cast("long").alias("mean_deg_q"),
+        F.round(F.col("second_moment") * 1048576).cast("long").alias("second_moment_q"),
+        F.round(F.col("kappa") * 1048576).cast("long").alias("kappa_q"),
+        F.round(F.col("fc") * 1048576).cast("long").alias("fc_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4302,6 +4403,13 @@ _WINDOW_PRIORITY = [
     "triangles_total",
     "lpa_labels",
     "lpa_modularity",
+    # -- (a1) NEW late in round 4, deliberately OFF-window: the six
+    # remaining (a)-entries above are each the sole in-window witness for
+    # a round-4 implementation change, so these rotate into the ROUND-5
+    # window instead (locally verified by verify_entry.py + pytest-pinned
+    # now; driver row next round) --
+    "onion_layers",
+    "degree_moments",
     # -- (c) round-3 verdict re-check list --
     "betweenness_probes",
     "random_walks",

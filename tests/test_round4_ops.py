@@ -1744,3 +1744,114 @@ def test_clustering_by_degree_matches_python(spark):
             for r in clustering_by_degree(_df(spark, edges)).collect()
         }
         assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# onion decomposition
+# ---------------------------------------------------------------------------
+
+def _onion_py(edges):
+    """Independent oracle in networkx onion_layers style: the threshold
+    JUMPS to the min remaining degree (the engine increments k one at a
+    time, producing empty non-counted levels — same nonempty batches)."""
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    deg = {v: len(adj[v]) for v in alive}
+    out = {}
+    current_core, layer = 1, 0
+    while alive:
+        this = [v for v in alive if deg[v] <= current_core - 1]
+        if not this:
+            current_core = min(deg[v] for v in alive) + 1
+            this = [v for v in alive if deg[v] <= current_core - 1]
+        layer += 1
+        for v in this:
+            out[v] = (current_core - 1, layer)
+        for v in this:
+            alive.discard(v)
+            for n in adj[v]:
+                if n in alive:
+                    deg[n] -= 1
+    return out
+
+
+def test_onion_matches_python_both_paths(spark):
+    from tldr_spark.operators.kcore import onion_decomposition
+
+    for seed, n, m in ((4, 20, 50), (21, 16, 24)):
+        edges = [(s - 7, d - 7) for s, d in _rand_edges(seed, n, m)]
+        exp = _onion_py(edges)
+        r_loc = onion_decomposition(_df(spark, edges))
+        got_loc = {
+            r["id"]: (r["coreness"], r["layer"]) for r in r_loc.assignments.collect()
+        }
+        assert got_loc == exp
+        r_dist = onion_decomposition(_df(spark, edges), local_finish_edges=0)
+        got_dist = {
+            r["id"]: (r["coreness"], r["layer"]) for r in r_dist.assignments.collect()
+        }
+        assert got_dist == exp
+        assert r_dist.rounds_per_k == r_loc.rounds_per_k
+        assert r_dist.n_layers == r_loc.n_layers == max(l for _, l in exp.values())
+
+
+def test_onion_projects_to_coreness(spark):
+    from tldr_spark.operators.kcore import core_decomposition, onion_decomposition
+
+    edges = [(s - 3, d - 3) for s, d in _rand_edges(9, 30, 90)]
+    onion = {
+        r["id"]: r["coreness"]
+        for r in onion_decomposition(_df(spark, edges)).assignments.collect()
+    }
+    core = {
+        r["id"]: r["coreness"]
+        for r in core_decomposition(_df(spark, edges)).assignments.collect()
+    }
+    assert onion == core
+
+
+def test_onion_closed_forms(spark):
+    from tldr_spark.operators.kcore import onion_decomposition
+
+    # K4 + pendant chain 4-5-6 hanging off vertex 0:
+    # wave 1 (k=1): nothing (no deg-0); k=2 wave 1: 6 falls (deg 1);
+    # k=2 wave 2: 5 falls; k=2 wave 3: 4 falls; then K4 survives to k=4,
+    # whole clique falls in one wave at k=4 (coreness 3).
+    k4 = list(itertools.combinations(range(4), 2))
+    edges = k4 + [(0, 4), (4, 5), (5, 6)]
+    r = onion_decomposition(_df(spark, edges))
+    got = {x["id"]: (x["coreness"], x["layer"]) for x in r.assignments.collect()}
+    assert got[6] == (1, 1) and got[5] == (1, 2) and got[4] == (1, 3)
+    assert got[0] == (3, 4) and got[1] == (3, 4) and got[2] == (3, 4) and got[3] == (3, 4)
+    assert r.max_k == 3 and r.n_layers == 4
+    # empty / self-loop-only input
+    r0 = onion_decomposition(_df(spark, [(2, 2)]))
+    assert r0.assignments.count() == 0 and r0.n_layers == 0 and r0.rounds_per_k == []
+
+
+def test_degree_moments_matches_python(spark):
+    from tldr_spark.operators.stats import degree_moments
+
+    edges = [(s - 4, d - 4) for s, d in _rand_edges(6, 18, 45)]
+    _, adj = _adj_und(edges)
+    degs = [len(ns) for ns in adj.values()]
+    n, sd, sd2 = len(degs), sum(degs), sum(k * k for k in degs)
+    r = degree_moments(_df(spark, edges)).collect()[0]
+    assert (r["n_vertices"], r["sum_deg"], r["sum_deg2"]) == (n, sd, sd2)
+    assert r["n_und_edges"] == sd // 2
+    assert r["mean_deg"] == sd / n
+    assert r["second_moment"] == sd2 / n
+    assert r["kappa"] == sd2 / sd
+    assert r["fc"] == 1.0 - sd / (sd2 - sd)
+
+
+def test_degree_moments_degenerate(spark):
+    from tldr_spark.operators.stats import degree_moments
+
+    # perfect matching: every degree 1 -> kappa = 1, fc defined as 0
+    r = degree_moments(_df(spark, [(0, 1), (2, 3)])).collect()[0]
+    assert r["kappa"] == 1.0 and r["fc"] == 0.0 and r["n_und_edges"] == 2

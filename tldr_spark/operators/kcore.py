@@ -288,3 +288,138 @@ def core_decomposition_hindex(edges: DataFrame, max_iter: int = 1000) -> CoreDec
     cur.unpersist()
     und.unpersist()
     return CoreDecompositionResult(out, int(max_k), [it])
+
+
+@dataclass
+class OnionResult:
+    assignments: DataFrame   # (id: long, coreness: long, layer: long)
+    max_k: int
+    n_layers: int
+    rounds_per_k: list[int]  # identical contract to CoreDecompositionResult
+
+
+def _onion_local(
+    edge_rows: list[tuple[int, int]], max_rounds_per_k: int
+) -> tuple[list[tuple[int, int, int]], int, int, list[int]]:
+    """Driver-side onion finisher: the :func:`_core_decomposition_local`
+    wave peel with a global nonempty-wave counter — the wave a vertex is
+    removed in IS its onion layer (Hebert-Dufresne, Grochow & Allard,
+    Sci Rep 2016)."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edge_rows:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    alive = set(adj)
+    assigned: list[tuple[int, int, int]] = []
+    rounds_per_k: list[int] = []
+    layer = 0
+    k = 0
+    while alive:
+        k += 1
+        rounds = 0
+        while rounds < max_rounds_per_k:
+            drop = {v for v in alive if len(adj[v] & alive) < k}
+            if not drop:
+                break
+            rounds += 1
+            layer += 1
+            assigned.extend((v, k - 1, layer) for v in drop)
+            alive -= drop
+        rounds_per_k.append(rounds)
+    return sorted(assigned), k - 1 if k else 0, layer, rounds_per_k
+
+
+def onion_decomposition(
+    edges: DataFrame,
+    max_rounds_per_k: int = 1000,
+    local_finish_edges: int = 500_000,
+) -> OnionResult:
+    """Onion decomposition (Hebert-Dufresne, Grochow & Allard, Sci Rep
+    6:31708, 2016): the k-core peel refined by WHEN a vertex falls — every
+    nonempty peel wave is one onion layer, so (coreness, layer) separates
+    a core's crust from its center and flags topological anomalies
+    (e.g. link farms peel in few fat layers; organic webs in many thin
+    ones). Exactly :func:`core_decomposition`'s progressive wave peel —
+    same wave semantics, same rounds_per_k contract asserted against the
+    SQL oracle's unroll — with each wave's drop set labeled by a global
+    nonempty-wave counter instead of being folded into the level batch.
+    coreness(v) = k-1 for a vertex dropped while peeling toward the
+    k-core; layer(v) = 1-based index of its wave.
+
+    Scale shape is the peel's: one degree aggregate + two anti-join
+    prunes per wave over a strictly shrinking edge set; the per-wave
+    assignment frames are V rows total across the run. LOCAL FINISH under
+    ``local_finish_edges`` collected undirected rows (``=0`` forces the
+    distributed path; both differential-tested equal and both projecting
+    to core_decomposition's output when the layer column is dropped)."""
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    und.count()
+
+    spark = edges.sparkSession
+    if local_finish_edges > 0:
+        probe = und.take(local_finish_edges + 1)
+        if len(probe) <= local_finish_edges:
+            und.unpersist()
+            triples, max_k, n_layers, rpk = _onion_local(
+                [(r["src"], r["dst"]) for r in probe], max_rounds_per_k
+            )
+            out = (
+                spark.createDataFrame(triples, "id long, coreness long, layer long")
+                if triples
+                else spark.createDataFrame([], "id long, coreness long, layer long")
+            )
+            return OnionResult(out, max_k, n_layers, rpk)
+
+    assigned = spark.createDataFrame([], "id long, coreness long, layer long")
+    alive = und.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    if alive.isEmpty():
+        und.unpersist()
+        return OnionResult(assigned, 0, 0, [])
+    rounds_per_k: list[int] = []
+    layer = 0
+    k = 0
+    while True:
+        k += 1
+        rounds = 0
+        while rounds < max_rounds_per_k:
+            deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
+            keepers = deg.filter(F.col("degree") >= k).select("id")
+            drop = alive.join(keepers, "id", "left_anti").persist()
+            n_drop = drop.count()
+            if n_drop == 0:
+                drop.unpersist()
+                break
+            rounds += 1
+            layer += 1
+            assigned = assigned.union(
+                drop.select(
+                    "id",
+                    F.lit(k - 1).cast("long").alias("coreness"),
+                    F.lit(layer).cast("long").alias("layer"),
+                )
+            ).localCheckpoint(eager=True)
+            alive = alive.join(drop, "id", "left_anti").localCheckpoint(eager=True)
+            ids = drop.select("id")
+            new_und = (
+                und.join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
+                .join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+                .localCheckpoint(eager=False)
+                .persist()
+            )
+            new_und.count()
+            und.unpersist()
+            drop.unpersist()
+            und = new_und
+        rounds_per_k.append(rounds)
+        if alive.isEmpty():
+            break
+    und.unpersist()
+    return OnionResult(assigned, k - 1, layer, rounds_per_k)

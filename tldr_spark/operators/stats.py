@@ -389,3 +389,62 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
     )
     adj.unpersist()
     return out
+
+
+def degree_moments(edges: DataFrame) -> DataFrame:
+    """One row of undirected degree-distribution moments and the two
+    percolation-robustness scalars crawl planners read off them:
+
+      n_vertices, n_und_edges, sum_deg (=2E), sum_deg2
+      mean_deg        <k>
+      second_moment   <k^2>
+      kappa           <k^2>/<k>  — Molloy-Reed criterion (giant component
+                      exists iff kappa > 2)
+      fc              1 - 1/(kappa - 1) — Cohen et al. PRL'00 random-
+                      failure threshold: the fraction of vertices that can
+                      fail before the giant component dissolves (0 when
+                      kappa <= 1 leaves it undefined)
+
+    All moments are exact integers; each scalar is ONE double division of
+    exact integers (bit-identical across engines). Cost: one degree
+    aggregate + one 1-row reduce."""
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    sd, sd2 = F.col("sum_deg"), F.col("sum_deg2")
+    out = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("deg").alias("sum_deg"),
+            F.sum(F.col("deg") * F.col("deg")).alias("sum_deg2"),
+        )
+        .select(
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            (sd / 2).cast("long").alias("n_und_edges"),
+            sd.cast("long").alias("sum_deg"),
+            sd2.cast("long").alias("sum_deg2"),
+            (sd.cast("double") / F.col("n_vertices")).alias("mean_deg"),
+            (sd2.cast("double") / F.col("n_vertices")).alias("second_moment"),
+            (sd2.cast("double") / sd).alias("kappa"),
+            F.when(sd2 > sd, F.lit(1.0) - sd.cast("double") / (sd2 - sd))
+            .otherwise(F.lit(0.0))
+            .alias("fc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out
