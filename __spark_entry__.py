@@ -4307,6 +4307,58 @@ def q_degree_moments(spark, sf_dir):
     )
 
 
+_FOUR_NODE_CENSUS_SQL = f"""WITH {_E}, {_SD_SQL},
+  und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM sd),
+  adj AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und),
+  deg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY 1),
+  tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+  tv AS (SELECT v, COUNT(*) AS t FROM (SELECT x AS v FROM tri
+         UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1),
+  sup AS (SELECT a, b, COUNT(*) AS c FROM (
+          SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM tri
+          UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM tri
+          UNION ALL SELECT LEAST(y, z), GREATEST(y, z) FROM tri) GROUP BY 1, 2),
+  cn AS (SELECT a.v AS x, b.v AS y, COUNT(*) AS c
+         FROM adj a JOIN adj b ON b.u = a.u AND a.v < b.v GROUP BY 1, 2),
+  scal AS (SELECT
+      (SELECT COUNT(*) FROM tri) AS t,
+      (SELECT COALESCE(SUM(deg * (deg - 1) // 2), 0) FROM deg) AS w,
+      (SELECT COALESCE(SUM(deg * (deg - 1) * (deg - 2) // 6), 0) FROM deg) AS s3,
+      (SELECT COALESCE(SUM(tv.t * (deg.deg - 2)), 0)
+       FROM tv JOIN deg ON deg.u = tv.v) AS npaw,
+      (SELECT COALESCE(SUM(c * (c - 1) // 2), 0) FROM sup) AS ndia,
+      (SELECT COALESCE(SUM((da.deg - 1) * (db.deg - 1)), 0) FROM und
+       JOIN deg da ON da.u = und.a JOIN deg db ON db.u = und.b) AS midp,
+      (SELECT COALESCE(SUM(c * (c - 1)), 0) // 4 FROM cn) AS nc4,
+      (SELECT COUNT(*) FROM tri t4 JOIN und ad ON ad.a = t4.x
+       JOIN und bd ON bd.a = t4.y AND bd.b = ad.b
+       JOIN und cd ON cd.a = t4.z AND cd.b = ad.b) AS nk4)
+SELECT CAST(w AS BIGINT) AS wedges, CAST(t AS BIGINT) AS triangles,
+       CAST(midp - 3 * t - 2 * npaw - 4 * nc4 + 6 * ndia - 12 * nk4 AS BIGINT) AS path4,
+       CAST(s3 - npaw + 2 * ndia - 4 * nk4 AS BIGINT) AS star3,
+       CAST(nc4 - ndia + 3 * nk4 AS BIGINT) AS cycle4,
+       CAST(npaw - 4 * ndia + 12 * nk4 AS BIGINT) AS paw,
+       CAST(ndia - 6 * nk4 AS BIGINT) AS diamond,
+       CAST(nk4 AS BIGINT) AS clique4
+FROM scal"""
+
+
+@_q("four_node_census", _FOUR_NODE_CENSUS_SQL)
+def q_four_node_census(spark, sf_dir):
+    """Induced counts of all six connected 4-vertex subgraphs via the
+    ESCAPE reduction (Pinar, Seshadhri & Vishal WWW'17): degree /
+    per-vertex-triangle / per-edge-support aggregates + the rectangle and
+    clique counters, then Mobius inversion — nothing beyond triangles is
+    enumerated. Engine pieces use degree-ordered orientation and
+    priority wedges; oracle pieces are id-ordered."""
+    from tldr_spark.operators.triangles import four_node_census
+
+    return four_node_census(derive_edges(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4410,6 +4462,7 @@ _WINDOW_PRIORITY = [
     # now; driver row next round) --
     "onion_layers",
     "degree_moments",
+    "four_node_census",
     # -- (c) round-3 verdict re-check list --
     "betweenness_probes",
     "random_walks",

@@ -1855,3 +1855,70 @@ def test_degree_moments_degenerate(spark):
     # perfect matching: every degree 1 -> kappa = 1, fc defined as 0
     r = degree_moments(_df(spark, [(0, 1), (2, 3)])).collect()[0]
     assert r["kappa"] == 1.0 and r["fc"] == 0.0 and r["n_und_edges"] == 2
+
+
+# ---------------------------------------------------------------------------
+# 4-node graphlet census (ESCAPE)
+# ---------------------------------------------------------------------------
+
+def _census4_py(edges):
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    verts = sorted({v for e in und for v in e})
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = dict(path4=0, star3=0, cycle4=0, paw=0, diamond=0, clique4=0)
+    counts["wedges"] = sum(len(ns) * (len(ns) - 1) // 2 for ns in adj.values())
+    counts["triangles"] = sum(
+        1
+        for t in itertools.combinations(verts, 3)
+        if all((min(u, v), max(u, v)) in und for u, v in itertools.combinations(t, 2))
+    )
+    for quad in itertools.combinations(verts, 4):
+        es = [
+            (u, v) for u, v in itertools.combinations(quad, 2) if (u, v) in und
+        ]
+        m = len(es)
+        comp = {quad[0]}
+        changed = True
+        while changed:
+            changed = False
+            for u, v in es:
+                if (u in comp) != (v in comp):
+                    comp |= {u, v}
+                    changed = True
+        if len(comp) != 4:
+            continue
+        degs = sorted(
+            sum(1 for u in quad if u != v and (min(u, v), max(u, v)) in und)
+            for v in quad
+        )
+        if m == 3 and degs == [1, 1, 2, 2]:
+            counts["path4"] += 1
+        elif m == 3 and degs == [1, 1, 1, 3]:
+            counts["star3"] += 1
+        elif m == 4 and degs == [2, 2, 2, 2]:
+            counts["cycle4"] += 1
+        elif m == 4 and degs == [1, 2, 2, 3]:
+            counts["paw"] += 1
+        elif m == 5:
+            counts["diamond"] += 1
+        elif m == 6:
+            counts["clique4"] += 1
+    return counts
+
+
+def test_four_node_census_matches_brute_force(spark):
+    from tldr_spark.operators.triangles import four_node_census
+
+    k5 = list(itertools.combinations(range(5), 2))
+    for name, edges in (
+        ("k5", k5),
+        ("c4", [(0, 1), (1, 2), (2, 3), (3, 0)]),
+        ("rand8", [(s - 2, d - 2) for s, d in _rand_edges(8, 12, 30)]),
+        ("rand15", _rand_edges(15, 10, 22)),
+    ):
+        got = four_node_census(_df(spark, edges)).collect()[0].asDict()
+        exp = _census4_py(edges)
+        assert {k: got[k] for k in exp} == exp, name

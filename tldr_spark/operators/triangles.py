@@ -337,3 +337,156 @@ def four_cycle_count(edges: DataFrame) -> int:
     )
     a.unpersist()
     return int(out)
+
+
+def four_node_census(edges: DataFrame) -> DataFrame:
+    """One row: induced counts of all six connected 4-vertex subgraphs
+    (path4, star3 / claw, cycle4, paw / tailed triangle, diamond,
+    clique4) plus the 3-vertex counts (wedges, triangles) for context —
+    the ESCAPE counting scheme (Pinar, Seshadhri & Vishal, WWW'17):
+    every 4-node count reduces to degree / per-vertex-triangle /
+    per-edge-support aggregates plus the rectangle and clique counters,
+    so NOTHING with more than 3 vertices is ever enumerated:
+
+      non-induced  N_path4   = sum_edges (d_u-1)(d_v-1) - 3T
+                   N_star3   = sum_v C(d_v, 3)
+                   N_paw     = sum_v t_v (d_v - 2)
+                   N_diamond = sum_edges C(sup_e, 2)
+                   N_c4, N_k4 from :func:`four_cycle_count` /
+                   :func:`four_clique_count`
+
+    then the subgraph-containment Mobius inversion to induced counts
+    (verified against itertools brute force in tests). Scale shape: the
+    heaviest pieces are the oriented triangle join (per-edge support +
+    per-vertex counts) and the priority-wedge rectangle counter — both
+    O(sum over edges of min-degree-side); everything else is degree
+    aggregates. The whole census costs ~2x a triangle count."""
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .persist()
+    )
+    und.count()
+    und_edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
+    # per-edge triangle support via the oriented wedge join (k_truss shape)
+    o = _oriented(und_edges)
+    e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges_o = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+    closer = o.select(F.col("a").alias("y"), F.col("b").alias("z")).union(
+        o.select(F.col("b").alias("y"), F.col("a").alias("z"))
+    )
+    tris = wedges_o.join(closer, ["y", "z"]).persist()
+    tris.count()
+    sup = (
+        tris.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .union(tris.select(F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")))
+        .union(tris.select(F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+    # per-vertex triangle membership from the same enumeration
+    tv = (
+        tris.select(F.col("x").alias("id"))
+        .union(tris.select(F.col("y").alias("id")))
+        .union(tris.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    # scalar pieces (each a tiny 1-row frame; combined via crossJoin)
+    tri_total = tris.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    wedge_star = deg.agg(
+        F.coalesce(F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("wedges"),
+        F.coalesce(
+            F.sum(F.col("deg") * (F.col("deg") - 1) * (F.col("deg") - 2) / 6), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_star3"),
+    )
+    paw = (
+        deg.join(tv, "id")
+        .agg(
+            F.coalesce(F.sum(F.col("t") * (F.col("deg") - 2)), F.lit(0))
+            .cast("long")
+            .alias("n_paw")
+        )
+    )
+    dia = sup.agg(
+        F.coalesce(F.sum(F.col("sup") * (F.col("sup") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("n_diamond")
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    mid = und.join(da, "a").join(db, "b")
+    path_mid = mid.agg(
+        F.coalesce(F.sum((F.col("da") - 1) * (F.col("db") - 1)), F.lit(0))
+        .cast("long")
+        .alias("mid_pairs")
+    )
+    n_c4 = four_cycle_count(und_edges)
+    n_k4 = four_clique_count(und_edges)
+    spark = edges.sparkSession
+    quads = spark.createDataFrame([(n_c4, n_k4)], "n_c4 long, n_k4 long")
+    out = (
+        tri_total.crossJoin(wedge_star)
+        .crossJoin(paw)
+        .crossJoin(dia)
+        .crossJoin(path_mid)
+        .crossJoin(quads)
+        .select(
+            "wedges",
+            "triangles",
+            # non-induced path4 = mid-edge pairs minus the 3T closed walks
+            (F.col("mid_pairs") - 3 * F.col("triangles")).alias("n_path4"),
+            "n_star3",
+            "n_c4",
+            "n_paw",
+            "n_diamond",
+            "n_k4",
+        )
+        .select(
+            "wedges",
+            "triangles",
+            # Mobius inversion: induced counts
+            (
+                F.col("n_path4")
+                - 2 * F.col("n_paw")
+                - 4 * F.col("n_c4")
+                + 6 * F.col("n_diamond")
+                - 12 * F.col("n_k4")
+            ).cast("long").alias("path4"),
+            (
+                F.col("n_star3")
+                - F.col("n_paw")
+                + 2 * F.col("n_diamond")
+                - 4 * F.col("n_k4")
+            ).cast("long").alias("star3"),
+            (F.col("n_c4") - F.col("n_diamond") + 3 * F.col("n_k4"))
+            .cast("long")
+            .alias("cycle4"),
+            (F.col("n_paw") - 4 * F.col("n_diamond") + 12 * F.col("n_k4"))
+            .cast("long")
+            .alias("paw"),
+            (F.col("n_diamond") - 6 * F.col("n_k4")).cast("long").alias("diamond"),
+            F.col("n_k4").cast("long").alias("clique4"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tris.unpersist()
+    deg.unpersist()
+    und.unpersist()
+    return out
