@@ -515,6 +515,16 @@ def run_secondary(deadline: float | None = None) -> dict:
         from tldr_spark.operators.wl import wl_colors
         t("wl3_hashed", lambda: wl_colors(
             edges, rounds=3, hash_signatures=True).count())
+        # round-4 late additions (motif / curve / robustness operators)
+        from tldr_spark.operators.triangles import four_cycle_count, four_node_census
+        t("four_cycles", lambda: four_cycle_count(edges))
+        t("graphlet_census4", lambda: four_node_census(edges).count())
+        from tldr_spark.operators.linksim import clustering_by_degree, edge_embeddedness
+        t("embeddedness", lambda: edge_embeddedness(edges).count())
+        t("ck_curve", lambda: clustering_by_degree(edges).count())
+        from tldr_spark.operators.stats import avg_neighbor_degree, degree_moments
+        t("knn_curve", lambda: avg_neighbor_degree(edges).count())
+        t("degree_moments", lambda: degree_moments(edges).count())
         # the V-too-big-to-broadcast iteration path, on a quarter-size graph
         from tldr_spark.operators.pagerank import pagerank
         n_docs = docs.count()
@@ -522,6 +532,10 @@ def run_secondary(deadline: float | None = None) -> dict:
         t("pagerank_shuffle_join_quarter", lambda: pagerank(
             bedges, tolerance=1e-6, broadcast_ranks=False, assume_distinct_edges=True
         ).ranks.count())
+        # onion LAST: the full multi-wave peel is the longest table entry;
+        # everything above lands first if the budget is tight
+        from tldr_spark.operators.kcore import onion_decomposition
+        t("onion", lambda: onion_decomposition(edges).assignments.count())
     finally:
         spark.stop()
     return out
