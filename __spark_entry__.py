@@ -4359,6 +4359,52 @@ def q_four_node_census(spark, sf_dir):
     return four_node_census(derive_edges(spark, sf_dir))
 
 
+_FIVE_CLIQUES_SQL = f"""WITH {_E},
+  und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+  tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+          JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+  quad AS (SELECT tri.x, tri.y, tri.z, ad.b AS w FROM tri
+           JOIN und ad ON ad.a = tri.x
+           JOIN und bd ON bd.a = tri.y AND bd.b = ad.b
+           JOIN und cd ON cd.a = tri.z AND cd.b = ad.b)
+SELECT CAST(COUNT(*) AS BIGINT) AS five_cliques
+FROM quad JOIN und aq ON aq.a = quad.x
+          JOIN und bq ON bq.a = quad.y AND bq.b = aq.b
+          JOIN und cq ON cq.a = quad.z AND cq.b = aq.b
+          JOIN und dq ON dq.a = quad.w AND dq.b = aq.b"""
+
+
+@_q("five_cliques_total", _FIVE_CLIQUES_SQL)
+def q_five_cliques_total(spark, sf_dir):
+    """K5 motif count — the K4 orientation chain one level deeper (one
+    fully-oriented labeling per clique, so join-then-count with no
+    multiplicity division; count is orientation-invariant, engine orients
+    by (degree, id), oracle by plain id). Large-clique density past K4 is
+    the link-farm fingerprint."""
+    from tldr_spark.operators.triangles import five_clique_count
+
+    n = five_clique_count(derive_edges(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "five_cliques long")
+
+
+@_q("hyperball_harmonic", None)
+def q_hyperball_harmonic(spark, sf_dir):
+    """All-vertex approximate harmonic centrality via HyperBall (Boldi &
+    Vigna ICDMW'13) — top 100 by estimate. Rows-only: DataSketches HLL
+    registers are not reproducible in DuckDB; the estimates are pinned
+    against exact python BFS harmonic centrality (relative tolerance) in
+    tests/test_round4_ops.py, same contract as hyper_anf."""
+    from tldr_spark.operators.anf import hyperball_harmonic
+
+    return (
+        hyperball_harmonic(derive_edges(spark, sf_dir), max_h=8)
+        .orderBy(F.desc("harmonic_est"), F.asc("id"))
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4463,6 +4509,7 @@ _WINDOW_PRIORITY = [
     "onion_layers",
     "degree_moments",
     "four_node_census",
+    "five_cliques_total",
     # -- (c) round-3 verdict re-check list --
     "betweenness_probes",
     "random_walks",

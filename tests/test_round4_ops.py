@@ -1922,3 +1922,81 @@ def test_four_node_census_matches_brute_force(spark):
         got = four_node_census(_df(spark, edges)).collect()[0].asDict()
         exp = _census4_py(edges)
         assert {k: got[k] for k in exp} == exp, name
+
+
+# ---------------------------------------------------------------------------
+# K5 count + HyperBall harmonic centrality
+# ---------------------------------------------------------------------------
+
+def test_five_cliques_closed_forms_and_brute(spark):
+    from tldr_spark.operators.triangles import five_clique_count
+
+    k5 = list(itertools.combinations(range(5), 2))
+    k6 = list(itertools.combinations(range(6), 2))
+    assert five_clique_count(_df(spark, k5)) == 1
+    assert five_clique_count(_df(spark, k6)) == 6  # C(6,5)
+    k4 = list(itertools.combinations(range(4), 2))
+    assert five_clique_count(_df(spark, k4)) == 0
+    # brute force on a dense-ish random graph
+    edges = _rand_edges(44, 9, 28)
+    und = {(min(s, d), max(s, d)) for s, d in edges}
+    verts = sorted({v for e in und for v in e})
+    exp = sum(
+        1
+        for quint in itertools.combinations(verts, 5)
+        if all(
+            (u, v) in und for u, v in itertools.combinations(quint, 2)
+        )
+    )
+    assert five_clique_count(_df(spark, edges)) == exp
+    # orientation invariance
+    assert five_clique_count(_df(spark, edges), by_degree=False) == exp
+
+
+def test_hyperball_harmonic_tracks_exact(spark):
+    from tldr_spark.operators.anf import hyperball_harmonic
+
+    edges = _rand_edges(12, 30, 80)
+    # exact harmonic centrality by per-vertex BFS over out-edges
+    adj = {}
+    verts = set()
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            verts |= {s, d}
+    exact = {}
+    for v in sorted(verts):
+        dist = {v: 0}
+        frontier = [v]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        nxt.append(w)
+            frontier = nxt
+        exact[v] = sum(1.0 / d for u, d in dist.items() if d > 0)
+    got = {
+        r["id"]: r["harmonic_est"]
+        for r in hyperball_harmonic(_df(spark, edges), max_h=30).collect()
+    }
+    assert set(got) == set(exact)
+    # lg_k=12 registers >> ball sizes here: estimates are near-exact
+    for v, e in exact.items():
+        assert got[v] == pytest.approx(e, rel=0.02, abs=0.02), v
+
+
+def test_hyperball_harmonic_closed_form(spark):
+    from tldr_spark.operators.anf import hyperball_harmonic
+
+    # directed path 0->1->2->3: HC(0)=1+1/2+1/3, HC(3)=0
+    got = {
+        r["id"]: r["harmonic_est"]
+        for r in hyperball_harmonic(
+            _df(spark, [(0, 1), (1, 2), (2, 3)]), max_h=5
+        ).collect()
+    }
+    assert got[3] == pytest.approx(0.0, abs=1e-9)
+    assert got[0] == pytest.approx(1 + 0.5 + 1 / 3, rel=0.01)
+    assert got[2] == pytest.approx(1.0, rel=0.01)

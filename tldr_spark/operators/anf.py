@@ -205,3 +205,63 @@ def effective_diameter(
             return prev_h + (target - prev_n) / (n - prev_n)
         prev_h, prev_n = h, n
     return float(rows[-1][0])
+
+
+def hyperball_harmonic(
+    edges: DataFrame, max_h: int = 8, lg_k: int = 12, directed: bool = True
+) -> DataFrame:
+    """(id, harmonic_est) for EVERY vertex — approximate harmonic
+    centrality HC(v) = sum over u reachable from v of 1/dist(v, u) via
+    HyperBall (Boldi & Vigna, "In-core computation of geometric
+    centralities with HyperBall", ICDMW 2013): with b_h = |B(v, h)|
+    estimated from the per-vertex HLL ball sketch,
+
+        HC(v) ~= sum_{h=1..max_h} (b_h - b_{h-1}) / h
+
+    The exact probe-sampled twin is bfs.py's harmonic/closeness pair —
+    THIS is the all-vertex scale path: per-round cost is one fixed-size
+    sketch shuffle exactly like :func:`hyper_anf` (whose global N(h)
+    curve is the vertex-sum of these balls), so 10^12 vertices cost
+    O(V · 2^lg_k) state per round regardless of ball growth. Estimates
+    are deterministic (register-wise max unions). Negative per-round
+    deltas (possible when HLL estimates wobble a vertex's ball slightly
+    downward between rounds) are clamped at 0 so the centrality is
+    monotone in h."""
+    e = _simple_edges(edges, directed)
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    sk = (
+        verts.groupBy("v")
+        .agg(F.hll_sketch_agg("v", F.lit(lg_k)).alias("sk"))
+        .select("v", "sk", F.hll_sketch_estimate("sk").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    harm = sk.select("v", F.lit(0.0).alias("harmonic_est"), "b")
+    for h in range(1, max_h + 1):
+        nbr = (
+            e.join(sk.select(F.col("v").alias("dst"), "sk"), "dst")
+            .select(F.col("src").alias("v"), "sk")
+            .union(sk.select("v", "sk"))
+            .groupBy("v")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .select("v", "sk", F.hll_sketch_estimate("sk").alias("b"))
+            .localCheckpoint(eager=True)
+        )
+        harm = (
+            harm.select("v", "harmonic_est", F.col("b").alias("b_prev"))
+            .join(nbr.select("v", "b"), "v")
+            .select(
+                "v",
+                (
+                    F.col("harmonic_est")
+                    + F.greatest(F.col("b") - F.col("b_prev"), F.lit(0.0)) / h
+                ).alias("harmonic_est"),
+                "b",
+            )
+            .localCheckpoint(eager=True)
+        )
+        sk = nbr
+    return harm.select(F.col("v").alias("id"), "harmonic_est")

@@ -490,3 +490,39 @@ def four_node_census(edges: DataFrame) -> DataFrame:
     deg.unpersist()
     und.unpersist()
     return out
+
+
+def five_clique_count(edges: DataFrame, by_degree: bool = True) -> int:
+    """Number of K5 motifs — the :func:`four_clique_count` orientation
+    chain extended one level (Finocchi et al. clique counting under a
+    total-order orientation: each K5 has exactly one fully-oriented
+    labeling a->b,c,d,e / b->c,d,e / c->d,e / d->e, so the count is pure
+    join-then-count). Large-clique density is the classic link-farm
+    fingerprint one step past K4. Out-degrees stay O(sqrt E) under the
+    (degree, id) orientation, so the join fan-out is bounded the same
+    way; the oracle may orient by plain id (orientation-invariant)."""
+    o = _oriented(edges, by_degree).persist()
+    o.count()
+    e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    e3 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tris = e1.join(e2, "x").filter(F.col("y") != F.col("z")).join(e3, ["y", "z"])
+    xw = o.select(F.col("a").alias("x"), F.col("b").alias("w"))
+    yw = o.select(F.col("a").alias("y"), F.col("b").alias("w"))
+    zw = o.select(F.col("a").alias("z"), F.col("b").alias("w"))
+    quads = tris.join(xw, "x").join(yw, ["y", "w"]).join(zw, ["z", "w"]).persist()
+    quads.count()
+    xq = o.select(F.col("a").alias("x"), F.col("b").alias("q"))
+    yq = o.select(F.col("a").alias("y"), F.col("b").alias("q"))
+    zq = o.select(F.col("a").alias("z"), F.col("b").alias("q"))
+    wq = o.select(F.col("a").alias("w"), F.col("b").alias("q"))
+    k5 = (
+        quads.join(xq, "x")
+        .join(yq, ["y", "q"])
+        .join(zq, ["z", "q"])
+        .join(wq, ["w", "q"])
+        .count()
+    )
+    quads.unpersist()
+    o.unpersist()
+    return int(k5)
