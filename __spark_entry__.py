@@ -4405,6 +4405,76 @@ def q_hyperball_harmonic(spark, sf_dir):
     )
 
 
+def _attack_sql(per_mille: tuple[int, ...] = (10, 50, 100)) -> str:
+    """Per hub-removal budget: rank vertices (degree DESC, id), drop the
+    top floor(pm/1000 * V), recompute components of the surviving edges
+    by reachability closure (verification scale only — the engine runs
+    its CC machinery instead), and report the giant component."""
+    parts = [
+        _E,
+        _SD_SQL,
+        """und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+           FROM sd GROUP BY 1, 2)""",
+        """deg AS (SELECT id, COUNT(*) AS deg FROM (
+             SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1)""",
+        "tot AS (SELECT COUNT(*) AS n FROM deg)",
+        """rk AS (SELECT id, ROW_NUMBER() OVER (ORDER BY deg DESC, id) AS rn
+           FROM deg)""",
+    ]
+    selects = []
+    for pm in per_mille:
+        parts.append(
+            f"""hubs{pm} AS MATERIALIZED (SELECT id FROM rk CROSS JOIN tot
+               WHERE rn <= ({pm} * n) // 1000)"""
+        )
+        parts.append(
+            f"""g{pm} AS MATERIALIZED (SELECT u, v FROM (
+               SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und) s
+               ANTI JOIN hubs{pm} ha ON ha.id = s.u
+               ANTI JOIN hubs{pm} hb ON hb.id = s.v)"""
+        )
+        parts.append(
+            f"""fw{pm}(u, v) AS (
+               SELECT u, u FROM (SELECT DISTINCT u FROM g{pm})
+               UNION
+               SELECT f.u, g.v FROM fw{pm} f JOIN g{pm} g ON g.u = f.v)"""
+        )
+        parts.append(
+            f"comp{pm} AS (SELECT u, MIN(v) AS c FROM fw{pm} GROUP BY u)"
+        )
+        parts.append(
+            f"""sz{pm} AS (SELECT COUNT(*) AS cnt FROM comp{pm} GROUP BY c)"""
+        )
+        selects.append(
+            f"""SELECT CAST({pm} AS BIGINT) AS per_mille,
+               CAST(({pm} * (SELECT n FROM tot)) // 1000 AS BIGINT) AS n_removed,
+               CAST((SELECT COUNT(*) FROM comp{pm}) AS BIGINT) AS n_left,
+               CAST((SELECT COALESCE(MAX(cnt), 0) FROM sz{pm}) AS BIGINT) AS giant_size,
+               CAST(ROUND(CAST((SELECT COALESCE(MAX(cnt), 0) FROM sz{pm}) AS DOUBLE)
+                          / (SELECT n FROM tot) * 1048576) AS BIGINT) AS giant_frac_q"""
+        )
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
+@_q("attack_tolerance", _attack_sql((10, 50, 100)))
+def q_attack_tolerance(spark, sf_dir):
+    """Targeted hub-removal robustness curve (Albert-Jeong-Barabasi,
+    Nature 2000): giant-component survival after deleting the top 1%%/5%%/
+    10%% of vertices by degree. The random-failure side of the story is
+    degree_moments' fc scalar."""
+    from tldr_spark.operators.stats import attack_tolerance
+
+    return attack_tolerance(derive_edges(spark, sf_dir), per_mille=(10, 50, 100)).select(
+        "per_mille",
+        "n_removed",
+        "n_left",
+        "giant_size",
+        F.round(F.col("giant_frac") * 1048576).cast("long").alias("giant_frac_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4510,6 +4580,7 @@ _WINDOW_PRIORITY = [
     "degree_moments",
     "four_node_census",
     "five_cliques_total",
+    "attack_tolerance",
     # -- (c) round-3 verdict re-check list --
     "betweenness_probes",
     "random_walks",

@@ -2000,3 +2000,55 @@ def test_hyperball_harmonic_closed_form(spark):
     assert got[3] == pytest.approx(0.0, abs=1e-9)
     assert got[0] == pytest.approx(1 + 0.5 + 1 / 3, rel=0.01)
     assert got[2] == pytest.approx(1.0, rel=0.01)
+
+
+def test_attack_tolerance_matches_python(spark):
+    from tldr_spark.operators.stats import attack_tolerance
+
+    edges = [(s - 8, d - 8) for s, d in _rand_edges(5, 60, 140)]
+    _, adj = _adj_und(edges)
+    n_total = len(adj)
+    order = sorted(adj, key=lambda v: (-len(adj[v]), v))
+    exp = []
+    for pm in (10, 100, 300):
+        k = (pm * n_total) // 1000
+        rm = set(order[:k])
+        sadj = {}
+        for a, ns in adj.items():
+            if a in rm:
+                continue
+            keep = ns - rm
+            if keep:
+                sadj[a] = keep
+        seen, giant = set(), 0
+        for v in sadj:
+            if v in seen:
+                continue
+            comp, stack = {v}, [v]
+            while stack:
+                u = stack.pop()
+                for w in sadj[u]:
+                    if w not in comp:
+                        comp.add(w)
+                        stack.append(w)
+            seen |= comp
+            giant = max(giant, len(comp))
+        exp.append((pm, k, len(sadj), giant, giant / n_total))
+    got = [
+        tuple(r)
+        for r in attack_tolerance(_df(spark, edges), per_mille=(10, 100, 300)).collect()
+    ]
+    assert got == exp
+
+
+def test_attack_tolerance_star(spark):
+    from tldr_spark.operators.stats import attack_tolerance
+
+    # removing the star center at 20% budget kills every edge
+    got = [
+        tuple(r)
+        for r in attack_tolerance(
+            _df(spark, [(0, i) for i in range(1, 6)]), per_mille=(200,)
+        ).collect()
+    ]
+    assert got == [(200, 1, 0, 0, 0.0)]
