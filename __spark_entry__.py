@@ -1928,10 +1928,10 @@ def q_dominating_set(spark, sf_dir):
 _PUSH_ROUNDS = 8
 
 
-def _push_sql(rounds: int) -> str:
-    """Unrolled integer-exact forward push (α = 1/4, floor division,
-    remainder retained): every quantity is a BIGINT so the engines agree
-    bit-for-bit — no floating-point threshold races at the push boundary."""
+def _push_blocks(rounds: int) -> str:
+    """The unrolled integer-exact forward-push state chain s0..s{rounds}
+    as WITH-blocks (shared by the ppr_push_fixed8 oracle and the
+    sweep-cut oracle built on top of the same final state)."""
     from tldr_spark.operators.ppr_push import SCALE, THRESHOLD
 
     blocks = [
@@ -1960,9 +1960,16 @@ def _push_sql(rounds: int) -> str:
         COALESCE(m.leftover, s.r) + COALESCE(i.inc, 0) AS r
         FROM s{k} s LEFT JOIN m{k} m ON m.id = s.id LEFT JOIN i{k} i ON i.id = s.id)"""
         )
+    return ",\n  ".join(blocks)
+
+
+def _push_sql(rounds: int) -> str:
+    """Unrolled integer-exact forward push (α = 1/4, floor division,
+    remainder retained): every quantity is a BIGINT so the engines agree
+    bit-for-bit — no floating-point threshold races at the push boundary."""
     return (
         f"WITH {_E}, {_SD_SQL},\n  "
-        + ",\n  ".join(blocks)
+        + _push_blocks(rounds)
         + f"""
 SELECT CAST(id AS BIGINT) AS vertex, CAST(p AS BIGINT) AS p_units,
        CAST(r AS BIGINT) AS r_units
@@ -4475,6 +4482,67 @@ def q_attack_tolerance(spark, sf_dir):
     )
 
 
+def _sweep_sql(rounds: int, cap: int) -> str:
+    """ACL sweep cut over the integer-exact push state: integer sort key
+    (p * 2^20) // deg_und with id tie-break, cumulative volume and
+    inside-edge windows, cut = vol - 2*inside. Everything but the final
+    quantized conductance ratio is BIGINT-exact."""
+    return (
+        f"WITH {_E}, {_SD_SQL},\n  "
+        + _push_blocks(rounds)
+        + f""",
+  undw AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM sd GROUP BY 1, 2),
+  duw AS (SELECT id, COUNT(*) AS du FROM (
+        SELECT a AS id FROM undw UNION ALL SELECT b FROM undw) GROUP BY 1),
+  swr AS (SELECT s.id, duw.du, (s.p * 1048576) // duw.du AS score
+          FROM s{rounds} s JOIN duw ON duw.id = s.id WHERE s.p > 0),
+  sw AS (SELECT id, du, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS j
+         FROM swr QUALIFY j <= {cap}),
+  volc AS (SELECT id, du, j, SUM(du) OVER (ORDER BY j) AS vol FROM sw),
+  ein AS (SELECT GREATEST(ra.j, rb.j) AS mr, COUNT(*) AS c
+          FROM undw JOIN sw ra ON ra.id = undw.a JOIN sw rb ON rb.id = undw.b
+          GROUP BY 1),
+  tot AS (SELECT COUNT(*) * 2 AS vt FROM undw),
+  curve AS (SELECT volc.j, volc.id, volc.vol,
+        volc.vol - 2 * SUM(COALESCE(ein.c, 0)) OVER (ORDER BY volc.j) AS cut
+        FROM volc LEFT JOIN ein ON ein.mr = volc.j)
+SELECT CAST(j AS BIGINT) AS sweep_pos, CAST(id AS BIGINT) AS vertex,
+       CAST(vol AS BIGINT) AS vol, CAST(cut AS BIGINT) AS cut,
+       CAST(ROUND(CASE WHEN LEAST(vol, vt - vol) > 0
+                       THEN CAST(cut AS DOUBLE) / LEAST(vol, vt - vol)
+                       ELSE 1 END * 1048576) AS BIGINT) AS conductance_q
+FROM curve CROSS JOIN tot"""
+    )
+
+
+_SWEEP_CAP = 1000
+
+
+@_q("ppr_sweep_cut", _sweep_sql(_PUSH_ROUNDS, _SWEEP_CAP))
+def q_ppr_sweep_cut(spark, sf_dir):
+    """Local community detection: the Andersen-Chung-Lang sweep over the
+    integer-exact forward push from {id %% 97 = 0} — per sweep prefix its
+    volume, cut, and conductance (curve minimum = the local community).
+    Integer-exact end to end except the one quantized ratio."""
+    from tldr_spark.operators.ppr_push import ppr_sweep_cut
+
+    ed = derive_edges(spark, sf_dir)
+    seeds = (
+        ed.select(F.col("src").alias("id"))
+        .union(ed.select("dst"))
+        .distinct()
+        .filter(F.col("id") % 97 == 0)
+    )
+    return ppr_sweep_cut(ed, seeds, rounds=_PUSH_ROUNDS, max_prefix=_SWEEP_CAP).select(
+        "sweep_pos",
+        "vertex",
+        "vol",
+        "cut",
+        F.round(F.col("conductance") * 1048576).cast("long").alias("conductance_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4581,6 +4649,7 @@ _WINDOW_PRIORITY = [
     "four_node_census",
     "five_cliques_total",
     "attack_tolerance",
+    "ppr_sweep_cut",
     # -- (c) round-3 verdict re-check list --
     "betweenness_probes",
     "random_walks",

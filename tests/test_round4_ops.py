@@ -2052,3 +2052,99 @@ def test_attack_tolerance_star(spark):
         ).collect()
     ]
     assert got == [(200, 1, 0, 0, 0.0)]
+
+
+def test_ppr_sweep_cut_matches_python(spark):
+    from tldr_spark.operators.ppr_push import SCALE, ppr_sweep_cut
+
+    edges = _rand_edges(27, 40, 120)
+    seed_ids = {v for v in range(40) if v % 7 == 0}
+
+    # python mirror of the integer push
+    sd = {(s, d) for s, d in edges if s != d}
+    out_adj = {}
+    for s, d in sd:
+        out_adj.setdefault(s, []).append(d)
+    verts = {v for e in sd for v in e}
+    seeds_l = sorted(v for v in verts if v in seed_ids)
+    r = {v: 0 for v in verts}
+    p = {v: 0 for v in verts}
+    for v in seeds_l:
+        r[v] = SCALE // len(seeds_l)
+    for _ in range(8):
+        active = [
+            v for v in verts if out_adj.get(v) and r[v] > (1 << 16) * len(out_adj[v])
+        ]
+        if not active:
+            break
+        inc = {}
+        for v in active:
+            gain = r[v] // 4
+            rest = r[v] - gain
+            q = rest // len(out_adj[v])
+            for w in out_adj[v]:
+                inc[w] = inc.get(w, 0) + q
+            p[v] += gain
+            r[v] = rest - q * len(out_adj[v])
+        for w, i in inc.items():
+            r[w] += i
+
+    # python sweep
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    du = {v: len(ns) for v, ns in adj.items()}
+    cand = sorted(
+        ((-((p[v] * 1048576) // du[v]), v) for v in p if p.get(v, 0) > 0 and v in du)
+    )
+    order = [v for _, v in cand]
+    vol_total = 2 * len(und)
+    exp, vol, inside, S = [], 0, 0, set()
+    for j, v in enumerate(order, 1):
+        vol += du[v]
+        inside += sum(1 for n in adj[v] if n in S)
+        S.add(v)
+        cut = vol - 2 * inside
+        den = min(vol, vol_total - vol)
+        exp.append((j, v, vol, cut, cut / den if den > 0 else 1.0))
+
+    seeds = spark.createDataFrame([(v,) for v in seeds_l], "id long")
+    got = [
+        tuple(r_)
+        for r_ in ppr_sweep_cut(_df(spark, edges), seeds, rounds=8)
+        .orderBy("sweep_pos")
+        .collect()
+    ]
+    assert got == exp
+    # the conductance curve has an interior minimum on a clustered graph
+    assert min(x[4] for x in exp) <= exp[-1][4]
+
+
+def test_ppr_sweep_cut_planted_community(spark):
+    from tldr_spark.operators.ppr_push import ppr_sweep_cut
+
+    # two K6 cliques joined by one bridge edge; seed inside clique A:
+    # the minimum-conductance prefix is exactly clique A. Edges go BOTH
+    # directions (the ACL push spreads along out-edges; an id-oriented
+    # clique would leave its max vertex with no out-degree and hence no
+    # settled mass — directed-graph caveat documented in the operator).
+    a = list(range(6))
+    b = list(range(10, 16))
+    edges = (
+        [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+        + [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+        + [(0, 10)]
+    )
+    edges = edges + [(y, x) for x, y in edges]
+    seeds = spark.createDataFrame([(0,)], "id long")
+    curve = (
+        ppr_sweep_cut(_df(spark, edges), seeds, rounds=20)
+        .orderBy("sweep_pos")
+        .collect()
+    )
+    best = min(curve, key=lambda r_: (r_["conductance"], r_["sweep_pos"]))
+    prefix = {r_["vertex"] for r_ in curve if r_["sweep_pos"] <= best["sweep_pos"]}
+    assert prefix == set(a)
+    assert best["cut"] == 1

@@ -155,3 +155,106 @@ def ppr_push(
         done,
         converged,
     )
+
+
+def ppr_sweep_cut(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 8,
+    max_prefix: int = 1000,
+) -> DataFrame:
+    """Local community detection by PPR sweep cut — the second half of
+    Andersen-Chung-Lang (FOCS'06): order the push's settled mass by the
+    degree-normalized score p(v)/deg(v) and report, for every prefix S_j
+    of that order, its volume, cut, and conductance
+    phi(S_j) = cut / min(vol(S_j), vol(G) - vol(S_j)). The minimum of
+    the curve is the seed's local community.
+
+    One row per sweep position j (1-based):
+      (sweep_pos, vertex, vol, cut, conductance)
+
+    Cross-engine exactness end to end: the push state is integer units,
+    the sweep ORDER key is the integer (p_units * 2^20) div deg_und
+    (ties by id), and cut/vol are exact integers via the identity
+    cut(S_j) = vol(S_j) - 2 * edges_inside(S_j) with edges_inside a
+    cumulative count over each edge's max endpoint rank. Only the final
+    conductance ratio is a double (one division of exact ints).
+
+    The sweep is capped at ``max_prefix`` touched vertices (the ACL
+    sweep only ever scans the support of the push, which the push's
+    threshold bounds; the cap makes the two window cumulative sums
+    single-partition-safe at any scale — same bounded-driver-work
+    contract as the IVF training sample). Degrees and conductance are
+    over the UNDIRECTED simple graph."""
+    from pyspark.sql import Window
+
+    res = ppr_push(edges, seeds, rounds=rounds)
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .persist()
+    )
+    und.count()
+    du = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("du"))
+    )
+    scored = (
+        res.mass.filter(F.col("p_units") > 0)
+        .join(du, "id")
+        .select(
+            "id",
+            "du",
+            F.expr("(p_units * 1048576) div du").alias("score"),
+        )
+    )
+    w_all = Window.orderBy(F.desc("score"), F.asc("id"))
+    sw = (
+        scored.withColumn("sweep_pos", F.row_number().over(w_all))
+        .filter(F.col("sweep_pos") <= max_prefix)
+        .localCheckpoint(eager=True)  # <= max_prefix rows from here on
+    )
+    w_cum = Window.orderBy("sweep_pos").rowsBetween(Window.unboundedPreceding, 0)
+    volc = sw.withColumn("vol", F.sum("du").over(w_cum))
+    ra = sw.select(F.col("id").alias("a"), F.col("sweep_pos").alias("ja"))
+    rb = sw.select(F.col("id").alias("b"), F.col("sweep_pos").alias("jb"))
+    inside = (
+        und.join(ra, "a")
+        .join(rb, "b")
+        .select(F.greatest("ja", "jb").alias("mr"))
+        .groupBy("mr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vol_total = und.count() * 2
+    out = (
+        volc.join(inside, volc["sweep_pos"] == inside["mr"], "left")
+        .select(
+            "sweep_pos",
+            F.col("id").alias("vertex"),
+            "vol",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .withColumn("inside2", F.sum(F.col("c") * 2).over(w_cum))
+        .select(
+            "sweep_pos",
+            "vertex",
+            F.col("vol").cast("long").alias("vol"),
+            (F.col("vol") - F.col("inside2")).cast("long").alias("cut"),
+            F.when(
+                F.least(F.col("vol"), F.lit(vol_total) - F.col("vol")) > 0,
+                (F.col("vol") - F.col("inside2")).cast("double")
+                / F.least(F.col("vol"), F.lit(vol_total) - F.col("vol")),
+            )
+            .otherwise(F.lit(1.0))  # full-volume prefix: phi undefined, pin to
+            .alias("conductance"),  # the max so a sweep argmin never picks it
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out
