@@ -3202,7 +3202,7 @@ def q_stream_edges_hourly(spark, sf_dir):
 # -- probe-sampled Brandes betweenness (fixed-unroll forward σ / backward δ
 # -- CTE chain mirroring operators/betweenness.py level-for-level) -----------
 
-def _betweenness_sql(levels: int = 10) -> str:
+def _betweenness_sql(levels: int = 10, edges_out: bool = False) -> str:
     parts = [
         _E,
         "g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)",
@@ -3244,6 +3244,29 @@ def _betweenness_sql(levels: int = 10) -> str:
     union = " UNION ALL ".join(
         f"SELECT probe, id, delta FROM d{k}" for k in range(1, levels)
     )
+    if edges_out:
+        # Girvan-Newman: the same delta term kept per SP-DAG edge (level
+        # k -> k+1 for k = 0..levels-1; probe-incident edges included)
+        for k in range(0, levels):
+            parts.append(
+                f"""ed{k} AS MATERIALIZED (
+              SELECT v.id AS src, g.dst AS dst,
+                     SUM(v.sigma / w.sigma * (1 + w.delta)) AS b
+              FROM l{k} v JOIN g ON g.src = v.id
+              JOIN wd{k + 1} w ON w.probe = v.probe AND w.id = g.dst
+              GROUP BY v.id, g.dst)"""
+            )
+        eunion = " UNION ALL ".join(
+            f"SELECT src, dst, b FROM ed{k}" for k in range(0, levels)
+        )
+        return (
+            "WITH " + ",\n".join(parts)
+            + f""",
+  alle AS ({eunion})
+SELECT src, dst,
+       CAST(ROUND(SUM(b) * 1048576) AS BIGINT) AS betweenness_q
+FROM alle GROUP BY src, dst"""
+        )
     return (
         "WITH " + ",\n".join(parts)
         + f""",
@@ -3270,6 +3293,30 @@ def q_betweenness_probes(spark, sf_dir):
     res = betweenness_centrality(e, probes, max_levels=10)
     return res.scores.select(
         F.col("id").alias("vertex"),
+        F.round(F.col("betweenness") * 1048576).cast("long").alias("betweenness_q"),
+    )
+
+
+@_q("edge_betweenness_probes", _betweenness_sql(10, edges_out=True))
+def q_edge_betweenness_probes(spark, sf_dir):
+    """Probe-sampled Girvan-Newman edge betweenness: the Brandes backward
+    pass's delta term kept per SP-DAG edge instead of aggregated to the
+    vertex (probe-incident edges included — paths out of the source
+    traverse them). Same probe set and 10-level unroll as
+    betweenness_probes; the community-detection edge-removal primitive."""
+    from tldr_spark.operators.betweenness import betweenness_centrality
+
+    e = derive_edges(spark, sf_dir)
+    probes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .filter(F.col("id") % 100 == 0)
+        .distinct()
+    )
+    res = betweenness_centrality(e, probes, max_levels=10, collect_edge_scores=True)
+    return res.edge_scores.select(
+        "src",
+        "dst",
         F.round(F.col("betweenness") * 1048576).cast("long").alias("betweenness_q"),
     )
 
@@ -4650,6 +4697,7 @@ _WINDOW_PRIORITY = [
     "five_cliques_total",
     "attack_tolerance",
     "ppr_sweep_cut",
+    "edge_betweenness_probes",
     # -- (c) round-3 verdict re-check list --
     "betweenness_probes",
     "random_walks",

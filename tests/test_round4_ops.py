@@ -2148,3 +2148,68 @@ def test_ppr_sweep_cut_planted_community(spark):
     prefix = {r_["vertex"] for r_ in curve if r_["sweep_pos"] <= best["sweep_pos"]}
     assert prefix == set(a)
     assert best["cut"] == 1
+
+
+def test_edge_betweenness_matches_brandes(spark):
+    from collections import deque
+
+    from tldr_spark.operators.betweenness import betweenness_centrality
+
+    edges = [(s - 6, d - 6) for s, d in _rand_edges(6, 25, 70)]
+    sd = sorted({(s, d) for s, d in edges if s != d})
+    adj = {}
+    verts = set()
+    for s, d in sd:
+        adj.setdefault(s, []).append(d)
+        verts |= {s, d}
+    eb, vb = {}, {}
+    for s in sorted(verts):
+        dist, sigma, order = {s: 0}, {s: 1.0}, []
+        qd = deque([s])
+        while qd:
+            u = qd.popleft()
+            order.append(u)
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    qd.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] = sigma.get(w, 0.0) + sigma[u]
+        delta = {v: 0.0 for v in dist}
+        for w in reversed(order):
+            for x in adj.get(w, ()):
+                if dist.get(x) == dist[w] + 1:
+                    c = sigma[w] / sigma[x] * (1 + delta[x])
+                    eb[(w, x)] = eb.get((w, x), 0.0) + c
+                    delta[w] += c
+            if w != s:
+                vb[w] = vb.get(w, 0.0) + delta[w]
+
+    probes = spark.createDataFrame([(v,) for v in sorted(verts)], "id long")
+    res = betweenness_centrality(
+        _df(spark, edges), probes, max_levels=30, collect_edge_scores=True
+    )
+    got_e = {(r["src"], r["dst"]): r["betweenness"] for r in res.edge_scores.collect()}
+    got_v = {r["id"]: r["betweenness"] for r in res.scores.collect()}
+    assert set(got_e) == set(eb)
+    for k in eb:
+        assert got_e[k] == pytest.approx(eb[k], abs=1e-9), k
+    for k in vb:
+        assert got_v[k] == pytest.approx(vb[k], abs=1e-9), k
+
+
+def test_edge_betweenness_bridge_dominates(spark):
+    from tldr_spark.operators.betweenness import betweenness_centrality
+
+    # two triangles joined by one bridge: the bridge edge carries every
+    # cross-side shortest path — strictly the largest edge score
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    edges = edges + [(y, x) for x, y in edges]
+    verts = sorted({v for e in edges for v in e})
+    probes = spark.createDataFrame([(v,) for v in verts], "id long")
+    res = betweenness_centrality(
+        _df(spark, edges), probes, max_levels=10, collect_edge_scores=True
+    )
+    got = {(r["src"], r["dst"]): r["betweenness"] for r in res.edge_scores.collect()}
+    assert got[(2, 3)] == max(got.values())
+    assert got[(2, 3)] == 9.0  # 3x3 cross pairs via the bridge

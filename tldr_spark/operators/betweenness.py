@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 class BetweennessResult:
     scores: DataFrame  # (id: long, betweenness: double) — probe-sampled sum
     levels: int
+    edge_scores: DataFrame | None = None  # (src, dst, betweenness) when requested
 
 
 def betweenness_centrality(
@@ -43,6 +44,7 @@ def betweenness_centrality(
     probes: DataFrame,
     max_levels: int = 40,
     directed: bool = True,
+    collect_edge_scores: bool = False,
 ) -> BetweennessResult:
     """(id, betweenness): δ-accumulated over the probe sample. Vertices
     never on any probe's shortest path (and never reached) score 0 and are
@@ -91,6 +93,7 @@ def betweenness_centrality(
     # construction: u in level l, v in level l+1, (u,v) ∈ E).
     spark = edges.sparkSession
     acc = None  # (id, betweenness) partial sums over finished levels
+    eacc = None  # (src, dst, b) per-SP-DAG-edge partial sums (opt-in)
     delta_next = None  # (probe, id, delta) of level l+1
     for lvl in range(len(levels) - 1, 0, -1):
         w = levels[lvl]  # (probe, id, sigma) at depth lvl
@@ -101,14 +104,30 @@ def betweenness_centrality(
                 "probe", "id", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
             )
         v = levels[lvl - 1]
-        contrib = (
+        terms = (
             v.join(e, v["id"] == e["src"])
             .select("probe", v["id"].alias("vid"), F.col("sigma").alias("sigma_v"), F.col("dst"))
             .join(
                 wd.select("probe", F.col("id").alias("dst"), F.col("sigma").alias("sigma_w"), "delta"),
                 ["probe", "dst"],
             )
-            .groupBy("probe", F.col("vid").alias("id"))
+        )
+        if collect_edge_scores:
+            # Girvan-Newman edge betweenness: the same delta term, kept per
+            # SP-DAG edge BEFORE the vertex aggregate (probe rows included:
+            # paths out of the source traverse its edges)
+            epart = (
+                terms.groupBy(F.col("vid").alias("src"), "dst")
+                .agg(
+                    F.sum(
+                        F.col("sigma_v") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta"))
+                    ).alias("b")
+                )
+                .localCheckpoint(eager=True)
+            )
+            eacc = epart if eacc is None else eacc.union(epart)
+        contrib = (
+            terms.groupBy("probe", F.col("vid").alias("id"))
             .agg(
                 F.sum(
                     F.col("sigma_v") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta"))
@@ -129,11 +148,21 @@ def betweenness_centrality(
 
     visited.unpersist()
     e.unpersist()
+    edge_scores = None
+    if collect_edge_scores:
+        edge_scores = (
+            (
+                eacc.groupBy("src", "dst").agg(F.sum("b").alias("betweenness"))
+                if eacc is not None
+                else spark.createDataFrame([], "src long, dst long, betweenness double")
+            )
+            .localCheckpoint(eager=True)
+        )
     if acc is None:
         return BetweennessResult(
-            spark.createDataFrame([], "id long, betweenness double"), 0
+            spark.createDataFrame([], "id long, betweenness double"), 0, edge_scores
         )
     scores = (
         acc.groupBy("id").agg(F.sum("b").alias("betweenness")).localCheckpoint(eager=True)
     )
-    return BetweennessResult(scores, len(levels) - 1)
+    return BetweennessResult(scores, len(levels) - 1, edge_scores)
