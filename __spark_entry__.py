@@ -3457,6 +3457,24 @@ def q_louvain_modularity(spark, sf_dir):
     )
 
 
+@_q("leiden_communities", None)
+def q_leiden_communities(spark, sf_dir):
+    """Multilevel community detection with the Leiden connectivity
+    refinement (Traag et al. 2019) — community sizes, largest first.
+    Rows-only: pinned by tests/test_round4_ops.py (hand-made
+    disconnected-community split, connectivity invariant on random
+    graphs, ring-of-cliques exact recovery)."""
+    from tldr_spark.operators.community import leiden
+
+    res = leiden(derive_edges(spark, sf_dir))
+    return (
+        res.labels.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(50)
+    )
+
+
 @_q("louvain_communities", None)
 def q_louvain_communities(spark, sf_dir):
     """Full MULTILEVEL Louvain (phase-1 + weighted contraction, repeated)

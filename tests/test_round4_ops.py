@@ -2213,3 +2213,61 @@ def test_edge_betweenness_bridge_dominates(spark):
     got = {(r["src"], r["dst"]): r["betweenness"] for r in res.edge_scores.collect()}
     assert got[(2, 3)] == max(got.values())
     assert got[(2, 3)] == 9.0  # 3x3 cross pairs via the bridge
+
+
+# ---------------------------------------------------------------------------
+# Leiden connectivity refinement
+# ---------------------------------------------------------------------------
+
+def test_refine_connected_splits_disconnected_community(spark):
+    from tldr_spark.operators.community import refine_connected
+
+    labels = spark.createDataFrame(
+        [(0, 99), (1, 99), (2, 99), (3, 99), (10, 77), (11, 77)],
+        "id long, label long",
+    )
+    # community 99 = {0,1} + {2,3} with no connecting edge -> must split
+    got = {
+        r["id"]: r["label"]
+        for r in refine_connected(_df(spark, [(0, 1), (2, 3), (10, 11)]), labels).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 10: 10, 11: 10}
+
+
+def test_leiden_connectivity_invariant(spark):
+    from tldr_spark.operators.community import leiden
+
+    for seed in (1, 8):
+        edges = [(s - 13, d - 13) for s, d in _rand_edges(seed, 50, 110)]
+        comm = {}
+        for r in leiden(_df(spark, edges)).labels.collect():
+            comm.setdefault(r["community"], set()).add(r["id"])
+        _, adj = _adj_und(edges)
+        for members in comm.values():
+            if len(members) == 1:
+                continue
+            seen, stack = {min(members)}, [min(members)]
+            while stack:
+                u = stack.pop()
+                for w in adj.get(u, ()):
+                    if w in members and w not in seen:
+                        seen.add(w)
+                        stack.append(w)
+            assert seen == members  # the Leiden guarantee Louvain lacks
+
+
+def test_leiden_ring_of_cliques(spark):
+    from tldr_spark.operators.community import leiden
+
+    cliq = []
+    for k in range(4):
+        base = 10 * k
+        cliq += [
+            (base + i, base + j) for i, j in itertools.combinations(range(5), 2)
+        ]
+        cliq.append((10 * k + 4, 10 * ((k + 1) % 4)))
+    got = {}
+    for r in leiden(_df(spark, cliq)).labels.collect():
+        got.setdefault(r["community"], set()).add(r["id"])
+    exp = [set(range(10 * k, 10 * k + 5)) for k in range(4)]
+    assert sorted(map(sorted, got.values())) == sorted(map(sorted, exp))

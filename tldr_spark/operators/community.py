@@ -411,3 +411,97 @@ def louvain(
         .localCheckpoint(eager=True)
     )
     return LouvainResult(out, levels)
+
+
+def refine_connected(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Leiden refinement step (Traag, Waltman & van Eck, Sci Rep 2019, the
+    connectivity half): split every community into its CONNECTED parts
+    within the community-induced subgraph. Input ``labels`` = (id, label);
+    output (id, label) with each part relabeled to its minimum member id
+    (globally unique — vertex ids are). Vertices with no intra-community
+    edge become singletons. One edge semi-join to the intra-community
+    subgraph + one CC pass; the CC machinery is the star-contraction +
+    bounded-finisher path every component query uses."""
+    from tldr_spark.operators.components import connected_components
+
+    lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    intra = (
+        e.join(lab.withColumnsRenamed({"id": "src", "label": "ls"}), "src")
+        .join(lab.withColumnsRenamed({"id": "dst", "label": "ld"}), "dst")
+        .filter(F.col("ls") == F.col("ld"))
+        .select("src", "dst")
+    )
+    cc = connected_components(intra).assignments  # (id, component=min member)
+    return (
+        lab.join(cc, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def leiden(
+    edges: DataFrame,
+    max_levels: int = 5,
+    max_rounds_per_level: int = 20,
+    weight_col: str | None = "weight",
+) -> LouvainResult:
+    """Multilevel community detection with the Leiden CONNECTIVITY
+    refinement (Traag et al. 2019): each level runs the Louvain local-move
+    pass, then :func:`refine_connected` splits every community into its
+    connected parts BEFORE contraction — so every supernode is internally
+    connected at every level and, by induction (super-edges are real
+    edges), every final community induces a connected subgraph of the
+    original graph. That is the headline defect Leiden fixes in Louvain
+    (which can emit internally disconnected communities); the paper's
+    additional randomized well-connectedness refinement is deliberately
+    not implemented — this engine is deterministic end to end.
+
+    Same level-shrink scale shape as :func:`louvain`; the refinement adds
+    one intra-community CC pass per level (cheap: the intra subgraph is a
+    vanishing fraction of E after the first level)."""
+    spark = edges.sparkSession
+    g = edges
+    wc = weight_col
+    mapping: DataFrame | None = None
+    levels = 0
+    while levels < max_levels:
+        res = louvain_move_pass(g, max_rounds=max_rounds_per_level, weight_col=wc)
+        moved = res.labels
+        labels = refine_connected(g, moved).persist()
+        n_vertices = labels.count()
+        if n_vertices == 0:
+            labels.unpersist()
+            break
+        n_comms = labels.select("label").distinct().count()
+        levels += 1
+        if mapping is None:
+            mapping = labels.select(
+                F.col("id").alias("orig_id"), F.col("label").alias("comm")
+            ).localCheckpoint(eager=True)
+        else:
+            mapping = (
+                mapping.join(labels.withColumnRenamed("id", "comm"), "comm")
+                .select("orig_id", F.col("label").alias("comm"))
+                .localCheckpoint(eager=True)
+            )
+        if n_comms == n_vertices:
+            labels.unpersist()
+            break
+        contracted = contract_communities(g, labels.select("id", "label"), weight_col=wc)
+        g = contracted.edges
+        wc = "weight"
+        labels.unpersist()
+
+    if mapping is None:
+        return LouvainResult(spark.createDataFrame([], "id long, community long"), 0)
+    mins = mapping.groupBy("comm").agg(F.min("orig_id").alias("community"))
+    out = (
+        mapping.join(mins, "comm")
+        .select(F.col("orig_id").alias("id"), "community")
+        .localCheckpoint(eager=True)
+    )
+    return LouvainResult(out, levels)
