@@ -4673,7 +4673,12 @@ _WINDOW_PRIORITY = [
     # -- (a) implementation changed in round 4 --
     "token_pmi_pairs",
     "coreness",
-    "user_sessions",
+    # user_sessions rotated off-window for betweenness_probes: the
+    # sessions change is a two-line pre-guard (raise on column
+    # collision, main logic untouched; r3 driver row + local verify),
+    # while the edge-betweenness addition restructured the Brandes
+    # backward pass that betweenness_probes executes.
+    "betweenness_probes",
     "cc_assign",
     # cc_sizes rotated off-window for dominating_set: same operator and
     # change as cc_assign (its in-window witness); r3 driver row + local
@@ -4716,8 +4721,8 @@ _WINDOW_PRIORITY = [
     "attack_tolerance",
     "ppr_sweep_cut",
     "edge_betweenness_probes",
-    # -- (c) round-3 verdict re-check list --
-    "betweenness_probes",
+    # -- (c) round-3 verdict re-check list (betweenness_probes moved up
+    # into the changed-impl block) --
     "random_walks",
     "stream_edges_hourly",
     "ann_lsh_topk",
