@@ -532,10 +532,25 @@ def run_secondary(deadline: float | None = None) -> dict:
         t("pagerank_shuffle_join_quarter", lambda: pagerank(
             bedges, tolerance=1e-6, broadcast_ranks=False, assume_distinct_edges=True
         ).ranks.count())
-        # onion LAST: the full multi-wave peel is the longest table entry;
-        # everything above lands first if the budget is tight
+        # round-4 late additions, second wave
+        from tldr_spark.operators.ppr_push import ppr_sweep_cut
+        t("ppr_sweep", lambda: ppr_sweep_cut(edges, seeds, rounds=8).count())
+        from tldr_spark.operators.betweenness import betweenness_centrality
+        probes = (
+            edges.select(F.col("src").alias("id"))
+            .filter(F.col("id") % 500 == 0)
+            .distinct()
+        )
+        t("edge_betweenness", lambda: betweenness_centrality(
+            edges, probes, max_levels=10, collect_edge_scores=True
+        ).edge_scores.count())
         from tldr_spark.operators.kcore import onion_decomposition
         t("onion", lambda: onion_decomposition(edges).assignments.count())
+        # leiden LAST: multilevel loop (move pass + CC + contraction per
+        # level) is the longest table entry; everything above lands first
+        # if the budget is tight
+        from tldr_spark.operators.community import leiden
+        t("leiden", lambda: leiden(edges).labels.count())
     finally:
         spark.stop()
     return out
