@@ -2271,3 +2271,67 @@ def test_leiden_ring_of_cliques(spark):
         got.setdefault(r["community"], set()).add(r["id"])
     exp = [set(range(10 * k, 10 * k + 5)) for k in range(4)]
     assert sorted(map(sorted, got.values())) == sorted(map(sorted, exp))
+
+
+# ---------------------------------------------------------------------------
+# directed assortativity matrix + sliding streaming window
+# ---------------------------------------------------------------------------
+
+def test_directed_assortativity_matches_python(spark):
+    import math
+
+    from tldr_spark.operators.stats import directed_assortativity
+
+    edges = [(s - 11, d - 11) for s, d in _rand_edges(7, 30, 80)]
+    sd = sorted({(s, d) for s, d in edges if s != d})
+    od, idg = {}, {}
+    for s, d in sd:
+        od[s] = od.get(s, 0) + 1
+        idg[d] = idg.get(d, 0) + 1
+    modes = {
+        "out-in": lambda s, d: (od.get(s, 0), idg.get(d, 0)),
+        "out-out": lambda s, d: (od.get(s, 0), od.get(d, 0)),
+        "in-in": lambda s, d: (idg.get(s, 0), idg.get(d, 0)),
+        "in-out": lambda s, d: (idg.get(s, 0), od.get(d, 0)),
+    }
+    exp = {}
+    for mode, f in modes.items():
+        xs = [f(s, d) for s, d in sd]
+        m = len(xs)
+        sx = sum(x for x, _ in xs)
+        sy = sum(y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        sxx = sum(x * x for x, _ in xs)
+        syy = sum(y * y for _, y in xs)
+        den = math.sqrt(float(m * sxx - sx * sx) * float(m * syy - sy * sy))
+        exp[mode] = (
+            m, sxy, sx, sy, sxx, syy,
+            float(m * sxy - sx * sy) / den if den > 0 else 0.0,
+        )
+    got = {
+        r["mode"]: tuple(r)[1:]
+        for r in directed_assortativity(_df(spark, edges)).collect()
+    }
+    assert got == exp
+
+
+def test_stream_sliding_window_matches_batch(spark):
+    from tldr_spark.streaming.edges_stream import streamed_sliding_in_degree
+
+    rows = streamed_sliding_in_degree(spark, "/root/testdata/sf0.001").collect()
+    assert rows  # drain produced windows
+    # every (hour, dst) group must appear in exactly two windows: starts
+    # at floor_hour and floor_hour - 3600
+    from collections import Counter
+
+    by_dst_total = Counter()
+    for r in rows:
+        by_dst_total[r["dst"]] += r["in_deg"]
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy(((F.col("event_id") * 131 + 7) % 211).alias("dst"))
+        .count()
+        .collect()
+    )
+    exp = {r["dst"]: 2 * r["count"] for r in batch}  # each event in 2 windows
+    assert dict(by_dst_total) == exp

@@ -524,3 +524,81 @@ def attack_tolerance(
         rows,
         "per_mille long, n_removed long, n_left long, giant_size long, giant_frac double",
     )
+
+
+def directed_assortativity(edges: DataFrame) -> DataFrame:
+    """All four directed degree-degree Pearson correlations (Foster,
+    Foster, Grassberger & Paczuski, PNAS 2010): one row per mode
+    ``out-in`` / ``out-out`` / ``in-in`` / ``in-out``, correlating
+    (x-degree of src, y-degree of dst) across the simple directed edges —
+    the full directed generalization of :func:`degree_assortativity`
+    (whose single row is the out-in convention). The web's known
+    signature: all four near zero-to-negative (hubs link to leaves).
+    One edge-degree join pass shared by all four modes; exact integer
+    sums, one sqrt + one division per row."""
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    outd = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("od"))
+    ind = e.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("idg"))
+    pairs = (
+        e.join(outd.withColumnsRenamed({"id": "src", "od": "od_s"}), "src")
+        .join(ind.withColumnsRenamed({"id": "src", "idg": "id_s"}), "src", "left")
+        .join(outd.withColumnsRenamed({"id": "dst", "od": "od_d"}), "dst", "left")
+        .join(ind.withColumnsRenamed({"id": "dst", "idg": "id_d"}), "dst")
+        .select(
+            F.coalesce("od_s", F.lit(0)).alias("od_s"),
+            F.coalesce("id_s", F.lit(0)).alias("id_s"),
+            F.coalesce("od_d", F.lit(0)).alias("od_d"),
+            F.coalesce("id_d", F.lit(0)).alias("id_d"),
+        )
+    )
+    modes = {
+        "out-in": ("od_s", "id_d"),
+        "out-out": ("od_s", "od_d"),
+        "in-in": ("id_s", "id_d"),
+        "in-out": ("id_s", "od_d"),
+    }
+    aggs = [F.count(F.lit(1)).alias("m")]
+    for mode, (xc, yc) in modes.items():
+        tag = mode.replace("-", "_")
+        x, y = F.col(xc), F.col(yc)
+        aggs += [
+            F.sum(x * y).alias(f"sxy_{tag}"),
+            F.sum(x).alias(f"sx_{tag}"),
+            F.sum(y).alias(f"sy_{tag}"),
+            F.sum(x * x).alias(f"sxx_{tag}"),
+            F.sum(y * y).alias(f"syy_{tag}"),
+        ]
+    one = pairs.agg(*aggs)
+    rows = []
+    for mode in modes:
+        tag = mode.replace("-", "_")
+        m = F.col("m")
+        sxy, sx, sy = (F.col(f"{c}_{tag}") for c in ("sxy", "sx", "sy"))
+        sxx, syy = F.col(f"sxx_{tag}"), F.col(f"syy_{tag}")
+        num = (m * sxy - sx * sy).cast("double")
+        den = F.sqrt(
+            (m * sxx - sx * sx).cast("double") * (m * syy - sy * sy).cast("double")
+        )
+        rows.append(
+            one.select(
+                F.lit(mode).alias("mode"),
+                m.cast("long").alias("m"),
+                sxy.cast("long").alias("sxy"),
+                sx.cast("long").alias("sx"),
+                sy.cast("long").alias("sy"),
+                sxx.cast("long").alias("sxx"),
+                syy.cast("long").alias("syy"),
+                F.when(den > 0, num / den).otherwise(F.lit(0.0)).alias("r"),
+            )
+        )
+    out = rows[0]
+    for fr in rows[1:]:
+        out = out.union(fr)
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

@@ -85,3 +85,36 @@ def streamed_hourly_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         # double sums are bit-stable across engines; *1024 keeps ~3 decimals
         F.round(F.col("in_weight") * 1024).cast("long").alias("in_weight_q"),
     )
+
+
+def streamed_sliding_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`streamed_hourly_in_degree`'s sliding-window sibling: 2-hour
+    windows sliding every 1 hour, so every edge arrival lands in exactly
+    TWO windows — the overlap shape real crawl monitoring uses for
+    rate-of-change detection (Spark expands the slide inside the streaming
+    aggregation; state stays one row per (window, dst)). Same
+    batch-deterministic drain (complete mode + availableNow), so the
+    DuckDB oracle reproduces it exactly: each event contributes to the
+    window starting at floor_hour(ts) and the one starting at
+    floor_hour(ts) - 1h."""
+    import uuid
+
+    base = f"{spark.conf.get('spark.sql.warehouse.dir', 'spark-warehouse').removeprefix('file:')}/_stream_tmp/{uuid.uuid4().hex[:12]}"
+    landing, ckpt = f"{base}/landing", f"{base}/ckpt"
+    events_to_edge_files(spark, sf_dir, landing)
+    agg = (
+        read_edge_stream(spark, landing)
+        .withWatermark("event_ts", "30 minutes")
+        .groupBy(
+            F.window("event_ts", "2 hours", "1 hour").alias("win"), F.col("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("in_deg"), F.sum("weight").alias("in_weight"))
+    )
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    run_available_now(agg, name, ckpt)
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("win.start")).alias("win_start_epoch"),
+        "dst",
+        F.col("in_deg").cast("long").alias("in_deg"),
+        F.round(F.col("in_weight") * 1024).cast("long").alias("in_weight_q"),
+    )
