@@ -2335,3 +2335,42 @@ def test_stream_sliding_window_matches_batch(spark):
     )
     exp = {r["dst"]: 2 * r["count"] for r in batch}  # each event in 2 windows
     assert dict(by_dst_total) == exp
+
+
+def test_random_failure_tolerance_matches_python(spark):
+    from tldr_spark.operators.stats import random_failure_tolerance
+
+    edges = [(s - 5, d - 5) for s, d in _rand_edges(5, 60, 140)]
+    _, adj = _adj_und(edges)
+    n_total = len(adj)
+    exp = []
+    for pm in (100, 300, 500):
+        rm = {v for v in adj if (v * 2654435761) % 1000 < pm}
+        sadj = {}
+        for a, ns in adj.items():
+            if a in rm:
+                continue
+            keep = ns - rm
+            if keep:
+                sadj[a] = keep
+        seen, giant = set(), 0
+        for v in sadj:
+            if v in seen:
+                continue
+            comp, stack = {v}, [v]
+            while stack:
+                u = stack.pop()
+                for w in sadj[u]:
+                    if w not in comp:
+                        comp.add(w)
+                        stack.append(w)
+            seen |= comp
+            giant = max(giant, len(comp))
+        exp.append((pm, len(rm), len(sadj), giant, giant / n_total))
+    got = [
+        tuple(r)
+        for r in random_failure_tolerance(
+            _df(spark, edges), per_mille=(100, 300, 500)
+        ).collect()
+    ]
+    assert got == exp

@@ -602,3 +602,78 @@ def directed_assortativity(edges: DataFrame) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def random_failure_tolerance(
+    edges: DataFrame, per_mille: tuple[int, ...] = (100, 300, 500)
+) -> DataFrame:
+    """Random-failure side of :func:`attack_tolerance` (Albert-Jeong-
+    Barabasi): instead of the top hubs, remove the DETERMINISTIC
+    pseudo-random vertex subset { v : (v * 2654435761) %% 1000 < f } —
+    Knuth's multiplicative hash, so the subset is uniform-ish, scale-free
+    of the id layout, and bit-identically reproducible by the SQL oracle
+    (no RNG state to ship cross-engine). Same outputs as
+    attack_tolerance: (per_mille, n_removed, n_left, giant_size,
+    giant_frac). A scale-free web keeps its giant component under heavy
+    RANDOM deletion (the degree_moments fc prediction) while collapsing
+    under tiny TARGETED budgets — this pair of curves is the evidence.
+
+    Cost per budget: two edge anti-joins + one CC run, like the attack
+    twin (the removal set here is a predicate, not even a top-k list)."""
+    from tldr_spark.operators.components import connected_components
+
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .persist()
+    )
+    und.count()
+    verts = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n_total = verts.count()
+    spark = edges.sparkSession
+    rows = []
+    for pm in per_mille:
+        # pmod, not %: SQL % is sign-of-dividend, which would sweep every
+        # negative id into the removal set
+        pred = F.pmod(F.col("id") * F.lit(2654435761), F.lit(1000)) < F.lit(int(pm))
+        removed = verts.filter(pred)
+        k = removed.count()
+        surv = (
+            und.join(removed.withColumnRenamed("id", "a"), "a", "left_anti")
+            .join(removed.withColumnRenamed("id", "b"), "b", "left_anti")
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        agg = (
+            connected_components(surv)
+            .assignments.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.coalesce(F.sum("sz"), F.lit(0)).alias("n_left"),
+                F.coalesce(F.max("sz"), F.lit(0)).alias("giant"),
+            )
+            .collect()[0]
+        )
+        rows.append(
+            (
+                int(pm),
+                int(k),
+                int(agg["n_left"]),
+                int(agg["giant"]),
+                float(agg["giant"]) / n_total if n_total else 0.0,
+            )
+        )
+    und.unpersist()
+    verts.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "per_mille long, n_removed long, n_left long, giant_size long, giant_frac double",
+    )
