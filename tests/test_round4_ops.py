@@ -2374,3 +2374,167 @@ def test_random_failure_tolerance_matches_python(spark):
         ).collect()
     ]
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# geometric diffusion (truncated heat-kernel-style influence)
+# ---------------------------------------------------------------------------
+
+def _diffusion_py(edges, seeds, iters, base=0.5):
+    """Reference: dense iteration of score = sum_k base^(k+1) (P^T)^k s."""
+    from collections import defaultdict
+
+    w = defaultdict(float)
+    for s, d, wt in edges:
+        w[(s, d)] += wt
+    outw = defaultdict(float)
+    for (s, _d), wt in w.items():
+        outw[s] += wt
+    mass = {v: 1.0 for v in seeds}
+    acc = defaultdict(float)
+    coef = base
+    for v, m in mass.items():
+        acc[v] += m * coef
+    for _ in range(iters):
+        nxt = defaultdict(float)
+        for (s, d), wt in w.items():
+            if s in mass:
+                nxt[d] += mass[s] * (wt / outw[s])
+        coef *= base
+        for v, m in nxt.items():
+            acc[v] += m * coef
+        mass = nxt
+    return {v: a for v, a in acc.items()}
+
+
+def test_geometric_diffusion_matches_python(spark):
+    from tldr_spark.operators.diffusion import geometric_diffusion
+
+    raw = _rand_edges(11, 40, 120)
+    edges = [(s, d, 1.0 + (s * 7 + d) % 3) for s, d in raw]
+    seeds = sorted({v for e in raw for v in e if v % 5 == 0})
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    sdf = spark.createDataFrame([(v,) for v in seeds], "id long")
+    got = {
+        r["id"]: r["score"]
+        for r in geometric_diffusion(df, sdf, iters=6, base=0.5).collect()
+    }
+    exp = _diffusion_py(edges, seeds, iters=6)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], rel=1e-12), v
+
+
+def test_geometric_diffusion_path_closed_form(spark):
+    """Directed path 0->1->2->3, seed {0}: unit mass sits at vertex k only
+    at iteration k, so score(k) = 2^-(k+1) exactly."""
+    from tldr_spark.operators.diffusion import geometric_diffusion
+
+    df = _df(spark, [(0, 1), (1, 2), (2, 3)])
+    sdf = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["score"]
+        for r in geometric_diffusion(df, sdf, iters=8, base=0.5).collect()
+    }
+    assert got == {0: 0.5, 1: 0.25, 2: 0.125, 3: 0.0625}
+
+
+def test_geometric_diffusion_truncation_and_duplicates(spark):
+    """iters=0 keeps only the seed layer; duplicate (src,dst) edge weights
+    sum before normalization (same §2.7 contract as PageRank prep)."""
+    from tldr_spark.operators.diffusion import geometric_diffusion
+
+    df = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 1, 1.0), (0, 2, 1.0)], "src long, dst long, weight double"
+    )
+    sdf = spark.createDataFrame([(0,)], "id long")
+    got0 = {
+        r["id"]: r["score"]
+        for r in geometric_diffusion(df, sdf, iters=0, base=0.5).collect()
+    }
+    assert got0 == {0: 0.5}
+    got1 = {
+        r["id"]: r["score"]
+        for r in geometric_diffusion(df, sdf, iters=1, base=0.5).collect()
+    }
+    assert got1 == {0: 0.5, 1: pytest.approx(0.25 * 0.75), 2: pytest.approx(0.25 * 0.25)}
+
+
+# ---------------------------------------------------------------------------
+# global efficiency / sampled Wiener index
+# ---------------------------------------------------------------------------
+
+def _efficiency_py(edges, probes):
+    from collections import deque
+
+    adj = {}
+    verts = set()
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        verts.add(s)
+        verts.add(d)
+    pairs = wiener = 0
+    inv = 0.0
+    for p in probes:
+        dist = {p: 0}
+        dq = deque([p])
+        while dq:
+            u = dq.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        for v, dd in dist.items():
+            if dd > 0:
+                pairs += 1
+                wiener += dd
+                inv += 1.0 / dd
+    n_p, n_v = len(probes), len(verts)
+    avg = wiener / pairs if pairs else 0.0
+    eff = inv / (n_p * max(n_v - 1, 1))
+    return (n_p, n_v, pairs, wiener, avg, eff)
+
+
+def test_global_efficiency_matches_python(spark):
+    from tldr_spark.operators.bfs import global_efficiency
+
+    edges = _rand_edges(13, 50, 130)
+    probes = sorted({v for e in edges for v in e if v % 7 == 0})
+    df = _df(spark, edges)
+    pdf = spark.createDataFrame([(v,) for v in probes], "id long")
+    row = global_efficiency(df, pdf, max_levels=40).collect()[0]
+    n_p, n_v, pairs, wiener, avg, eff = _efficiency_py(edges, probes)
+    assert (row["n_probes"], row["n_vertices"]) == (n_p, n_v)
+    assert (row["pairs_reached"], row["wiener_sum"]) == (pairs, wiener)
+    assert row["avg_dist"] == pytest.approx(avg, rel=1e-12)
+    assert row["efficiency"] == pytest.approx(eff, rel=1e-12)
+
+
+def test_global_efficiency_star_closed_form(spark):
+    """Out-star center->leaves, probes = {center}: every leaf at distance 1,
+    so avg_dist = 1 and efficiency = L / (1 * ((L+1) - 1)) = 1.0 exactly."""
+    from tldr_spark.operators.bfs import global_efficiency
+
+    leaves = 6
+    df = _df(spark, [(0, i) for i in range(1, leaves + 1)])
+    pdf = spark.createDataFrame([(0,)], "id long")
+    row = global_efficiency(df, pdf).collect()[0]
+    assert row["pairs_reached"] == leaves
+    assert row["wiener_sum"] == leaves
+    assert row["avg_dist"] == 1.0
+    assert row["efficiency"] == pytest.approx(leaves / (1 * leaves))
+
+
+def test_global_efficiency_unreachable_probe(spark):
+    """A probe with no out-edges contributes nothing but still divides the
+    efficiency denominator."""
+    from tldr_spark.operators.bfs import global_efficiency
+
+    df = _df(spark, [(0, 1), (1, 2)])
+    pdf = spark.createDataFrame([(0,), (2,)], "id long")
+    row = global_efficiency(df, pdf).collect()[0]
+    # probe 0 reaches 1 (d=1), 2 (d=2); probe 2 reaches nothing
+    assert row["pairs_reached"] == 2
+    assert row["wiener_sum"] == 3
+    assert row["avg_dist"] == pytest.approx(1.5)
+    assert row["efficiency"] == pytest.approx((1.0 + 0.5) / (2 * 2))

@@ -261,6 +261,56 @@ def eccentricity(
     )
 
 
+def global_efficiency(
+    edges: DataFrame,
+    probes: DataFrame,
+    max_levels: int = 50,
+    directed: bool = True,
+) -> DataFrame:
+    """One-row graph-level distance summary estimated from a probe sample
+    (the sampled-source estimator of Wiener index / average shortest-path
+    length / global efficiency — Latora & Marchiori 2001): BFS from each
+    probe, then
+
+      pairs_reached = #{(p, v) : v reachable from p, v != p}
+      wiener_sum    = Σ dist(p, v)            (sampled Wiener index)
+      avg_dist      = wiener_sum / pairs_reached
+      efficiency    = Σ 1/dist(p, v) / (|probes| * (|V| - 1))
+
+    Efficiency divides by ALL possible ordered pairs, so unreachable pairs
+    drag it toward 0 — the standard disconnected-graph-safe form. Returns
+    (n_probes, n_vertices, pairs_reached, wiener_sum, avg_dist, efficiency);
+    avg_dist/efficiency are 0.0 when nothing is reached. One labeled-BFS
+    flood + one global aggregate."""
+    d = labeled_bfs(edges, probes, max_levels, directed)
+    n_probes = probes.select(F.col("id").cast("long")).distinct().count()
+    n_vertices = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
+    agg = d.filter(F.col("dist") > 0).agg(
+        F.count(F.lit(1)).alias("pairs_reached"),
+        F.coalesce(F.sum("dist"), F.lit(0)).cast("long").alias("wiener_sum"),
+        F.coalesce(F.sum(1.0 / F.col("dist")), F.lit(0.0)).alias("inv_sum"),
+    )
+    denom = float(n_probes * max(n_vertices - 1, 1))
+    return agg.select(
+        F.lit(n_probes).cast("long").alias("n_probes"),
+        F.lit(n_vertices).cast("long").alias("n_vertices"),
+        F.col("pairs_reached").cast("long").alias("pairs_reached"),
+        "wiener_sum",
+        F.when(
+            F.col("pairs_reached") > 0,
+            F.col("wiener_sum").cast("double") / F.col("pairs_reached"),
+        )
+        .otherwise(0.0)
+        .alias("avg_dist"),
+        (F.col("inv_sum") / F.lit(denom)).alias("efficiency"),
+    )
+
+
 def ego_subgraph(
     edges: DataFrame,
     seeds: DataFrame,
