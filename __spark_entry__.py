@@ -27,7 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from tldr_spark.sources.tables import BLOCK, derive_edges, edges_oracle_cte, load
+from tldr_spark.sources.tables import (
+    BLOCK,
+    derive_edges,
+    derive_edges_prev,
+    edges_oracle_cte,
+    edges_prev_oracle_cte,
+    load,
+)
 
 DAMPING = 0.85
 
@@ -274,6 +281,113 @@ def q_katz_fixed20(spark, sf_dir):
         F.col("id").alias("vertex"),
         F.round(F.col("katz") * 1048576).cast("long").alias("katz_q"),
     )
+
+
+# -- incremental-crawl analytics: diff two deterministic snapshots ----------
+# "yesterday's crawl" = same derivation minus each page's k = deg-1 link
+# (tables.derive_edges_prev / edges_prev_oracle_cte, CTE name `ep`).
+
+_EP = edges_prev_oracle_cte()
+
+_CRAWL_DELTA_SQL = f"""WITH {_E}, {_EP},
+  o AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_old,
+               CAST(SUM(weight) AS DOUBLE) AS w_old
+        FROM ep GROUP BY src, dst),
+  nw AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_new,
+                CAST(SUM(weight) AS DOUBLE) AS w_new
+         FROM e GROUP BY src, dst),
+  j AS (SELECT COALESCE(o.src, nw.src) AS src, COALESCE(o.dst, nw.dst) AS dst,
+               COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+               COALESCE(w_old, CAST(0 AS DOUBLE)) AS w_old,
+               COALESCE(w_new, CAST(0 AS DOUBLE)) AS w_new
+        FROM o FULL OUTER JOIN nw ON nw.src = o.src AND nw.dst = o.dst)
+SELECT src, dst, n_old, n_new, w_old, w_new,
+       CASE WHEN n_old = 0 THEN 'added'
+            WHEN n_new = 0 THEN 'removed'
+            ELSE 'changed' END AS status
+FROM j WHERE n_old <> n_new OR w_old <> w_new"""
+
+
+@_q("crawl_edge_delta", _CRAWL_DELTA_SQL)
+def q_crawl_edge_delta(spark, sf_dir):
+    """Edge churn between the previous and current crawl snapshots:
+    per-(src,dst) multiplicity/weight diff, churn-bounded output."""
+    from tldr_spark.operators.crawl_delta import edge_delta
+
+    return edge_delta(
+        derive_edges_prev(spark, sf_dir), derive_edges(spark, sf_dir)
+    )
+
+
+_MOVERS_ITERS = 12
+
+
+def _pr_cte(p: str, etbl: str, n_iter: int) -> str:
+    """Prefixed fixed-iteration PageRank CTE chain over edge CTE ``etbl``
+    (same semantics as _pr_sql; prefix ``p`` keeps two instances from
+    colliding inside one WITH RECURSIVE)."""
+    return f"""
+  {p}norm AS (SELECT src, dst, SUM(weight) AS w FROM {etbl} GROUP BY src, dst),
+  {p}outw AS (SELECT src, SUM(w) AS ow FROM {p}norm GROUP BY src),
+  {p}en AS (SELECT n.src, n.dst, n.w / o.ow AS wn FROM {p}norm n JOIN {p}outw o USING (src)),
+  {p}verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM {etbl} UNION SELECT dst FROM {etbl})),
+  {p}nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {p}verts),
+  {p}pr(it, id, rank, dang) AS (
+    SELECT 0, v.v, CAST(1.0 AS DOUBLE) / {p}nv.n, o.src IS NULL
+    FROM {p}verts v CROSS JOIN {p}nv
+    LEFT JOIN (SELECT DISTINCT src FROM {p}en) o ON o.src = v.v
+    UNION ALL
+    SELECT it + 1, id, new_rank, dang FROM (
+      SELECT t.it AS it, v.id AS id, v.dang AS dang,
+             (1.0 - {DAMPING}) / {p}nv.n + {DAMPING} * t.leak / {p}nv.n
+               + {DAMPING} * COALESCE(c.contrib, CAST(0 AS DOUBLE)) AS new_rank
+      FROM (SELECT MAX(it) AS it,
+                   SUM(CASE WHEN dang THEN rank ELSE CAST(0 AS DOUBLE) END) AS leak
+            FROM {p}pr) t
+      CROSS JOIN {p}nv
+      CROSS JOIN (SELECT id, dang FROM {p}pr) v
+      LEFT JOIN (SELECT {p}en.dst AS id, SUM(q.rank * {p}en.wn) AS contrib
+                 FROM {p}pr q JOIN {p}en ON {p}en.src = q.id GROUP BY {p}en.dst) c ON c.id = v.id
+    ) WHERE it < {n_iter}
+  )""".strip()
+
+
+_CRAWL_MOVERS_SQL = f"""WITH RECURSIVE {_E}, {_EP},
+  {_pr_cte('a', 'e', _MOVERS_ITERS)},
+  {_pr_cte('b', 'ep', _MOVERS_ITERS)},
+  ra AS (SELECT id, CAST(ROUND(rank * 1048576) AS BIGINT) AS rq
+         FROM apr WHERE it = {_MOVERS_ITERS}),
+  rb AS (SELECT id, CAST(ROUND(rank * 1048576) AS BIGINT) AS rq
+         FROM bpr WHERE it = {_MOVERS_ITERS}),
+  mv AS (SELECT COALESCE(ra.id, rb.id) AS vertex,
+                COALESCE(rb.rq, 0) AS rank_old_q,
+                COALESCE(ra.rq, 0) AS rank_new_q
+         FROM ra FULL OUTER JOIN rb ON rb.id = ra.id)
+SELECT vertex, rank_old_q, rank_new_q, rank_new_q - rank_old_q AS delta_q
+FROM mv
+ORDER BY ABS(rank_new_q - rank_old_q) DESC, vertex ASC LIMIT 50"""
+
+
+@_q("crawl_rank_movers", _CRAWL_MOVERS_SQL)
+def q_crawl_rank_movers(spark, sf_dir):
+    """Authority movers between crawl snapshots: fixed-12 PageRank per
+    snapshot, top 50 vertices by |Δ| of the 2^-20-quantized ranks (the
+    sort runs on the quantized integers so both engines cut the same
+    top-50 deterministically)."""
+    from tldr_spark.operators.crawl_delta import rank_movers
+
+    mv = rank_movers(
+        derive_edges_prev(spark, sf_dir),
+        derive_edges(spark, sf_dir),
+        n_iter=_MOVERS_ITERS,
+        damping=DAMPING,
+    )
+    q = mv.select(
+        F.col("id").alias("vertex"),
+        F.round(F.col("rank_old") * 1048576).cast("long").alias("rank_old_q"),
+        F.round(F.col("rank_new") * 1048576).cast("long").alias("rank_new_q"),
+    ).withColumn("delta_q", F.col("rank_new_q") - F.col("rank_old_q"))
+    return q.orderBy(F.abs(F.col("delta_q")).desc(), F.asc("vertex")).limit(50)
 
 
 # Geometric diffusion: base 1/2 (binary-exact coefficients 2^-1..2^-(K+1));
@@ -4932,6 +5046,8 @@ _WINDOW_PRIORITY = [
     "random_failure_tolerance",
     "global_efficiency_probes",
     "geometric_diffusion_fixed8",
+    "crawl_edge_delta",
+    "crawl_rank_movers",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",

@@ -2538,3 +2538,84 @@ def test_global_efficiency_unreachable_probe(spark):
     assert row["wiener_sum"] == 3
     assert row["avg_dist"] == pytest.approx(1.5)
     assert row["efficiency"] == pytest.approx((1.0 + 0.5) / (2 * 2))
+
+
+# ---------------------------------------------------------------------------
+# incremental-crawl delta (snapshot diff + rank movers)
+# ---------------------------------------------------------------------------
+
+def test_edges_prev_is_strict_subset(spark):
+    """The previous snapshot is the current one minus exactly each page's
+    k = deg-1 edge (self-loop-filtered), so multiset containment holds."""
+    from collections import Counter
+
+    from tldr_spark.sources.tables import derive_edges, derive_edges_prev
+
+    sf = "/root/testdata/sf0.001"
+    cur = Counter(
+        (r["src"], r["dst"], r["weight"]) for r in derive_edges(spark, sf).collect()
+    )
+    prev = Counter(
+        (r["src"], r["dst"], r["weight"])
+        for r in derive_edges_prev(spark, sf).collect()
+    )
+    assert all(prev[k] <= cur[k] for k in prev)
+    # per-page deficit is exactly the (possibly self-loop-dropped) last link
+    dropped = cur - prev
+    by_src = Counter(s for (s, _d, _w) in dropped.elements())
+    assert all(c == 1 for c in by_src.values())
+
+
+def _delta_py(old, new):
+    from collections import defaultdict
+
+    def agg(edges):
+        m = defaultdict(lambda: [0, 0.0])
+        for s, d, w in edges:
+            m[(s, d)][0] += 1
+            m[(s, d)][1] += w
+        return m
+
+    o, n = agg(old), agg(new)
+    out = {}
+    for k in set(o) | set(n):
+        n_old, w_old = o.get(k, [0, 0.0])
+        n_new, w_new = n.get(k, [0, 0.0])
+        if n_old != n_new or w_old != w_new:
+            status = "added" if n_old == 0 else ("removed" if n_new == 0 else "changed")
+            out[k] = (n_old, n_new, w_old, w_new, status)
+    return out
+
+
+def test_edge_delta_matches_python(spark):
+    from tldr_spark.operators.crawl_delta import edge_delta
+
+    old = [(0, 1, 1.0), (0, 1, 2.0), (1, 2, 3.0), (2, 3, 1.0), (4, 5, 2.0)]
+    new = [(0, 1, 1.0), (1, 2, 3.0), (2, 3, 1.0), (2, 3, 1.0), (6, 7, 1.0)]
+    df_old = spark.createDataFrame(old, "src long, dst long, weight double")
+    df_new = spark.createDataFrame(new, "src long, dst long, weight double")
+    got = {
+        (r["src"], r["dst"]): (r["n_old"], r["n_new"], r["w_old"], r["w_new"], r["status"])
+        for r in edge_delta(df_old, df_new).collect()
+    }
+    assert got == _delta_py(old, new)
+    assert got[(4, 5)][4] == "removed"
+    assert got[(6, 7)][4] == "added"
+    assert got[(0, 1)][4] == "changed" and got[(2, 3)][4] == "changed"
+    assert (1, 2) not in got  # identical pair filtered out
+
+
+def test_rank_movers_vertex_entry_and_exit(spark):
+    """A vertex present only in one snapshot gets 0.0 on the missing side;
+    deltas are rank_new - rank_old; identical snapshots give all-zero
+    deltas."""
+    from tldr_spark.operators.crawl_delta import rank_movers
+
+    old = _df(spark, [(0, 1), (1, 2)])
+    new = _df(spark, [(0, 1), (1, 2), (2, 3)])
+    mv = {r["id"]: r for r in rank_movers(old, new, n_iter=8).collect()}
+    assert mv[3]["rank_old"] == 0.0 and mv[3]["rank_new"] > 0.0
+    for r in mv.values():
+        assert r["delta"] == pytest.approx(r["rank_new"] - r["rank_old"])
+    same = rank_movers(new, new, n_iter=8).collect()
+    assert all(r["delta"] == 0.0 for r in same)

@@ -72,6 +72,39 @@ def derive_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derive_edges_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PREVIOUS crawl snapshot of the same link graph: identical
+    derivation, but each page's newest out-link (k = deg-1) had not been
+    crawled yet — so every page carries one edge fewer, and pages whose
+    current out-degree is 1 had no out-links at all. Gives a deterministic
+    two-snapshot pair for incremental-crawl analytics (edge delta, rank
+    movers) with the same bit-exact cross-engine reproducibility as
+    :func:`derive_edges`."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    deg = (
+        F.lit(1)
+        + (d * d) % 7
+        + F.when(d % 50 == 0, F.lit(20)).otherwise(F.lit(0))
+    )
+    x = d * 131 + F.col("k") * 101 + 7
+    b0 = d - d % BLOCK
+    bs = F.least(F.lit(BLOCK).cast("long"), F.lit(n) - b0)
+    dst = b0 + F.when(x % 5 < 2, x % 10).otherwise(x % 97) % bs
+    return (
+        docs.withColumn("deg", deg)
+        .filter(F.col("deg") >= 2)
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.col("deg") - 2)))
+        .select(
+            d.cast("long").alias("src"),
+            dst.cast("long").alias("dst"),
+            (F.lit(1.0) + (x % 3).cast("double")).alias("weight"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
 def edges_oracle_cte() -> str:
     """DuckDB CTE body producing the identical edge table (view: documents)."""
     return f"""
@@ -94,4 +127,33 @@ def edges_oracle_cte() -> str:
     FROM raw, nn
   ),
   e AS (SELECT src, dst, weight FROM edges WHERE src <> dst)
+""".strip()
+
+
+def edges_prev_oracle_cte() -> str:
+    """DuckDB CTE body for the PREVIOUS crawl snapshot (``ep``) — mirrors
+    :func:`derive_edges_prev` exactly: each page's k = deg-1 out-link is
+    absent. Self-contained names (p-prefixed) so it composes with
+    :func:`edges_oracle_cte` in one WITH clause."""
+    return f"""
+  pnn AS (SELECT COUNT(*) AS n FROM documents),
+  pdd AS (
+    SELECT doc_id AS d,
+           1 + (doc_id*doc_id) % 7
+             + CASE WHEN doc_id % 50 = 0 THEN 20 ELSE 0 END AS deg
+    FROM documents
+  ),
+  praw AS (
+    SELECT d, d*131 + u.k*101 + 7 AS x, d - (d % {BLOCK}) AS b0
+    FROM pdd, UNNEST(generate_series(0, deg - 2)) AS u(k)
+    WHERE deg >= 2
+  ),
+  pedges AS (
+    SELECT d AS src,
+           b0 + (CASE WHEN x % 5 < 2 THEN x % 10 ELSE x % 97 END)
+              % (CASE WHEN {BLOCK} < pnn.n - b0 THEN {BLOCK} ELSE pnn.n - b0 END) AS dst,
+           CAST(1.0 + (x % 3) AS DOUBLE) AS weight
+    FROM praw, pnn
+  ),
+  ep AS (SELECT src, dst, weight FROM pedges WHERE src <> dst)
 """.strip()
