@@ -3710,6 +3710,29 @@ def q_leiden_communities(spark, sf_dir):
     )
 
 
+@_q("kmeans_embeddings", None)
+def q_kmeans_embeddings(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embeddings table (k=8, 5
+    rounds, deterministic hash-min init): per-cluster sizes plus the
+    2^-20-quantized global inertia. Rows-only: cross-engine float argmin
+    cascades make a SQL oracle unsafe; the operator is pinned by
+    tests/test_round4_ops.py against an identical-arithmetic NumPy Lloyd
+    oracle (exact assignment + centroid equality)."""
+    from tldr_spark.operators.kmeans import kmeans
+
+    res = kmeans(load(spark, sf_dir, "embeddings"), k=8, iters=5)
+    return (
+        res.assignments.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(
+            "cluster",
+            "n_points",
+            F.lit(round(res.inertia * 1048576)).cast("long").alias("inertia_q"),
+        )
+        .orderBy("cluster")
+    )
+
+
 @_q("louvain_communities", None)
 def q_louvain_communities(spark, sf_dir):
     """Full MULTILEVEL Louvain (phase-1 + weighted contraction, repeated)

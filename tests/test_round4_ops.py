@@ -2619,3 +2619,98 @@ def test_rank_movers_vertex_entry_and_exit(spark):
         assert r["delta"] == pytest.approx(r["rank_new"] - r["rank_old"])
     same = rank_movers(new, new, n_iter=8).collect()
     assert all(r["delta"] == 0.0 for r in same)
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd's k-means
+# ---------------------------------------------------------------------------
+
+def _kmeans_py(vecs, ids, k, iters):
+    """Identical-arithmetic NumPy Lloyd: hash-min init, first-min ties,
+    empty clusters keep their centroid, inertia vs FINAL centroids."""
+    import numpy as np
+
+    X = np.asarray(vecs, dtype=np.float64)
+    order = sorted(range(len(ids)), key=lambda i: ((ids[i] * 2654435761) % (2**32), ids[i]))
+    cents = X[order[:k]].copy()
+
+    def assign(c):
+        d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (X @ c.T)
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iters):
+        a = assign(cents)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cents[j] = X[m].mean(axis=0)
+    a = assign(cents)
+    d2 = (X * X).sum(axis=1) - 2.0 * (X * cents[a]).sum(axis=1) + (cents[a] * cents[a]).sum(axis=1)
+    return {ids[i]: int(a[i]) for i in range(len(ids))}, cents, float(np.maximum(d2, 0).sum())
+
+
+def _blob_data(seed, n, d, k_true):
+    """Well-separated deterministic blobs (LCG noise around spread centers)."""
+    pts = []
+    x = seed
+    for i in range(n):
+        c = i % k_true
+        row = []
+        for j in range(d):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            noise = ((x >> 20) % 1000) / 1000.0 - 0.5
+            row.append(100.0 * c + (10.0 if j == c else 0.0) + noise)
+        pts.append(row)
+    return pts
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    from tldr_spark.operators.kmeans import kmeans
+
+    n, d, k = 60, 6, 3
+    vecs = _blob_data(7, n, d, k)
+    ids = list(range(n))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in ids], "vec_id long, embedding array<double>"
+    )
+    res = kmeans(df, k=k, iters=4)
+    exp_assign, exp_cents, exp_inertia = _kmeans_py(vecs, ids, k, 4)
+    got = {r["id"]: r["cluster"] for r in res.assignments.collect()}
+    assert got == exp_assign
+    assert res.centroids == pytest.approx(exp_cents, rel=1e-9)
+    assert res.inertia == pytest.approx(exp_inertia, rel=1e-9)
+
+
+def test_kmeans_separated_blobs_recovered(spark):
+    """k = k_true on well-separated blobs: every blob lands in one cluster."""
+    from tldr_spark.operators.kmeans import kmeans
+
+    n, d, k = 40, 5, 4
+    vecs = _blob_data(3, n, d, k)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    res = kmeans(df, k=k, iters=5)
+    got = {r["id"]: r["cluster"] for r in res.assignments.collect()}
+    for i in range(n):
+        for j in range(i + 1, n):
+            same_blob = (i % k) == (j % k)
+            assert (got[i] == got[j]) == same_blob, (i, j)
+
+
+def test_kmeans_k1_and_empty(spark):
+    from tldr_spark.operators.kmeans import kmeans
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [2.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    res = kmeans(df, k=1, iters=3)
+    assert {r["cluster"] for r in res.assignments.collect()} == {0}
+    import numpy as np
+
+    assert res.centroids == pytest.approx(np.array([[1.0, 1.0]]))
+    assert res.inertia == pytest.approx(4.0)  # 2 * (1^2 + 1^2)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    res0 = kmeans(empty, k=3, iters=2)
+    assert res0.assignments.count() == 0 and res0.inertia == 0.0
