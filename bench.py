@@ -546,6 +546,24 @@ def run_secondary(deadline: float | None = None) -> dict:
         ).edge_scores.count())
         from tldr_spark.operators.kcore import onion_decomposition
         t("onion", lambda: onion_decomposition(edges).assignments.count())
+        # round-4 continuation: diffusion / crawl-delta / kmeans wave
+        from tldr_spark.operators.diffusion import geometric_diffusion
+        t("diffusion8", lambda: geometric_diffusion(edges, seeds, iters=8).count())
+        from tldr_spark.operators.bfs import global_efficiency
+        eff_probes = (
+            edges.select(F.col("src").alias("id"))
+            .filter(F.col("id") % 100 == 0)
+            .distinct()
+        )
+        t("global_efficiency", lambda: global_efficiency(
+            edges, eff_probes, max_levels=40).count())
+        from tldr_spark.operators.crawl_delta import edge_delta, rank_movers
+        from tldr_spark.sources.tables import derive_edges_prev
+        prev_edges = derive_edges_prev(spark, SF_DIR)
+        t("crawl_delta", lambda: edge_delta(prev_edges, edges).count())
+        t("rank_movers12", lambda: rank_movers(prev_edges, edges, n_iter=12).count())
+        from tldr_spark.operators.kmeans import kmeans as _kmeans
+        t("kmeans8x5", lambda: _kmeans(embs, k=8, iters=5).assignments.count())
         # leiden LAST: multilevel loop (move pass + CC + contraction per
         # level) is the longest table entry; everything above lands first
         # if the budget is tight
