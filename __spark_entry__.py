@@ -4368,6 +4368,42 @@ def q_user_sessions(spark, sf_dir):
     return session_stats(events, gap_seconds=21600)
 
 
+# batch sessions minus each user's LAST (still-open) session == exactly the
+# sessions the streaming operator has PROVEN closed
+_CLOSED_SESSIONS_SQL = """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+  b AS (SELECT user_id, ts_us, event_type,
+          CASE WHEN LAG(ts_us) OVER w IS NULL
+                 OR ts_us - LAG(ts_us) OVER w > 21600 * 1000000::BIGINT
+               THEN 1 ELSE 0 END AS brk
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+  s AS (SELECT user_id, ts_us, event_type,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM b),
+  agg AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+            CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us,
+            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+          FROM s GROUP BY 1, 2),
+  mx AS (SELECT user_id, MAX(session_seq) AS last_seq FROM agg GROUP BY 1)
+SELECT a.user_id, a.session_seq, a.n_events, a.start_us, a.end_us,
+       a.duration_us, a.n_event_types
+FROM agg a JOIN mx USING (user_id) WHERE a.session_seq < mx.last_seq"""
+
+
+@_q("stream_closed_sessions", _CLOSED_SESSIONS_SQL)
+def q_stream_closed_sessions(spark, sf_dir):
+    """Stateful STREAMING sessionization (applyInPandasWithState): closed
+    sessions emitted as later events prove them closed; the open tail per
+    user stays in the state store. Batch-deterministic via a single-file
+    availableNow drain, so the oracle is the batch sessionization minus
+    each user's last session."""
+    from tldr_spark.streaming.stateful_sessions import streamed_closed_sessions
+
+    return streamed_closed_sessions(spark, sf_dir, gap_seconds=21600)
+
+
 _TFIDF_TOP_SQL = f"""WITH {_SQL_TOKS},
   tc AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
   dfq AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY 1),
@@ -5071,6 +5107,7 @@ _WINDOW_PRIORITY = [
     "geometric_diffusion_fixed8",
     "crawl_edge_delta",
     "crawl_rank_movers",
+    "stream_closed_sessions",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",

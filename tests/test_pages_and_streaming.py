@@ -125,3 +125,100 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     rows = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_stream").collect()}
     # one survivor per distinct text, first-seen doc id
     assert rows == {0, 2}
+
+
+def test_stateful_streaming_sessions_single_batch(spark, tmp_path):
+    """Closed sessions from one drain == batch sessionization minus each
+    user's last session; out-of-order rows WITHIN the batch are sorted."""
+    from tldr_spark.streaming.stateful_sessions import streaming_sessions
+
+    h = 3_600  # seconds
+    # user 1: sessions [0h,1h], [10h], [20h,20.5h] -> closed: first two
+    # user 2: one session only -> nothing closed
+    rows = [
+        (1, 10 * h, "b"),
+        (1, 0 * h, "a"),
+        (1, 1 * h, "b"),
+        (1, 20 * h, "a"),
+        (1, int(20.5 * h), "c"),
+        (2, 5 * h, "a"),
+        (2, 6 * h, "a"),
+    ]
+    landing = str(tmp_path / "ev_landing")
+    spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows], "user_id long, secs long, event_type string"
+    ).selectExpr(
+        "user_id", "timestamp_seconds(secs) AS ts", "event_type"
+    ).coalesce(1).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(landing)
+    q = (
+        streaming_sessions(stream, gap_seconds=6 * h)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"],
+            r["start_us"],
+            r["end_us"],
+            r["duration_us"],
+            r["n_event_types"],
+        )
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    us = 1_000_000
+    assert got == {
+        (1, 1): (2, 0, h * us, h * us, 2),
+        (1, 2): (1, 10 * h * us, 10 * h * us, 0, 1),
+    }
+
+
+def test_stateful_streaming_sessions_across_batches(spark, tmp_path):
+    """A second drain (same checkpoint) closes the session left open by the
+    first and continues the per-user session_seq from state."""
+    from tldr_spark.streaming.stateful_sessions import streaming_sessions
+
+    h = 3_600
+    landing = str(tmp_path / "ev_landing2")
+    ckpt = str(tmp_path / "ck_sess2")
+    emitted: dict = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            emitted[(r["user_id"], r["session_seq"])] = r["n_events"]
+
+    def drain(rows):
+        spark.createDataFrame(
+            rows, "user_id long, secs long, event_type string"
+        ).selectExpr(
+            "user_id", "timestamp_seconds(secs) AS ts", "event_type"
+        ).coalesce(1).write.mode("append").parquet(landing)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).parquet(landing)
+        q = (
+            streaming_sessions(stream, gap_seconds=2 * h)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return dict(emitted)
+
+    # batch 1: one open session (0h, 1h) — nothing emitted yet
+    assert drain([(7, 0, "a"), (7, h, "b")]) == {}
+    # batch 2: event at 10h closes it (gap 2h); new open tail at 10h
+    got = drain([(7, 10 * h, "a")])
+    assert got == {(7, 1): 2}
+    # batch 3: event at 20h closes session 2 as well
+    got = drain([(7, 20 * h, "a")])
+    assert got == {(7, 1): 2, (7, 2): 1}
