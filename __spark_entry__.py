@@ -1658,6 +1658,58 @@ def q_random_walks(spark, sf_dir):
     return random_walks(derive_edges(spark, sf_dir), walk_length=8, walks_per_vertex=2)
 
 
+# node2vec: integer α-weights (return 1, distance-1 2, outward 4 ≈ p=2,
+# q=0.5); selection = cumulative-weight interval containing H mod total —
+# exact integer arithmetic, same md5 recipe as the first-order walks
+_N2V_W = (1, 2, 4)
+
+_NODE2VEC_SQL = f"""WITH RECURSIVE {_E},
+  g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+  vs AS (SELECT DISTINCT src FROM g),
+  n2(start, walk, step, prev, vertex) AS (
+    SELECT src, k.k, 0, CAST(NULL AS BIGINT), src
+    FROM vs, (SELECT UNNEST(generate_series(0, 1)) AS k) k
+    UNION ALL
+    SELECT start, walk, step + 1, vertex, nxt FROM (
+      SELECT b.start, b.walk, b.step AS step, b.vertex, b.nxt, b.w AS w,
+             SUM(b.w) OVER (PARTITION BY b.start, b.walk, b.step
+                            ORDER BY b.nxt ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(b.w) OVER (PARTITION BY b.start, b.walk, b.step) AS tot,
+             CAST(concat('0x', substr(md5(
+               concat(b.start, '-', b.walk, '-', b.step)), 1, 8)) AS BIGINT) AS h
+      FROM (
+        SELECT r.start, r.walk, r.step, r.vertex, a.dst AS nxt,
+               CASE WHEN r.prev IS NULL THEN 1
+                    WHEN a.dst = r.prev THEN {_N2V_W[0]}
+                    WHEN m.src IS NOT NULL THEN {_N2V_W[1]}
+                    ELSE {_N2V_W[2]} END AS w
+        FROM n2 r
+        JOIN g a ON a.src = r.vertex
+        LEFT JOIN g m ON m.src = r.prev AND m.dst = a.dst
+      ) b
+    ) WHERE step < 8 AND cum - w <= (h % tot) AND (h % tot) < cum
+  )
+SELECT start, CAST(walk AS INTEGER) AS walk, CAST(step AS INTEGER) AS step, vertex
+FROM n2"""
+
+
+@_q("node2vec_walks", _NODE2VEC_SQL)
+def q_node2vec_walks(spark, sf_dir):
+    """Second-order biased (node2vec) walk corpus, integer α-weights
+    (1, 2, 4), 8 steps × 2 walks per vertex — deterministic and
+    bit-identical across engines like the first-order random_walks."""
+    from tldr_spark.operators.walks import node2vec_walks
+
+    return node2vec_walks(
+        derive_edges(spark, sf_dir),
+        walk_length=8,
+        walks_per_vertex=2,
+        return_w=_N2V_W[0],
+        in_w=_N2V_W[1],
+        out_w=_N2V_W[2],
+    )
+
+
 # walk-PMI reuses the EXACT rw recursion from _WALKS_SQL (sliced, so the
 # two oracles cannot drift) and adds the skip-gram pair/marginal algebra
 _WALK_PMI_SQL = _WALKS_SQL[: _WALKS_SQL.rindex("SELECT start")] + """,
@@ -5108,6 +5160,7 @@ _WINDOW_PRIORITY = [
     "crawl_edge_delta",
     "crawl_rank_movers",
     "stream_closed_sessions",
+    "node2vec_walks",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",

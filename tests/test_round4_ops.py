@@ -2714,3 +2714,93 @@ def test_kmeans_k1_and_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     res0 = kmeans(empty, k=3, iters=2)
     assert res0.assignments.count() == 0 and res0.inertia == 0.0
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order biased walks
+# ---------------------------------------------------------------------------
+
+def _node2vec_py(edges, walk_length, walks_per_vertex, rw, iw, ow):
+    import hashlib
+
+    adj = {}
+    eset = set()
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        eset.add((s, d))
+    adj = {s: sorted(ds) for s, ds in adj.items()}
+
+    def h32(start, walk, step):
+        return int(hashlib.md5(f"{start}-{walk}-{step}".encode()).hexdigest()[:8], 16)
+
+    rows = []
+    for start in sorted(adj):
+        for walk in range(walks_per_vertex):
+            prev, cur = None, start
+            rows.append((start, walk, 0, start))
+            for step in range(walk_length):
+                cands = adj.get(cur, [])
+                if not cands:
+                    break
+                ws = [
+                    1 if prev is None
+                    else (rw if x == prev else (iw if (prev, x) in eset else ow))
+                    for x in cands
+                ]
+                r = h32(start, walk, step) % sum(ws)
+                cum = 0
+                for x, w in zip(cands, ws):
+                    cum += w
+                    if r < cum:
+                        nxt = x
+                        break
+                rows.append((start, walk, step + 1, nxt))
+                prev, cur = cur, nxt
+    return sorted(rows)
+
+
+def test_node2vec_matches_python(spark):
+    from tldr_spark.operators.walks import node2vec_walks
+
+    edges = _rand_edges(17, 30, 90)
+    got = sorted(
+        (r["start"], r["walk"], r["step"], r["vertex"])
+        for r in node2vec_walks(
+            _df(spark, edges), walk_length=6, walks_per_vertex=2
+        ).collect()
+    )
+    assert got == _node2vec_py(edges, 6, 2, 1, 2, 4)
+
+
+def test_node2vec_return_weight_dominates(spark):
+    """From vertex 1 with prev=0 the candidates are {0 (return), 2 (out)}:
+    a ~10^6:1 weight ratio pins the hash interval to one arm, so the walk
+    must bounce back (huge return_w) or push outward (huge out_w)."""
+    from tldr_spark.operators.walks import node2vec_walks
+
+    # 0 <-> 1, plus 1 -> 2; from 1 with prev=0: cands [0 (return), 2 (out)]
+    edges = [(0, 1), (1, 0), (1, 2)]
+    # return_w huge: every walk that reaches 1 from 0 must bounce back to 0
+    walks = node2vec_walks(
+        _df(spark, edges), walk_length=3, walks_per_vertex=2,
+        return_w=10**6, in_w=1, out_w=1,
+    ).collect()
+    byw = {}
+    for r in walks:
+        byw.setdefault((r["start"], r["walk"]), {})[r["step"]] = r["vertex"]
+    for (s, _w), steps in byw.items():
+        for t in range(1, max(steps)):
+            if steps.get(t) == 1 and steps[t - 1] == 0 and (t + 1) in steps:
+                assert steps[t + 1] == 0  # bounced back
+    # out_w huge: from 1 with prev=0 the walk must push on to 2
+    walks = node2vec_walks(
+        _df(spark, edges), walk_length=3, walks_per_vertex=2,
+        return_w=1, in_w=1, out_w=10**6,
+    ).collect()
+    byw = {}
+    for r in walks:
+        byw.setdefault((r["start"], r["walk"]), {})[r["step"]] = r["vertex"]
+    for (s, _w), steps in byw.items():
+        for t in range(1, max(steps)):
+            if steps.get(t) == 1 and steps[t - 1] == 0 and (t + 1) in steps:
+                assert steps[t + 1] == 2  # pushed outward

@@ -90,6 +90,110 @@ def random_walks(
     return out
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 8,
+    walks_per_vertex: int = 2,
+    return_w: int = 1,
+    in_w: int = 2,
+    out_w: int = 4,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """(start, walk, step, vertex) — SECOND-ORDER biased walks (node2vec,
+    Grover & Leskovec KDD'16) with INTEGER α-weights instead of 1/p, 1, 1/q
+    floats: candidate x from cur with predecessor prev weighs
+
+        return_w  if x == prev            (the 1/p return arm)
+        in_w      if edge (prev → x)      (the distance-1 arm)
+        out_w     otherwise               (the 1/q explore arm)
+
+    and the step picks the neighbor whose cumulative-weight interval (in
+    dst order) contains H(start, walk, step) mod total_weight — exact
+    integer arithmetic end to end, so Spark, the DuckDB oracle, and a
+    Python mirror reproduce the walk table bit-for-bit (same determinism
+    contract as :func:`random_walks`; defaults (1, 2, 4) ≈ p=2, q=0.5 —
+    the outward/DFS-leaning regime). Step 0→1 has no predecessor: uniform
+    (all weights 1), as in the reference sampler.
+
+    Shape per step: frontier ⋈ adjacency (fan-out outdeg) + one LEFT
+    equi-join against the edge set for the (prev → x) marker + a
+    per-(walk, step) window cumsum over outdeg-sized groups — no
+    all-pairs term anywhere; cost ~ walk rows × avg outdeg per step."""
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+        .persist()
+    )
+    e.count()
+    if starts is None:
+        starts = e.select(F.col("src").alias("id")).distinct()
+    ks = F.explode(F.array(*[F.lit(k) for k in range(walks_per_vertex)])).alias("walk")
+    state = (
+        starts.select(F.col("id").cast("long").alias("start"), ks)
+        .select(
+            "start",
+            "walk",
+            F.lit(0).alias("step"),
+            F.lit(None).cast("long").alias("prev"),
+            F.col("start").alias("vertex"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frames = [state.select("start", "walk", "step", "vertex")]
+    cand_e = e.select(F.col("src").alias("cv"), F.col("dst").alias("nxt"))
+    mark_e = e.select(
+        F.col("src").alias("mp"), F.col("dst").alias("mx"), F.lit(True).alias("mk")
+    )
+    win = Window.partitionBy("start", "walk", "step")
+    for _ in range(walk_length):
+        cand = (
+            state.join(cand_e, state["vertex"] == cand_e["cv"])
+            .join(
+                mark_e,
+                (F.col("prev") == F.col("mp")) & (F.col("nxt") == F.col("mx")),
+                "left",
+            )
+            .select(
+                "start",
+                "walk",
+                "step",
+                "prev",
+                "vertex",
+                "nxt",
+                F.when(F.col("prev").isNull(), F.lit(1))
+                .when(F.col("nxt") == F.col("prev"), F.lit(return_w))
+                .when(F.col("mk").isNotNull(), F.lit(in_w))
+                .otherwise(F.lit(out_w))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        picked = (
+            cand.select(
+                "*",
+                F.sum("w").over(win.orderBy("nxt").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+                F.sum("w").over(win).alias("tot"),
+            )
+            .withColumn("r", F.pmod(_hash32("start", "walk", "step"), F.col("tot")))
+            .filter((F.col("cum") - F.col("w") <= F.col("r")) & (F.col("r") < F.col("cum")))
+            .select(
+                "start",
+                "walk",
+                (F.col("step") + 1).alias("step"),
+                F.col("vertex").alias("prev"),
+                F.col("nxt").alias("vertex"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frames.append(picked.select("start", "walk", "step", "vertex"))
+        state = picked
+        if picked.isEmpty():
+            break
+    out = reduce(DataFrame.unionByName, frames)
+    e.unpersist()
+    return out
+
+
 def walk_pmi_pairs(
     edges: DataFrame,
     window: int = 2,
