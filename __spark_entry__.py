@@ -3762,6 +3762,24 @@ def q_leiden_communities(spark, sf_dir):
     )
 
 
+@_q("anchor_text_index", None)
+def q_anchor_text_index(spark, sf_dir):
+    """Anchor-text index over the synthetic Common-Crawl-style pages: the
+    terms the rest of the web uses for each target URL (off-page retrieval
+    signal). Rows-only (html bytes come from the python generator, not
+    SQL-reproducible); extraction + aggregation pinned by
+    tests/test_round4_ops.py against a pure-python regex oracle."""
+    from tldr_spark.operators.index import anchor_text_index
+    from tldr_spark.sources.synth_pages import generate_pages
+
+    pages = generate_pages(spark, n_pages=1000, num_partitions=8)
+    return (
+        anchor_text_index(pages)
+        .orderBy(F.desc("n_mentions"), F.asc("dst_url"), F.asc("term"))
+        .limit(50)
+    )
+
+
 @_q("kmeans_embeddings", None)
 def q_kmeans_embeddings(spark, sf_dir):
     """Distributed Lloyd's k-means over the embeddings table (k=8, 5

@@ -564,6 +564,9 @@ def run_secondary(deadline: float | None = None) -> dict:
         t("rank_movers12", lambda: rank_movers(prev_edges, edges, n_iter=12).count())
         from tldr_spark.operators.kmeans import kmeans as _kmeans
         t("kmeans8x5", lambda: _kmeans(embs, k=8, iters=5).assignments.count())
+        from tldr_spark.operators.walks import node2vec_walks
+        t("node2vec8x2", lambda: node2vec_walks(
+            edges, walk_length=8, walks_per_vertex=2).count())
         # leiden LAST: multilevel loop (move pass + CC + contraction per
         # level) is the longest table entry; everything above lands first
         # if the budget is tight

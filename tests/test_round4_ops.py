@@ -2804,3 +2804,54 @@ def test_node2vec_return_weight_dominates(spark):
         for t in range(1, max(steps)):
             if steps.get(t) == 1 and steps[t - 1] == 0 and (t + 1) in steps:
                 assert steps[t + 1] == 2  # pushed outward
+
+
+# ---------------------------------------------------------------------------
+# anchor-text index
+# ---------------------------------------------------------------------------
+
+def test_anchor_text_index_matches_python(spark):
+    import re
+    from collections import defaultdict
+
+    from tldr_spark.operators.index import ANCHOR_RE, anchor_text_index
+    from tldr_spark.sources.synth_pages import generate_pages
+
+    pages = generate_pages(spark, n_pages=120, num_partitions=4)
+    rows = pages.select("url", "html").collect()
+    pat = re.compile(ANCHOR_RE)
+    mentions = defaultdict(int)
+    sources = defaultdict(set)
+    for r in rows:
+        html = bytes(r["html"]).decode("utf-8")
+        for href, atext in pat.findall(html):
+            for term in atext.strip().split():
+                mentions[(href, term)] += 1
+                sources[(href, term)].add(r["url"])
+    exp = {k: (mentions[k], len(sources[k])) for k in mentions}
+    got = {
+        (r["dst_url"], r["term"]): (r["n_mentions"], r["n_sources"])
+        for r in anchor_text_index(pages).collect()
+    }
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_anchor_text_index_handcrafted(spark):
+    from tldr_spark.operators.index import anchor_text_index
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a/", b'<a href="http://t/">big cats</a><a href="http://t/">cats</a>'),
+            ("http://b/", b'x <a href="http://t/">cats</a> y <a href="http://u/"> </a>'),
+        ],
+        "url string, html binary",
+    )
+    got = {
+        (r["dst_url"], r["term"]): (r["n_mentions"], r["n_sources"])
+        for r in anchor_text_index(pages).collect()
+    }
+    assert got == {
+        ("http://t/", "big"): (1, 1),
+        ("http://t/", "cats"): (3, 2),
+    }

@@ -184,3 +184,45 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+ANCHOR_RE = r'<a\s+href="([^"]*)"\s*>([^<]*)</a>'
+
+
+def anchor_text_index(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(dst_url, term, n_mentions, n_sources) — the anchor-text index: what
+    the rest of the web CALLS each target page, the classic off-page
+    retrieval signal (anchor terms often describe a target better than its
+    own body text — Brin & Page '98 §2.2; Craswell et al. SIGIR'01).
+
+    All JVM-side, zero UDFs: two `regexp_extract_all` passes over the html
+    (same pattern, group 1 = href / group 2 = anchor text — identical match
+    lists by construction) zipped and exploded, anchor text whitespace-
+    tokenized, then ONE shuffle on (dst_url, term). Cost scales with total
+    link count; at web scale this is the page-granularity companion of the
+    host-graph rollup (pre-aggregate per partition, then the hash exchange).
+    """
+    html_s = F.col(html_col).cast("string")
+    pat = F.lit(ANCHOR_RE)
+    pairs = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(html_s, pat, F.lit(1)).alias("href"),
+                F.regexp_extract_all(html_s, pat, F.lit(2)).alias("atext"),
+            )
+        ).alias("a"),
+    ).select("src_url", F.col("a.href").alias("dst_url"), F.col("a.atext").alias("atext"))
+    terms = pairs.select(
+        "src_url",
+        "dst_url",
+        F.explode(F.split(F.trim(F.col("atext")), r"[ \t\n\r\f]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return terms.groupBy("dst_url", "term").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("src_url").alias("n_sources"),
+    )
