@@ -1658,6 +1658,36 @@ def q_random_walks(spark, sf_dir):
     return random_walks(derive_edges(spark, sf_dir), walk_length=8, walks_per_vertex=2)
 
 
+_CONFIG_MODEL_SQL = f"""WITH {_E},
+  keyed AS (SELECT src, dst,
+            ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY src) AS occ
+            FROM e),
+  hs AS (SELECT src,
+           CAST(concat('0x', substr(md5(concat(src, '-', dst, '-', occ, '-s')), 1, 8))
+             AS BIGINT) AS h,
+           dst, occ FROM keyed),
+  hd AS (SELECT dst,
+           CAST(concat('0x', substr(md5(concat(src, '-', dst, '-', occ, '-d')), 1, 8))
+             AS BIGINT) AS h,
+           src, occ FROM keyed),
+  rs AS (SELECT src, ROW_NUMBER() OVER (ORDER BY h, src, dst, occ) AS rnk FROM hs),
+  rd AS (SELECT dst, ROW_NUMBER() OVER (ORDER BY h, dst, src, occ) AS rnk FROM hd)
+SELECT rs.src, rd.dst, CAST(COUNT(*) AS BIGINT) AS n
+FROM rs JOIN rd USING (rnk) WHERE rs.src <> rd.dst
+GROUP BY 1, 2"""
+
+
+@_q("config_model_edges", _CONFIG_MODEL_SQL)
+def q_config_model_edges(spark, sf_dir):
+    """One deterministic configuration-model rewiring of the link graph
+    (degree-preserving null model for motif/assortativity significance):
+    out-stubs re-paired with in-stubs by independent md5 orders, self-loops
+    dropped, multi-edges collapsed with multiplicity."""
+    from tldr_spark.operators.nullmodel import configuration_model
+
+    return configuration_model(derive_edges(spark, sf_dir))
+
+
 # node2vec: integer α-weights (return 1, distance-1 2, outward 4 ≈ p=2,
 # q=0.5); selection = cumulative-weight interval containing H mod total —
 # exact integer arithmetic, same md5 recipe as the first-order walks
@@ -5179,6 +5209,7 @@ _WINDOW_PRIORITY = [
     "crawl_rank_movers",
     "stream_closed_sessions",
     "node2vec_walks",
+    "config_model_edges",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",

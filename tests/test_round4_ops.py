@@ -2855,3 +2855,75 @@ def test_anchor_text_index_handcrafted(spark):
         ("http://t/", "big"): (1, 1),
         ("http://t/", "cats"): (3, 2),
     }
+
+
+# ---------------------------------------------------------------------------
+# configuration-model null graph
+# ---------------------------------------------------------------------------
+
+def _config_model_py(edges):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    occ = defaultdict(int)
+    keyed = []
+    for s, d in edges:
+        occ[(s, d)] += 1
+        keyed.append((s, d, occ[(s, d)]))
+
+    def h(s, d, o, tag):
+        return int(hashlib.md5(f"{s}-{d}-{o}-{tag}".encode()).hexdigest()[:8], 16)
+
+    rs = sorted(keyed, key=lambda k: (h(*k, "s"), k[0], k[1], k[2]))
+    rd = sorted(keyed, key=lambda k: (h(*k, "d"), k[1], k[0], k[2]))
+    out = Counter()
+    for (s, _d, _o), (_s2, d2, _o2) in zip(rs, rd):
+        if s != d2:
+            out[(s, d2)] += 1
+    return dict(out)
+
+
+def test_config_model_matches_python_and_preserves_degrees(spark):
+    from collections import Counter
+
+    from tldr_spark.operators.nullmodel import configuration_model
+
+    edges = _rand_edges(23, 40, 150) + [(1, 2), (1, 2)]  # force multi-edges
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in configuration_model(_df(spark, edges)).collect()
+    }
+    exp = _config_model_py(edges)
+    assert got == exp
+    # degree multisets preserved up to dropped self-loops
+    out_orig = Counter(s for s, _ in edges)
+    in_orig = Counter(d for _, d in edges)
+    out_new = Counter()
+    in_new = Counter()
+    for (s, d), n in got.items():
+        out_new[s] += n
+        in_new[d] += n
+    for v in out_new:
+        assert out_new[v] <= out_orig[v]
+    for v in in_new:
+        assert in_new[v] <= in_orig[v]
+    # both sides lose exactly the dropped self-loop stubs
+    assert sum(out_orig.values()) - sum(out_new.values()) == sum(in_orig.values()) - sum(in_new.values())
+
+
+def test_config_model_partitioning_invariant(spark):
+    """Ranks come from the total hash order, not the physical layout: the
+    rewiring is identical whatever the input partitioning."""
+    from tldr_spark.operators.nullmodel import configuration_model
+
+    edges = _rand_edges(29, 30, 100)
+    df = _df(spark, edges)
+    a = {
+        (r["src"], r["dst"]): r["n"]
+        for r in configuration_model(df.repartition(1)).collect()
+    }
+    b = {
+        (r["src"], r["dst"]): r["n"]
+        for r in configuration_model(df.repartition(7, "dst")).collect()
+    }
+    assert a == b
