@@ -3824,6 +3824,39 @@ def q_leiden_communities(spark, sf_dir):
     )
 
 
+@_q("host_pagerank_top", None)
+def q_host_pagerank_top(spark, sf_dir):
+    """Host-level authority: href extraction over the synthetic pages →
+    host-graph rollup → PageRank on the host graph (link multiplicity as
+    edge weight), top 20 hosts. The standard Common-Crawl host-rank
+    product. Rows-only (python-generator pages); the composition is
+    pinned by tests/test_round4_ops.py against a NumPy fixpoint on the
+    collected host graph."""
+    from tldr_spark.operators.pagerank import pagerank
+    from tldr_spark.sources.synth_pages import generate_pages, pages_to_host_edges
+
+    pages = generate_pages(spark, n_pages=1000, num_partitions=8)
+    he = pages_to_host_edges(pages).select(
+        F.xxhash64("src_host").alias("src"),
+        F.xxhash64("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+        "src_host",
+        "dst_host",
+    )
+    hosts = (
+        he.select(F.col("src").alias("id"), F.col("src_host").alias("host"))
+        .union(he.select(F.col("dst").alias("id"), F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    res = pagerank(he.select("src", "dst", "weight"), tolerance=1e-10)
+    return (
+        res.ranks.join(hosts, "id")
+        .select("host", F.round(F.col("rank") * 1048576).cast("long").alias("rank_q"))
+        .orderBy(F.desc("rank_q"), F.asc("host"))
+        .limit(20)
+    )
+
+
 @_q("anchor_text_index", None)
 def q_anchor_text_index(spark, sf_dir):
     """Anchor-text index over the synthetic Common-Crawl-style pages: the
@@ -4536,6 +4569,45 @@ def q_stream_closed_sessions(spark, sf_dir):
     return streamed_closed_sessions(spark, sf_dir, gap_seconds=21600)
 
 
+_TRANSITIONS_SQL = """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+  b AS (SELECT user_id, event_id, ts_us, event_type,
+          CASE WHEN LAG(ts_us) OVER w IS NULL
+                 OR ts_us - LAG(ts_us) OVER w > 21600 * 1000000::BIGINT
+               THEN 1 ELSE 0 END AS brk
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+  s AS (SELECT user_id, event_id, ts_us, event_type,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM b),
+  nx AS (SELECT event_type AS from_type,
+                LEAD(event_type) OVER w2 AS to_type,
+                LEAD(session_seq) OVER w2 AS to_session,
+                session_seq
+         FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+  counts AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+             FROM nx WHERE to_session = session_seq GROUP BY 1, 2),
+  totals AS (SELECT from_type, SUM(n_transitions) AS n_from FROM counts GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       CAST(ROUND(CAST(c.n_transitions AS DOUBLE) / t.n_from * 1048576) AS BIGINT) AS p_q
+FROM counts c JOIN totals t USING (from_type)"""
+
+
+@_q("session_transitions", _TRANSITIONS_SQL)
+def q_session_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over within-session consecutive
+    event pairs (6h gap; total order (ts_us, event_id) keeps the pairing
+    engine-independent); p row-normalized, 2^-20 quantized."""
+    from tldr_spark.operators.sessions import session_transitions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_transitions(events, gap_seconds=21600).select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("p") * 1048576).cast("long").alias("p_q"),
+    )
+
+
 _TFIDF_TOP_SQL = f"""WITH {_SQL_TOKS},
   tc AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
   dfq AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY 1),
@@ -5243,6 +5315,7 @@ _WINDOW_PRIORITY = [
     "node2vec_walks",
     "config_model_edges",
     "config_model_triangles",
+    "session_transitions",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",

@@ -2927,3 +2927,90 @@ def test_config_model_partitioning_invariant(spark):
         for r in configuration_model(df.repartition(7, "dst")).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# session transition matrix + host pagerank composition
+# ---------------------------------------------------------------------------
+
+def test_session_transitions_handcrafted(spark):
+    from tldr_spark.operators.sessions import session_transitions
+
+    h = 3_600
+    # user 1, session A: a->b->a ; (8h gap) session B: b alone (no pair)
+    # user 2, session C: a->a
+    rows = [
+        (1, 1, 0 * h, "a"),
+        (1, 2, 1 * h, "b"),
+        (1, 3, 2 * h, "a"),
+        (1, 4, 12 * h, "b"),
+        (2, 5, 0 * h, "a"),
+        (2, 6, 1 * h, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, secs long, event_type string"
+    ).selectExpr("user_id", "event_id", "timestamp_seconds(secs) AS ts", "event_type")
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["p"])
+        for r in session_transitions(ev, gap_seconds=2 * h).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "a"): (1, 0.5),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_session_transitions_tie_order_deterministic(spark):
+    """Equal timestamps: the (ts_us, event_id) total order pins the pairing."""
+    from tldr_spark.operators.sessions import session_transitions
+
+    ev = spark.createDataFrame(
+        [(1, 10, 0, "x"), (1, 11, 0, "y"), (1, 12, 0, "z")],
+        "user_id long, event_id long, secs long, event_type string",
+    ).selectExpr("user_id", "event_id", "timestamp_seconds(secs) AS ts", "event_type")
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in session_transitions(ev, gap_seconds=60).collect()
+    }
+    assert got == {("x", "y"): 1, ("y", "z"): 1}
+
+
+def test_host_pagerank_composition(spark):
+    """host PageRank == NumPy fixpoint on the collected host graph."""
+    import numpy as np
+
+    from tldr_spark.operators.pagerank import pagerank
+    from tldr_spark.sources.synth_pages import generate_pages, pages_to_host_edges
+
+    pages = generate_pages(spark, n_pages=200, num_partitions=4)
+    he = pages_to_host_edges(pages).collect()
+    edges = [(r["src_host"], r["dst_host"], float(r["n_links"])) for r in he]
+    hosts = sorted({h for s, d, _ in edges for h in (s, d)})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    w = np.zeros((n, n))
+    for s, d, wt in edges:
+        w[idx[s], idx[d]] += wt
+    outw = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(300):
+        contrib = np.zeros(n)
+        dang = 0.0
+        for i in range(n):
+            if outw[i] > 0:
+                contrib += 0.85 * r[i] * w[i] / outw[i]
+            else:
+                dang += r[i]
+        r = (0.15 + 0.85 * dang) / n + contrib
+    df = spark.createDataFrame(edges, "src_h string, dst_h string, weight double").select(
+        F.xxhash64("src_h").alias("src"), F.xxhash64("dst_h").alias("dst"), "weight",
+        "src_h", "dst_h",
+    )
+    hmap = {}
+    for row in df.select("src", "src_h").union(df.select("dst", "dst_h")).distinct().collect():
+        hmap[row["src"]] = row["src_h"]
+    res = pagerank(df.select("src", "dst", "weight"), tolerance=1e-12)
+    got = {hmap[row["id"]]: row["rank"] for row in res.ranks.collect()}
+    for h in hosts:
+        assert got[h] == pytest.approx(r[idx[h]], abs=1e-8), h

@@ -80,3 +80,43 @@ def session_stats(
     return out.withColumn(
         "duration_us", (F.col("end_us") - F.col("start_us")).cast("long")
     )
+
+
+def session_transitions(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(from_type, to_type, n_transitions, p) — the first-order Markov
+    transition estimate over within-session consecutive event pairs
+    (session-bounded, so the cross-session silence never counts as a
+    transition). p = n / Σ n over from_type, the row-normalized chain.
+
+    Determinism: consecutive pairs are taken over the TOTAL order
+    (ts_us, event_id) — equal timestamps alone would make the pairing
+    engine-dependent. Cost: the same single user-partitioned sort window
+    as sessionize + one (from,to) hash aggregate; the type-pair result is
+    |types|² rows at most."""
+    s = sessionize(events, gap_seconds, user_col, ts_col)
+    w = Window.partitionBy(user_col).orderBy("ts_us", id_col)
+    nxt = (
+        s.withColumn("to_type", F.lead(type_col).over(w))
+        .withColumn("to_session", F.lead("session_seq").over(w))
+        .filter(F.col("to_session") == F.col("session_seq"))
+    )
+    counts = (
+        nxt.groupBy(F.col(type_col).alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.col("n_from")).alias("p"),
+    )
