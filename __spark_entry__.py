@@ -5191,6 +5191,40 @@ def q_directed_assortativity(spark, sf_dir):
     )
 
 
+_DISPARITY_SQL = f"""WITH {_E},
+  nw AS (SELECT src, dst, SUM(weight) AS w FROM e GROUP BY 1, 2),
+  st AS (SELECT src, COUNT(*) AS k, SUM(w) AS s FROM nw GROUP BY 1),
+  a AS (SELECT nw.src, nw.dst, nw.w, st.k,
+               CAST(ROUND(CASE WHEN st.k = 1 THEN 1.0
+                               ELSE POWER(1 - nw.w / st.s, st.k - 1) END
+                          * 1048576) AS BIGINT) AS alpha_q
+        FROM nw JOIN st USING (src))
+SELECT src, dst, CAST(w AS BIGINT) AS w, CAST(k AS BIGINT) AS k, alpha_q
+FROM a WHERE alpha_q < 209715"""
+
+
+@_q("disparity_backbone", _DISPARITY_SQL)
+def q_disparity_backbone(spark, sf_dir):
+    """Multiscale backbone (Serrano-Boguñá-Vespignani disparity filter,
+    PNAS 2009) at alpha=0.2 over the weighted link graph (0.2 rather
+    than the paper's 0.05 so the sf0.01 backbone keeps ~75 edges — a
+    real differential surface — instead of 3). The keep/drop decision is
+    made on the 2^-20-QUANTIZED alpha in both engines (209715 =
+    round(0.2 * 2^20)), so a last-ulp POWER() difference at the
+    threshold cannot flip an edge across the cut; w sums of {1,2,3}
+    weights cast to BIGINT exactly."""
+    from tldr_spark.operators.backbone import disparity_filter
+
+    scored = disparity_filter(derive_edges(spark, sf_dir), alpha_max=None)
+    return scored.select(
+        "src",
+        "dst",
+        F.col("w").cast("long").alias("w"),
+        "k",
+        F.round(F.col("alpha") * 1048576).cast("long").alias("alpha_q"),
+    ).filter(F.col("alpha_q") < 209715)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5316,6 +5350,7 @@ _WINDOW_PRIORITY = [
     "config_model_edges",
     "config_model_triangles",
     "session_transitions",
+    "disparity_backbone",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
