@@ -5225,6 +5225,44 @@ def q_disparity_backbone(spark, sf_dir):
     ).filter(F.col("alpha_q") < 209715)
 
 
+_CANONICAL_SQL = f"""WITH RECURSIVE {_E},
+  nw AS MATERIALIZED (SELECT src, dst, SUM(weight) AS w FROM e GROUP BY 1, 2),
+  canon AS MATERIALIZED (
+    SELECT src AS v, dst AS ptr FROM (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rn
+      FROM nw) t
+    WHERE rn = 1),
+  verts AS MATERIALIZED (
+    SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e) u),
+  walk(v, cur, hops) AS (
+    SELECT v, v, 0 FROM verts
+    UNION ALL
+    SELECT w.v, c.ptr, w.hops + 1
+    FROM walk w JOIN canon c ON c.v = w.cur
+    WHERE w.hops < 8),
+  fin AS (
+    SELECT v, cur, hops,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY hops DESC) AS rn
+    FROM walk)
+SELECT f.v AS src, f.cur AS resolved_dst, CAST(f.hops AS BIGINT) AS hops,
+       CAST(CASE WHEN c2.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS resolved
+FROM fin f LEFT JOIN canon c2 ON c2.v = f.cur
+WHERE f.rn = 1"""
+
+
+@_q("canonical_resolution", _CANONICAL_SQL)
+def q_canonical_resolution(spark, sf_dir):
+    """Redirect / rel=canonical chain resolution, hop cap 8: every vertex's
+    terminal canonical page (or its position after exactly 8 steps when the
+    chain is longer or cyclic). Spark side is pointer doubling — 3 compose
+    rounds instead of the oracle's 8 literal steps; identical output by
+    construction (exact integer hops, deterministic argmax canon map)."""
+    from tldr_spark.operators.canonical import resolve_canonical_chains
+
+    return resolve_canonical_chains(derive_edges(spark, sf_dir), max_hops=8)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5351,6 +5389,7 @@ _WINDOW_PRIORITY = [
     "config_model_triangles",
     "session_transitions",
     "disparity_backbone",
+    "canonical_resolution",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
