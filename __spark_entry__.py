@@ -5251,6 +5251,35 @@ FROM fin f LEFT JOIN canon c2 ON c2.v = f.cur
 WHERE f.rn = 1"""
 
 
+_TROPHIC_SQL = f"""WITH RECURSIVE {_E},
+  nw AS (SELECT src, dst, CAST(SUM(weight) AS BIGINT) AS w FROM e GROUP BY src, dst),
+  verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+  tr(it, id, s) AS (
+    SELECT 0, v.v, CAST(1048576 AS BIGINT) FROM verts v
+    UNION ALL
+    SELECT it + 1, id, new_s FROM (
+      SELECT t.it AS it, v.id AS id,
+             CAST(1048576 + COALESCE(c.num // c.den, 0) AS BIGINT) AS new_s
+      FROM (SELECT MAX(it) AS it FROM tr) t
+      CROSS JOIN (SELECT id, s FROM tr) v
+      LEFT JOIN (SELECT n.dst AS id, SUM(k.s * n.w) AS num, SUM(n.w) AS den
+                 FROM tr k JOIN nw n ON n.src = k.id GROUP BY n.dst) c ON c.id = v.id
+    ) WHERE it < 12
+  )
+SELECT id AS vertex, s AS level_units FROM tr WHERE it = 12"""
+
+
+@_q("trophic_levels_fixed12", _TROPHIC_SQL)
+def q_trophic_levels(spark, sf_dir):
+    """Trophic level (link-hierarchy depth) after 12 Jacobi rounds, in
+    exact integer units of 2^-20: s'(v) = UNIT + floor(sum w*s / sum w)
+    over in-edges — all-BIGINT arithmetic, so the engines cannot diverge
+    by float-summation order."""
+    from tldr_spark.operators.trophic import trophic_levels
+
+    return trophic_levels(derive_edges(spark, sf_dir), n_iter=12)
+
+
 @_q("canonical_resolution", _CANONICAL_SQL)
 def q_canonical_resolution(spark, sf_dir):
     """Redirect / rel=canonical chain resolution, hop cap 8: every vertex's
@@ -5390,6 +5419,7 @@ _WINDOW_PRIORITY = [
     "session_transitions",
     "disparity_backbone",
     "canonical_resolution",
+    "trophic_levels_fixed12",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
