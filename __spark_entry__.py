@@ -3006,6 +3006,45 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+# -- dedup: near-dup clustering + survivor selection ------------------------------
+
+@_q(
+    "near_dup_clusters",
+    f"""WITH RECURSIVE {_SQL_SHINGLES},
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sz sa ON sa.doc_id = i.id_a
+      JOIN sz sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5
+    ),
+    und AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, d.v FROM reach r JOIN und d ON d.u = r.v
+    ),
+    a AS (SELECT u AS doc_id, MIN(v) AS canonical_id FROM reach GROUP BY u),
+    szs AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM a GROUP BY 1)
+SELECT a.doc_id, a.canonical_id, CAST(szs.cluster_size AS BIGINT) AS cluster_size,
+       CAST(CASE WHEN a.doc_id = a.canonical_id THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+FROM a JOIN szs USING (canonical_id)""",
+)
+def q_near_dup_clusters(spark, sf_dir):
+    """Fuzzy-dedup OUTPUT step: jaccard>=0.5 pairs -> connected components
+    -> min-id canonical survivor per cluster; singletons survive alone.
+    The jaccard keep-set is exact cross-engine (integer-ratio double
+    compare, same integers both sides)."""
+    from tldr_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
 # -- dedup: simhash --------------------------------------------------------------
 
 @_q(
@@ -5420,6 +5459,7 @@ _WINDOW_PRIORITY = [
     "disparity_backbone",
     "canonical_resolution",
     "trophic_levels_fixed12",
+    "near_dup_clusters",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",

@@ -402,3 +402,53 @@ def embedding_near_dups(
         pairs.select("id_a", "id_b", cosine_expr("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering + survivor selection (the dedup pipeline's OUTPUT step)
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, canonical_id, cluster_size, is_survivor): every document
+    assigned to its near-duplicate cluster, with the cluster's smallest
+    doc_id as the deterministic canonical survivor.
+
+    This is the step that turns pairwise near-dup evidence into the
+    actual training-set decision ("keep one copy per cluster"): Jaccard
+    pairs >= ``threshold`` become undirected edges, connected components
+    merge transitively-linked documents (a~b, b~c clusters a,b,c even
+    when jaccard(a,c) < threshold — standard fuzzy-dedup semantics), and
+    ``is_survivor`` marks the kept copy. Documents with no near-dup are
+    their own singleton clusters.
+
+    Scale path: pass ``candidates=`` (e.g. ``minhash_lsh_pairs`` output)
+    to restrict the Jaccard verification to LSH candidates — the
+    restriction reaches the expensive join stages (see
+    :func:`ngram_jaccard_pairs`); the component step then runs on the
+    (tiny, churn-sized) near-dup edge set, never the corpus.
+    """
+    from tldr_spark.operators.components import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, id_col=id_col, text_col=text_col,
+        candidates=candidates,
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        vertices=ids,
+    ).assignments
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+        (F.col("id") == F.col("component")).cast("long").alias("is_survivor"),
+    )
