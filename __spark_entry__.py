@@ -3006,6 +3006,32 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+_GINI_SQL = f"""WITH {_E},
+  verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e) u),
+  dg AS (SELECT dst AS id, COUNT(*) AS deg FROM e GROUP BY dst),
+  fl AS (SELECT v.v AS id, COALESCE(dg.deg, 0) AS deg FROM verts v LEFT JOIN dg ON dg.id = v.v),
+  rk AS (SELECT id, deg, ROW_NUMBER() OVER (ORDER BY deg, id) AS i FROM fl)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(deg) AS BIGINT) AS total_deg,
+       CAST(ROUND(CAST(SUM((2*i - 1) * deg) - COUNT(*) * SUM(deg) AS DOUBLE)
+                  / CAST(COUNT(*) * SUM(deg) AS DOUBLE) * 1048576) AS BIGINT) AS gini_q
+FROM rk"""
+
+
+@_q("in_degree_gini", _GINI_SQL)
+def q_in_degree_gini(spark, sf_dir):
+    """Gini concentration of the in-degree distribution (link-attention
+    inequality). Exact integer numerator (permutation-invariant within
+    degree ties), one double division, 2^-20 quantized."""
+    from tldr_spark.operators.stats import degree_gini
+
+    return degree_gini(derive_edges(spark, sf_dir), direction="in").select(
+        "n_vertices",
+        "total_deg",
+        F.round(F.col("gini") * 1048576).cast("long").alias("gini_q"),
+    )
+
+
 # -- training-sequence packing (concat-and-chunk token budgeting) -----------------
 
 @_q(
@@ -5493,6 +5519,7 @@ _WINDOW_PRIORITY = [
     "trophic_levels_fixed12",
     "near_dup_clusters",
     "packed_sequences",
+    "in_degree_gini",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",

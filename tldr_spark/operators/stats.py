@@ -677,3 +677,51 @@ def random_failure_tolerance(
         rows,
         "per_mille long, n_removed long, n_left long, giant_size long, giant_frac double",
     )
+
+
+def degree_gini(edges: DataFrame, direction: str = "in") -> DataFrame:
+    """One row (n_vertices, total_deg, gini): Gini concentration of the
+    (un)weighted degree distribution — the one-number answer to "how
+    concentrated is the link attention?" (0 = uniform, ->1 = a few pages
+    absorb everything; on web graphs typically 0.6-0.9, and a sudden jump
+    is a link-farm / consolidation signal).
+
+    Gini = sum_i (2i - n - 1) d_(i) / (n * sum d) over ASCENDING-sorted
+    degrees. The numerator is permutation-invariant within tied degree
+    values (d constant across a tie block), so rank ties cannot cause
+    cross-engine drift; all inputs are exact integers and the final ratio
+    is one double division.
+
+    Scale shape: degree aggregate + ONE distributed total sort for ranks
+    (nullmodel._global_ranks — range partition + local sort + offset
+    mapInPandas, no single-partition window) + one map-combined aggregate.
+    """
+    if direction not in ("in", "out"):
+        raise ValueError(f"direction must be 'in' or 'out', got {direction}")
+    key = "dst" if direction == "in" else "src"
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col(key).alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    full = verts.join(deg, "id", "left").select(
+        "id", F.coalesce("deg", F.lit(0)).cast("long").alias("deg")
+    )
+    from tldr_spark.operators.nullmodel import _global_ranks
+
+    ranked = _global_ranks(full, ["deg", "id"], "rk")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum("deg").alias("total_deg"),
+        F.sum((2 * F.col("rk") - 1) * F.col("deg")).alias("_num_part"),
+    ).select(
+        "n_vertices",
+        "total_deg",
+        (
+            (F.col("_num_part") - (F.col("n_vertices") * F.col("total_deg")))
+            / (F.col("n_vertices") * F.col("total_deg"))
+        ).alias("gini"),
+    )
