@@ -3006,6 +3006,43 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+_MIX_SQL = r"""WITH qw AS (
+  SELECT doc_id,
+         CAST(1 + (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END)
+            + (CASE WHEN pm < 100 THEN 1 ELSE 0 END)
+            + (CASE WHEN spm >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS w
+  FROM (
+    SELECT doc_id, n_tok,
+           FLOOR(CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1000.0
+                      / length(text) ELSE 0 END) AS pm,
+           FLOOR(CASE WHEN n_tok > 0 THEN n_stop * 1000.0 / n_tok ELSE 0 END) AS spm
+    FROM (
+      SELECT doc_id, text,
+             len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'), t -> t <> '')) AS n_tok,
+             len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+                 t -> lower(t) IN ('the','and','of','to','a','in','is','that','it','was'))) AS n_stop
+      FROM documents) t) t2),
+  c AS (SELECT doc_id, w,
+               SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cw
+        FROM qw),
+  tot AS (SELECT SUM(w) AS wt, 2 * COUNT(*) AS m FROM qw)
+SELECT c.doc_id, c.w,
+       CAST((c.cw * tot.m) // tot.wt - ((c.cw - c.w) * tot.m) // tot.wt AS BIGINT) AS n_copies
+FROM c, tot"""
+
+
+@_q("quality_mix_counts", _MIX_SQL)
+def q_quality_mix_counts(spark, sf_dir):
+    """Quality-weighted corpus mixing: deterministic systematic resample
+    to 2x corpus size, weight = 1 + the 0-3 quality bucket. Telescoping
+    integer floors make sum(n_copies) exactly 2n; products run in
+    DECIMAL(38,0)/HUGEINT so the arithmetic is exact in both engines."""
+    from tldr_spark.operators.mixing import quality_weighted_mix
+
+    return quality_weighted_mix(_docs(spark, sf_dir), multiplier=2)
+
+
 _GINI_SQL = f"""WITH {_E},
   verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e) u),
   dg AS (SELECT dst AS id, COUNT(*) AS deg FROM e GROUP BY dst),
@@ -5520,6 +5557,7 @@ _WINDOW_PRIORITY = [
     "near_dup_clusters",
     "packed_sequences",
     "in_degree_gini",
+    "quality_mix_counts",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
