@@ -3006,6 +3006,36 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+_BURST_SQL = """WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+  st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_events) AS BIGINT) AS s,
+                CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+         FROM hourly)
+SELECT h.hour_epoch, h.n_events,
+       CAST(CASE WHEN st.n * h.n_events > st.s
+                  AND (st.n * h.n_events - st.s) * (st.n * h.n_events - st.s)
+                      > 4 * (st.n * st.s2 - st.s * st.s)
+            THEN 1 ELSE 0 END AS BIGINT) AS burst,
+       CAST(CASE WHEN st.n * st.s2 - st.s * st.s > 0
+            THEN ROUND(CAST(st.n * h.n_events - st.s AS DOUBLE)
+                       / sqrt(CAST(st.n * st.s2 - st.s * st.s AS DOUBLE)) * 1048576)
+            ELSE 0 END AS BIGINT) AS z_q
+FROM hourly h, st"""
+
+
+@_q("hourly_bursts", _BURST_SQL)
+def q_hourly_bursts(spark, sf_dir):
+    """Mean+2-sigma burst flags over hourly event counts: flag decided in
+    exact integer arithmetic ((n*c-S)^2 vs 4*(n*S2-S^2)); the z-score is
+    one IEEE sqrt + one division from identical integers, 2^-20
+    quantized."""
+    from tldr_spark.operators.anomaly import hourly_bursts
+
+    return hourly_bursts(load(spark, sf_dir, "events"))
+
+
 _MIX_SQL = r"""WITH qw AS (
   SELECT doc_id,
          CAST(1 + (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END)
@@ -5558,6 +5588,7 @@ _WINDOW_PRIORITY = [
     "packed_sequences",
     "in_degree_gini",
     "quality_mix_counts",
+    "hourly_bursts",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
