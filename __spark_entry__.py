@@ -3006,6 +3006,31 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+_PCTL_SQL = r"""WITH tc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+  rk AS (SELECT n_tokens, ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS r FROM tc),
+  n AS (SELECT COUNT(*) AS n FROM tc)
+SELECT CAST(n.n AS BIGINT) AS n_docs,
+       CAST((SELECT n_tokens FROM rk, n WHERE r = CEIL(50 * n.n / 100.0)) AS BIGINT) AS p50_tokens,
+       CAST((SELECT n_tokens FROM rk, n WHERE r = CEIL(90 * n.n / 100.0)) AS BIGINT) AS p90_tokens,
+       CAST((SELECT n_tokens FROM rk, n WHERE r = CEIL(99 * n.n / 100.0)) AS BIGINT) AS p99_tokens,
+       CAST((SELECT MAX(n_tokens) FROM tc) AS BIGINT) AS max_tokens
+FROM n"""
+
+
+@_q("token_length_percentiles", _PCTL_SQL)
+def q_token_length_percentiles(spark, sf_dir):
+    """EXACT nearest-rank p50/p90/p99/max of the whitespace-token length
+    distribution (the length-filter knob numbers). Rank selection on
+    integers — no interpolation, no float blending to drift."""
+    from tldr_spark.operators.textstats import token_length_percentiles
+
+    return token_length_percentiles(_docs(spark, sf_dir))
+
+
 _BURST_SQL = """WITH hourly AS (
   SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
          CAST(COUNT(*) AS BIGINT) AS n_events
@@ -5589,6 +5614,7 @@ _WINDOW_PRIORITY = [
     "in_degree_gini",
     "quality_mix_counts",
     "hourly_bursts",
+    "token_length_percentiles",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",

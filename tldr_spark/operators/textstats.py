@@ -271,3 +271,49 @@ def contamination_check(
         .cast("long")
         .alias("contaminated_pm"),
     )
+
+
+def token_length_percentiles(
+    docs: DataFrame,
+    pcts: tuple = (50, 90, 99),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row (n_docs, p50_tokens, ..., max_tokens): EXACT nearest-rank
+    percentiles of the whitespace-token length distribution — the numbers
+    a pipeline turns into its length-filter / sequence-capacity knobs.
+
+    Nearest-rank (value at rank ceil(p*n/100), 1-based, ascending) on
+    integers is deterministic cross-engine; percentile INTERPOLATION is
+    not (float blends), which is why this deliberately matches the
+    ``type=1`` / ``quantile_disc`` convention.
+
+    Scale shape: token count per doc (one narrow projection), one
+    distributed total sort for ranks (nullmodel._global_ranks — no
+    single-partition window), one n-row count broadcast, and a
+    #pcts-row filter. A sort's cost class at any corpus size.
+    """
+    counts = token_count(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    from tldr_spark.operators.nullmodel import _global_ranks
+
+    spark = docs.sparkSession
+    n = counts.count()
+    if n == 0:
+        names = ["n_docs"] + [f"p{p}_tokens" for p in sorted(pcts)] + ["max_tokens"]
+        return spark.createDataFrame(
+            [tuple([0] * len(names))], ", ".join(f"{k} long" for k in names)
+        )
+    ranked = _global_ranks(counts, ["n_tokens", "doc_id"], "rk")
+    targets = {p: -(-p * n // 100) for p in pcts}  # ceil(p*n/100)
+    picks = ranked.filter(
+        F.col("rk").isin(list({*targets.values(), n}))
+    ).select("rk", "n_tokens").collect()
+    by_rank = {r.rk: r.n_tokens for r in picks}
+    row = [("n_docs", n)]
+    row += [(f"p{p}_tokens", by_rank[targets[p]]) for p in sorted(targets)]
+    row.append(("max_tokens", by_rank[n]))
+    return spark.createDataFrame(
+        [tuple(v for _, v in row)], ", ".join(f"{k} long" for k, _ in row)
+    )
