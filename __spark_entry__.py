@@ -3006,6 +3006,73 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+_DENSEST_SQL = f"""WITH RECURSIVE {_E},
+  und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e WHERE src <> dst GROUP BY 1, 2),
+  peel(it, a, b) AS (
+    SELECT 0, a, b FROM und
+    UNION ALL
+    SELECT it + 1, a, b FROM (
+      SELECT t.it AS it, c.a, c.b
+      FROM (SELECT MAX(it) AS it FROM peel) t
+      CROSS JOIN (SELECT a, b FROM peel) c
+      WHERE c.a IN (
+        SELECT d.v FROM
+          (SELECT v, COUNT(*) AS deg FROM
+             (SELECT a AS v FROM peel UNION ALL SELECT b FROM peel) GROUP BY v) d,
+          (SELECT COUNT(*) AS ee,
+                  (SELECT COUNT(DISTINCT v) FROM
+                     (SELECT a AS v FROM peel UNION ALL SELECT b FROM peel)) AS vv
+           FROM peel) s
+        WHERE 2 * d.deg * s.vv > 5 * s.ee)
+      AND c.b IN (
+        SELECT d.v FROM
+          (SELECT v, COUNT(*) AS deg FROM
+             (SELECT a AS v FROM peel UNION ALL SELECT b FROM peel) GROUP BY v) d,
+          (SELECT COUNT(*) AS ee,
+                  (SELECT COUNT(DISTINCT v) FROM
+                     (SELECT a AS v FROM peel UNION ALL SELECT b FROM peel)) AS vv
+           FROM peel) s
+        WHERE 2 * d.deg * s.vv > 5 * s.ee)
+    )
+  ),
+  rstats AS MATERIALIZED (
+    SELECT x.it, x.ee, y.vv
+    FROM (SELECT it, COUNT(*) AS ee FROM peel GROUP BY it) x
+    JOIN (SELECT it, COUNT(DISTINCT v) AS vv FROM
+            (SELECT it, a AS v FROM peel UNION ALL SELECT it, b FROM peel)
+          GROUP BY it) y ON y.it = x.it
+  )
+SELECT r.it AS round, CAST(r.vv AS BIGINT) AS n_vertices,
+       CAST(r.ee AS BIGINT) AS n_edges,
+       CAST(CASE WHEN NOT EXISTS (
+         SELECT 1 FROM rstats s
+         WHERE s.ee * r.vv > r.ee * s.vv
+            OR (s.ee * r.vv = r.ee * s.vv AND s.it < r.it))
+       THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM rstats r"""
+
+
+@_q("densest_subgraph", _DENSEST_SQL)
+def q_densest_subgraph(spark, sf_dir):
+    """Bahmani-Kumar-Vassilvitskii densest-subgraph peel (eps=1/4,
+    2.5-approx): EVERY peel round's (|V|, |E|) over the undirected
+    simple graph, with the best-density round flagged. Peel test
+    2*deg*V <= 5*E and best-round argmax by integer cross-
+    multiplication — no float densities anywhere; ties to the earliest
+    (largest) round. Emitting all rounds makes the oracle check the
+    whole peel trajectory, not just the winner."""
+    from tldr_spark.operators.densest import densest_subgraph
+
+    res = densest_subgraph(derive_edges(spark, sf_dir))
+    rows = [
+        (it, v, e, 1 if it == res.best_round else 0) for it, v, e in res.rounds
+    ]
+    return spark.createDataFrame(
+        rows, "round long, n_vertices long, n_edges long, is_best long"
+    )
+
+
 _PCTL_SQL = r"""WITH tc AS (
   SELECT doc_id,
          CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
@@ -5615,6 +5682,7 @@ _WINDOW_PRIORITY = [
     "quality_mix_counts",
     "hourly_bursts",
     "token_length_percentiles",
+    "densest_subgraph",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
