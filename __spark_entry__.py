@@ -390,6 +390,67 @@ def q_crawl_rank_movers(spark, sf_dir):
     return q.orderBy(F.abs(F.col("delta_q")).desc(), F.asc("vertex")).limit(50)
 
 
+_CC_INC_SQL = f"""WITH RECURSIVE {_E}, {_EP},
+  ue AS (SELECT src, dst FROM e UNION SELECT src, dst FROM ep),
+  und AS (SELECT src AS u, dst AS v FROM ue UNION SELECT dst, src FROM ue),
+  reach(u, v) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM und)
+    UNION
+    SELECT r.u, d.v FROM reach r JOIN und d ON d.u = r.v
+  )
+SELECT u AS vertex, MIN(v) AS component FROM reach GROUP BY u"""
+
+
+@_q("cc_incremental", _CC_INC_SQL)
+def q_cc_incremental(spark, sf_dir):
+    """Incremental CC across the crawl snapshot pair: the previous
+    snapshot's assignment + only the NEW edges, contracted — must equal
+    a from-scratch CC on the union graph (the oracle's reachability
+    closure). Per-recrawl cost is O(delta edges), never O(graph)."""
+    from tldr_spark.operators.components import connected_components
+    from tldr_spark.operators.incremental import incremental_components
+
+    prev = derive_edges_prev(spark, sf_dir).select("src", "dst")
+    cur = derive_edges(spark, sf_dir).select("src", "dst")
+    old = connected_components(prev).assignments
+    delta = cur.join(prev, ["src", "dst"], "left_anti")
+    return incremental_components(old, delta).select(
+        F.col("id").alias("vertex"), "component"
+    )
+
+
+@_q("pagerank_warm_start", _pr_sql(150))
+def q_pagerank_warm_start(spark, sf_dir):
+    """Warm-started PageRank: seed the current snapshot's iteration with
+    the previous snapshot's converged ranks (pagerank's init_ranks
+    rescales the seed and fills crawl-new vertices at 1/V). The fixpoint
+    is unique, so the result must land in the same 2^-20 bucket as the
+    cold 150-iteration oracle — this is the driver-checked half of the
+    checkpoint/resume contract (any positive seed state reaches the same
+    answer). Honest measurement note: on THIS generator warm seeding
+    does not save rounds — the deterministic block structure makes the
+    uniform start orthogonal to the slowest eigenmodes (cold converges
+    at ~0.65/round) while any perturbed seed pays the true asymptotic
+    damping rate (~0.85/round); on real crawl deltas the saving is the
+    seed's distance to the fixpoint, which this harness cannot fake."""
+    from tldr_spark.operators.pagerank import pagerank
+
+    seed = pagerank(
+        derive_edges_prev(spark, sf_dir), damping=DAMPING, tolerance=1e-9, max_iter=200
+    ).ranks
+    res = pagerank(
+        derive_edges(spark, sf_dir),
+        damping=DAMPING,
+        tolerance=1e-12,
+        max_iter=200,
+        init_ranks=seed,
+    )
+    return res.ranks.select(
+        F.col("id").alias("vertex"),
+        F.round(F.col("rank") * 1048576).cast("long").alias("rank_q"),
+    )
+
+
 # Geometric diffusion: base 1/2 (binary-exact coefficients 2^-1..2^-(K+1));
 # unit mass injected at the out-hub seed set (id % 50 == 0), truncated at
 # K=8 levels. Same 2^-20 quantization contract as the Katz / fixed-PR oracles.
@@ -3098,6 +3159,302 @@ def q_token_length_percentiles(spark, sf_dir):
     return token_length_percentiles(_docs(spark, sf_dir))
 
 
+# -- frequency sketches: exact two-pass heavy hitters + count-min ----------
+
+_HH_DIV = 500  # report every token with count >= ceil(N_tokens / 500)
+
+_HH_SQL = f"""WITH {_SQL_TOKS},
+  nt AS (SELECT COUNT(*) AS n FROM toks)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM toks, nt
+GROUP BY token, nt.n
+HAVING COUNT(*) >= (nt.n + {_HH_DIV - 1}) // {_HH_DIV}"""
+
+
+@_q("heavy_hitter_tokens", _HH_SQL)
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """Every token with count >= ceil(N/500), EXACT, but computed the
+    scale way: per-partition Misra-Gries candidate summaries + bounded
+    recount — the shuffle carries <= partitions*k distinct keys instead
+    of the full hapax-heavy vocabulary. The oracle is the naive
+    GROUP BY ... HAVING the sketch pass provably cannot diverge from."""
+    from tldr_spark.operators.heavyhitters import heavy_hitters_exact
+
+    toks = _toks(_docs(spark, sf_dir))
+    n = toks.count()
+    s = -(-n // _HH_DIV)
+    return heavy_hitters_exact(toks, "token", min_count=s, k=max(16, -(-2 * n // s)))
+
+
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_bucket_sql(row: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{row}:', token)), 1, 8)) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+_CMS_CELLS = " UNION ALL ".join(
+    f"SELECT {j} AS rw, {_cms_bucket_sql(j)} AS bucket FROM toks"
+    for j in range(_CMS_D)
+)
+_CMS_PROBES = " UNION ALL ".join(
+    f"SELECT token, n_exact, {j} AS rw, {_cms_bucket_sql(j)} AS bucket FROM probes"
+    for j in range(_CMS_D)
+)
+
+_CMS_SQL = f"""WITH {_SQL_TOKS},
+  ex AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact FROM toks GROUP BY token),
+  probes AS (SELECT token, n_exact FROM ex ORDER BY n_exact DESC, token ASC LIMIT 20),
+  cells AS (SELECT rw, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ({_CMS_CELLS}) GROUP BY rw, bucket),
+  pb AS ({_CMS_PROBES})
+SELECT pb.token, pb.n_exact, MIN(COALESCE(c.cnt, 0)) AS n_cms
+FROM pb LEFT JOIN cells c ON c.rw = pb.rw AND c.bucket = pb.bucket
+GROUP BY pb.token, pb.n_exact"""
+
+
+@_q("countmin_estimates", _CMS_SQL)
+def q_countmin_estimates(spark, sf_dir):
+    """Count-min point-frequency estimates (d=4 x w=256, md5 buckets —
+    SQL-reproducible bit-for-bit) for the top-20 exact tokens, alongside
+    their exact counts. n_cms >= n_exact always; the sketch itself is
+    d*w int64 cells from ONE map-side-combined aggregate, mergeable
+    across corpus shards by cellwise sum."""
+    from tldr_spark.operators.heavyhitters import countmin_estimate, countmin_sketch
+
+    toks = _toks(_docs(spark, sf_dir))
+    sketch = countmin_sketch(toks, "token", depth=_CMS_D, width=_CMS_W)
+    ex = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = ex.orderBy(F.desc("n_exact"), F.asc("token")).limit(20)
+    est = countmin_estimate(
+        sketch, probes.select("token"), depth=_CMS_D, width=_CMS_W
+    )
+    return probes.join(est, "token").select("token", "n_exact", "n_cms")
+
+
+# -- hub articulation (cut-vertex) probes ------------------------------------
+
+_ART_HUBS = 3
+
+_ART_SQL = f"""WITH RECURSIVE {_E},
+  cn AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         FROM e GROUP BY 1, 2),
+  sym AS MATERIALIZED (SELECT a AS u, b AS v FROM cn UNION SELECT b, a FROM cn),
+  deg AS (SELECT u AS id, COUNT(*) AS deg FROM sym GROUP BY u),
+  hubs AS MATERIALIZED (SELECT id, deg FROM deg
+                        ORDER BY deg DESC, id ASC LIMIT {_ART_HUBS}),
+  base_reach(u, v) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT r.u, g.v FROM base_reach r JOIN sym g ON g.u = r.v),
+  base AS (SELECT COUNT(DISTINCT c) AS n_comp_base
+           FROM (SELECT u, MIN(v) AS c FROM base_reach GROUP BY u)),
+  gg AS MATERIALIZED (SELECT h.id AS hub, s.u, s.v
+                      FROM sym s CROSS JOIN hubs h
+                      WHERE s.u <> h.id AND s.v <> h.id),
+  vh AS MATERIALIZED (SELECT h.id AS hub, d.id AS u
+                      FROM deg d CROSS JOIN hubs h WHERE d.id <> h.id),
+  reach(hub, u, v) AS (
+    SELECT hub, u, u FROM vh
+    UNION
+    SELECT r.hub, r.u, g.v FROM reach r JOIN gg g ON g.hub = r.hub AND g.u = r.v),
+  cnt AS (SELECT hub, COUNT(DISTINCT c) AS n_comp_removed
+          FROM (SELECT hub, u, MIN(v) AS c FROM reach GROUP BY hub, u)
+          GROUP BY hub)
+SELECT h.id AS hub, CAST(h.deg AS BIGINT) AS deg,
+       CAST(base.n_comp_base AS BIGINT) AS n_comp_base,
+       CAST(cnt.n_comp_removed AS BIGINT) AS n_comp_removed,
+       cnt.n_comp_removed > base.n_comp_base AS is_articulation
+FROM hubs h JOIN cnt ON cnt.hub = h.id CROSS JOIN base"""
+
+
+@_q("hub_articulation_probes", _ART_SQL)
+def q_hub_articulation_probes(spark, sf_dir):
+    """Cut-vertex probes for the top-3 hubs: does deleting the hub split
+    its component (isolated survivors counted as singletons, so the
+    before/after component counts compare like for like)? One CC pass
+    per probe over the hub-filtered canonical edge set."""
+    from tldr_spark.operators.bridges import articulation_probes
+
+    return articulation_probes(derive_edges(spark, sf_dir), n_hubs=_ART_HUBS)
+
+
+# -- BPE vocabulary induction (Sennrich ACL'16), 8 unrolled merge rounds -----
+
+_BPE_MERGES = 8
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE round: weighted pair argmax (ties lexicographic) + the
+    greedy left-to-right merge via the window-parity construction (a
+    position merges iff it matches AND sits at an even offset within its
+    maximal run of consecutive matches — runs > 1 only occur for a == b).
+    MATERIALIZED throughout: un-hinted CTE chains re-evaluate the whole
+    prefix per round (measured: the 8-round chain never finished;
+    materialized it is ~2s at sf0.01)."""
+    return f"""
+  best{r} AS MATERIALIZED (
+    SELECT u.a, u.b, SUM(u.n) AS cnt FROM (
+      SELECT n, syms[g.i] AS a, syms[g.i+1] AS b
+      FROM v{r}, UNNEST(generate_series(1, len(syms)-1)) AS g(i)
+    ) u GROUP BY u.a, u.b ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+  ),
+  td{r} AS MATERIALIZED (
+    SELECT word, n, i, s, sel,
+           COALESCE(LAG(sel) OVER (PARTITION BY word ORDER BY i), FALSE) AS killed
+    FROM (
+      SELECT *, (m AND (i - run0) % 2 = 0) AS sel FROM (
+        SELECT *, CASE WHEN m THEN last_value(runstart IGNORE NULLS)
+               OVER (PARTITION BY word ORDER BY i ROWS UNBOUNDED PRECEDING) END AS run0
+        FROM (
+          SELECT *, CASE WHEN m AND NOT COALESCE(LAG(m)
+                 OVER (PARTITION BY word ORDER BY i), FALSE) THEN i END AS runstart
+          FROM (
+            SELECT word, n, g.i AS i, syms[g.i] AS s,
+                   (syms[g.i] = best.a AND COALESCE(syms[g.i+1] = best.b, FALSE)) AS m
+            FROM v{r}, UNNEST(generate_series(1, len(syms))) AS g(i), best{r} AS best
+          )
+        )
+      )
+    )
+  ),
+  v{r + 1} AS MATERIALIZED (
+    SELECT word, n, list(CASE WHEN sel THEN best.a || best.b ELSE s END ORDER BY i) AS syms
+    FROM td{r} CROSS JOIN best{r} AS best WHERE NOT killed GROUP BY word, n
+  )"""
+
+
+_BPE_SQL = (
+    f"WITH {_SQL_TOKS},\n"
+    """  v1 AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+           list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+    FROM (SELECT token AS word FROM toks) GROUP BY word
+  ),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_MERGES + 1))
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a, b, CAST(cnt AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )
+)
+
+
+@_q("bpe_merges", _BPE_SQL)
+def q_bpe_merges(spark, sf_dir):
+    """First 8 BPE merges learned from the corpus token vocabulary —
+    subword tokenizer induction as a first-class distributed op. Per
+    round: ONE explode + map-side-combined pair count with a 1-row
+    argmax action, then the greedy merge as pure window algebra
+    partitioned by WORD (skew ceiling = longest word; the 10^8-word
+    vocabulary never funnels anywhere). Zero Python UDFs; integer
+    counts, lexicographic tie-breaks — bit-deterministic cross-engine,
+    including the a == b repeated-symbol parity path."""
+    from tldr_spark.operators.bpe import bpe_learn
+
+    words = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy(F.col("token").alias("word"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return bpe_learn(words, _BPE_MERGES).merges
+
+
+# -- language-temperature corpus remix (alpha = 0.5) ------------------------
+
+_TEMP_SCALE = 65536
+
+_TEMP_MIX_SQL = f"""WITH nl AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+  wts AS (SELECT d.doc_id, d.lang,
+                 {_TEMP_SCALE} // CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w
+          FROM documents d JOIN nl USING (lang)),
+  c AS (SELECT doc_id, lang, w,
+               SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cw
+        FROM wts),
+  tot AS (SELECT SUM(w) AS wt, COUNT(*) AS m FROM wts)
+SELECT c.doc_id, c.lang, c.w,
+       CAST((c.cw * tot.m) // tot.wt - ((c.cw - c.w) * tot.m) // tot.wt AS BIGINT)
+         AS n_copies
+FROM c, tot"""
+
+
+@_q("lang_temperature_mix", _TEMP_MIX_SQL)
+def q_lang_temperature_mix(spark, sf_dir):
+    """Temperature-sampled (alpha = 0.5) language remix: output share per
+    language ~ sqrt(n_l) — the mC4/XLM-R low-resource upsampling recipe —
+    via integer weights w_l = 2^16 // isqrt(n_l) and the deterministic
+    systematic resample (sum(n_copies) == n_docs exactly)."""
+    from tldr_spark.operators.mixing import temperature_resample
+
+    return temperature_resample(_docs(spark, sf_dir), scale=_TEMP_SCALE)
+
+
+# -- reciprocal-rank fusion of PageRank and in-degree ------------------------
+
+_RRF_K = 60
+_RRF_ITERS = 12
+
+_RRF_SQL = f"""WITH RECURSIVE {_E},
+  {_pr_cte('f', 'e', _RRF_ITERS)},
+  prq AS (SELECT id, CAST(ROUND(rank * 1048576) AS BIGINT) AS rq
+          FROM fpr WHERE it = {_RRF_ITERS}),
+  indeg AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS ind FROM e GROUP BY dst),
+  verts AS (SELECT prq.id, rq, COALESCE(ind, 0) AS ind
+            FROM prq LEFT JOIN indeg ON indeg.id = prq.id),
+  rks AS (SELECT id,
+                 ROW_NUMBER() OVER (ORDER BY rq DESC, id ASC) AS r1,
+                 ROW_NUMBER() OVER (ORDER BY ind DESC, id ASC) AS r2
+          FROM verts)
+SELECT id AS vertex, r1 AS pagerank_pos, r2 AS indegree_pos,
+       CAST(ROUND((1.0/({_RRF_K} + r1) + 1.0/({_RRF_K} + r2)) * 67108864) AS BIGINT)
+         AS rrf_q
+FROM rks
+ORDER BY rrf_q DESC, vertex ASC LIMIT 50"""
+
+
+@_q("rrf_fusion_top", _RRF_SQL)
+def q_rrf_fusion_top(spark, sf_dir):
+    """Reciprocal-rank fusion (k=60) of two incomparable rankers —
+    fixed-12 PageRank and raw in-degree — top 50. Both rankers are
+    positioned on their 2^-20-QUANTIZED scores (so both engines agree on
+    every position bit-for-bit), and positions come from the range-
+    partitioned global prefix count, never a single-partition window."""
+    from tldr_spark.operators.fusion import rank_positions, reciprocal_rank_fusion
+    from tldr_spark.operators.pagerank import pagerank
+
+    e = derive_edges(spark, sf_dir)
+    pr = pagerank(e, damping=DAMPING, tolerance=-1.0, max_iter=_RRF_ITERS).ranks
+    prq = pr.select("id", F.round(F.col("rank") * 1048576).cast("long").alias("s"))
+    ind = e.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("ind"))
+    indeg = prq.select("id").join(ind, "id", "left").select(
+        "id", F.coalesce("ind", F.lit(0)).alias("s")
+    )
+    p1 = rank_positions(prq, "s").withColumnRenamed("pos", "pagerank_pos")
+    p2 = rank_positions(indeg, "s").withColumnRenamed("pos", "indegree_pos")
+    fused = reciprocal_rank_fusion(
+        [
+            p1.select("id", F.col("pagerank_pos").alias("pos")),
+            p2.select("id", F.col("indegree_pos").alias("pos")),
+        ],
+        k=_RRF_K,
+    )
+    return (
+        fused.join(p1, "id")
+        .join(p2, "id")
+        .select(
+            F.col("id").alias("vertex"),
+            "pagerank_pos",
+            "indegree_pos",
+            F.round(F.col("rrf") * 67108864).cast("long").alias("rrf_q"),
+        )
+        .orderBy(F.desc("rrf_q"), F.asc("vertex"))
+        .limit(50)
+    )
+
+
 _BURST_SQL = """WITH hourly AS (
   SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
          CAST(COUNT(*) AS BIGINT) AS n_events
@@ -5636,19 +5993,39 @@ _WINDOW_PRIORITY = [
     # local-finish change keeps bfs_hops as its in-window witness; all
     # four displaced queries have r3 driver rows and local
     # verify_entry.py verification.
-    # -- (b) core regression set: flagship fixpoints, every round
-    # (moved ahead of the re-check list when the round-4 additions grew:
-    # 31 new queries + 13 changed impls + these 6 flagships fill the 50
-    # driver slots EXACTLY; the re-check list below is fully off-window —
-    # every pushed-out query has r1-r3 driver rows AND local judge
-    # verification. Any further oracled addition must displace a (a)-list
-    # entry consciously, never a flagship.) --
+    # -- (a2) NEW in the round-4 continuation session (no driver row
+    # exists yet). These five take the slots of the five flagship
+    # re-checks whose implementations did NOT change in round 4 (edges,
+    # pagerank_fixed20/converged, lpa_labels/lpa_modularity — each has
+    # r1+r2+r3 driver-green rows, unchanged pagerank.py/lpa.py/tables.py
+    # edge path, and local verify_entry verification this session); the
+    # displacement is conscious: a first driver row for a new operator
+    # outranks a fourth row for an unchanged one, and the flagship
+    # semantics still get driver exercise transitively —
+    # pagerank_warm_start runs the full pagerank iteration twice and must
+    # hash-match the SAME fixed-150 oracle as pagerank_converged, and
+    # cc_incremental's contract embeds a full connected_components run.
+    # triangles_total stays (triangles.py changed this round). --
+    "cc_incremental",
+    "pagerank_warm_start",
+    "heavy_hitter_tokens",
+    "countmin_estimates",
+    "rrf_fusion_top",
+    "triangles_total",
+    # -- flagship fixpoints displaced by (a2): first off-window slots,
+    # so they lead the ROUND-5 window (r1+r2+r3 driver rows each; local
+    # verify_entry verification this session) --
     "edges",
     "pagerank_fixed20",
     "pagerank_converged",
-    "triangles_total",
     "lpa_labels",
     "lpa_modularity",
+    # -- continuation-session additions deliberately OFF-window (locally
+    # verified; hub_articulation_probes' oracle runs 3 per-hub
+    # reachability closures and is kept out of the driver's budget) --
+    "lang_temperature_mix",
+    "hub_articulation_probes",
+    "bpe_merges",
     # -- (a1) NEW late in round 4, deliberately OFF-window: the six
     # remaining (a)-entries above are each the sole in-window witness for
     # a round-4 implementation change, so these rotate into the ROUND-5

@@ -75,3 +75,34 @@ def test_quality_weighted_wrapper(spark):
     got = {r.doc_id: (r.w, r.n_copies) for r in quality_weighted_mix(df).collect()}
     assert sum(n for _, n in got.values()) == 6
     assert got[0][0] > got[1][0]  # quality ordering reflected in weights
+
+
+def test_temperature_resample_shares_and_exact_total(spark):
+    import math
+
+    from tldr_spark.operators.mixing import temperature_resample
+
+    # 64 docs of a high-resource lang, 4 of a low-resource one
+    rows = [(i, "en") for i in range(64)] + [(100 + i, "xx") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r.doc_id: (r.lang, r.w, r.n_copies) for r in temperature_resample(df).collect()}
+    assert len(got) == 68
+    # exact integer weights: 65536 // isqrt(n_l)
+    assert all(w == 65536 // math.isqrt(64) for l, w, _ in got.values() if l == "en")
+    assert all(w == 65536 // math.isqrt(4) for l, w, _ in got.values() if l == "xx")
+    # telescoping-floor invariant: total copies == n_docs exactly
+    assert sum(n for _, _, n in got.values()) == 68
+    # alpha=0.5 rebalancing: per-DOC copies of the low-resource lang
+    # exceed the high-resource lang's (weight ratio 2:1)
+    en = sum(n for l, _, n in got.values() if l == "en") / 64
+    xx = sum(n for l, _, n in got.values() if l == "xx") / 4
+    assert xx > en
+
+
+def test_temperature_resample_single_language_identity(spark):
+    from tldr_spark.operators.mixing import temperature_resample
+
+    df = spark.createDataFrame([(i, "en") for i in range(10)], "doc_id long, lang string")
+    got = {r.doc_id: r.n_copies for r in temperature_resample(df).collect()}
+    # equal weights -> exactly one copy each
+    assert got == {i: 1 for i in range(10)}

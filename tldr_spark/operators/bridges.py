@@ -185,3 +185,65 @@ def two_edge_components(edges: DataFrame, max_levels: int = 100_000) -> DataFram
     )
     ce.unpersist()
     return out
+
+
+def articulation_probes(edges: DataFrame, n_hubs: int = 3) -> DataFrame:
+    """(hub, deg, n_comp_base, n_comp_removed, is_articulation) for the
+    top ``n_hubs`` vertices by (undirected degree DESC, id ASC): is the
+    hub a CUT VERTEX — does deleting it split its component?
+
+    The vertex-cut complement of :func:`bridges`: exact global
+    articulation detection needs a DFS tree (Tarjan-Vishkin), which is
+    hostile to bounded-round dataflow, but the question that matters on
+    a web graph — "is this HUB a single point of failure?" — only needs
+    the top-degree probes, each answered by one CC run over the graph
+    minus the hub (vertices that lose their last edge stay, as
+    singleton components, so the count compares like for like).
+
+    Cost per probe: one broadcast anti-join of a 1-row hub against the
+    canonical edge set + one CC pass (star-contraction + bounded
+    finisher — the same machinery as attack_tolerance, which removes
+    budgeted hub SETS where this reports per-hub cut status).
+    """
+    from tldr_spark.operators.components import connected_components
+
+    ce = _canonical(edges).persist()
+    deg = (
+        ce.select(F.col("a").alias("id"))
+        .union(ce.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
+    base = int(
+        connected_components(
+            ce.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        .assignments.select("component")
+        .distinct()
+        .count()
+    )
+    spark = edges.sparkSession
+    hubs = deg.orderBy(F.desc("deg"), F.asc("id")).limit(int(n_hubs)).collect()
+    rows = []
+    for r in hubs:
+        h = int(r["id"])
+        surv = ce.filter((F.col("a") != h) & (F.col("b") != h))
+        verts = deg.select("id").filter(F.col("id") != h)
+        n_removed = int(
+            connected_components(
+                surv.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+                vertices=verts,
+            )
+            .assignments.select("component")
+            .distinct()
+            .count()
+        )
+        rows.append((h, int(r["deg"]), base, n_removed, n_removed > base))
+    ce.unpersist()
+    deg.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "hub long, deg long, n_comp_base long, n_comp_removed long,"
+        " is_articulation boolean",
+    )

@@ -65,6 +65,45 @@ def systematic_resample(
     )
 
 
+def temperature_resample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    scale: int = 65536,
+) -> DataFrame:
+    """(doc_id, <group_col>, w, n_copies): temperature-sampled corpus
+    remix at alpha = 1/2 — language l's share of the output is
+    proportional to n_l^alpha instead of n_l, the mC4/XLM-R recipe for
+    keeping high-resource languages from drowning out the tail.
+
+    Exact cross-engine arithmetic: every document of language l gets the
+    INTEGER weight  w_l = scale // isqrt(n_l)  (isqrt = floor of the
+    correctly-rounded IEEE sqrt, identical in Spark and DuckDB; perfect
+    squares are exact), giving language mass  n_l * w_l ~ scale *
+    sqrt(n_l) — the alpha = 0.5 share up to the 1/scale quantization.
+    The systematic resample then redistributes the ORIGINAL corpus size
+    across languages by those weights (sum(n_copies) == n_docs exactly,
+    telescoping-floor invariant).
+
+    Scale shape: one group count (map-side combined, |langs| rows,
+    broadcast back) + the resample's single global prefix sum."""
+    n_l = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_nl"))
+    weighted = (
+        docs.select(id_col, group_col)
+        .join(F.broadcast(n_l), group_col)
+        .withColumn("_isq", F.floor(F.sqrt(F.col("_nl").cast("double"))).cast("long"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col),
+            F.expr(f"CAST({scale} AS BIGINT) div _isq").alias("w"),
+        )
+    )
+    out = systematic_resample(weighted.select("doc_id", "w"), multiplier=1)
+    return out.join(
+        weighted.select("doc_id", group_col), "doc_id"
+    ).select("doc_id", group_col, "w", "n_copies")
+
+
 def quality_weighted_mix(
     docs: DataFrame,
     multiplier: int = 2,
