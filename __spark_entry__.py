@@ -3282,6 +3282,94 @@ def q_hub_articulation_probes(spark, sf_dir):
     return articulation_probes(derive_edges(spark, sf_dir), n_hubs=_ART_HUBS)
 
 
+# -- bigram-LM quality (order-sensitive CCNet perplexity proxy) --------------
+
+# (moved up from the retrieval section: bigram_quality needs it first)
+_SQL_PTOKS = r"""
+  ptoks AS (
+    SELECT doc_id, u.s['pos'] - 1 AS pos, u.s['tok'] AS token
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+                             x -> x <> '') AS l
+          FROM documents) t,
+         UNNEST(list_transform(generate_series(1, len(t.l)),
+                               i -> {'pos': i, 'tok': t.l[i]})) AS u(s)
+  )
+"""
+
+
+_BIGRAM_SQL = f"""WITH {_SQL_PTOKS},
+  big AS (SELECT a.doc_id, a.token AS w1, b.token AS w2, COUNT(*) AS tf
+          FROM ptoks a JOIN ptoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          GROUP BY 1, 2, 3),
+  corpus AS (SELECT w1, w2, SUM(tf) AS c FROM big GROUP BY 1, 2),
+  ctx AS (SELECT w1, SUM(c) AS cw FROM corpus GROUP BY 1),
+  vocab AS (SELECT COUNT(DISTINCT token) AS v_vocab FROM ptoks),
+  scored AS (
+    SELECT big.doc_id, SUM(big.tf) AS n_transitions,
+           SUM(big.tf * LN(CAST(corpus.c + 1 AS DOUBLE) / (ctx.cw + vocab.v_vocab)))
+             / SUM(big.tf) AS mean_logprob
+    FROM big JOIN corpus USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+    GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(s.n_transitions, 0) AS BIGINT) AS n_transitions,
+       CAST(ROUND(s.mean_logprob * 1024) AS BIGINT) AS logprob_q
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
+
+
+@_q("bigram_quality", _BIGRAM_SQL)
+def q_bigram_quality(spark, sf_dir):
+    """Order-sensitive perplexity proxy: per-doc mean bigram logprob
+    under the corpus's own add-one model (context-count normalizer, so
+    the model is exactly row-stochastic). Same 2^10 quantization rule as
+    unigram_quality — libm ln() ulps cannot move the rounded integer."""
+    from tldr_spark.operators.tfidf import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_transitions",
+        F.round(F.col("mean_logprob") * 1024).cast("long").alias("logprob_q"),
+    )
+
+
+# -- cross-document duplicated-span coverage (Lee et al. ACL'22 measure) -----
+
+_SPAN_N = 5
+
+_SPAN_SQL = f"""WITH gl AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'),
+                             x -> x <> '') AS l
+  FROM documents),
+  nt AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok FROM gl),
+  grams AS (
+    SELECT doc_id, u.s['p'] - 1 AS s, u.s['g'] AS gram
+    FROM gl, UNNEST(list_transform(generate_series(1, len(l) - {_SPAN_N - 1}),
+         i -> {{'p': i, 'g': concat_ws(' ', {", ".join(f"l[i+{k}]" for k in range(_SPAN_N))})}})) AS u(s)),
+  shared AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+  st AS (SELECT DISTINCT g.doc_id, g.s FROM grams g JOIN shared USING (gram)),
+  contrib AS (SELECT doc_id,
+                     LEAST({_SPAN_N}, s - COALESCE(LAG(s) OVER
+                       (PARTITION BY doc_id ORDER BY s), s - {_SPAN_N})) AS c
+              FROM st),
+  cov AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS covered FROM contrib GROUP BY doc_id)
+SELECT nt.doc_id, nt.n_tok,
+       COALESCE(cov.covered, 0) AS covered_tokens,
+       CAST(CASE WHEN nt.n_tok > 0
+            THEN (COALESCE(cov.covered, 0) * 1000) // nt.n_tok
+            ELSE 0 END AS BIGINT) AS dup_span_pm
+FROM nt LEFT JOIN cov USING (doc_id)"""
+
+
+@_q("dup_span_stats", _SPAN_SQL)
+def q_dup_span_stats(spark, sf_dir):
+    """Per-document duplicated-span coverage at 5-gram granularity — the
+    signal behind 'drop substrings that recur across the corpus'. One
+    gram shuffle + one semi-join + a per-DOC window; interval union is
+    min(n, s - lag(s)) since every span has length exactly n."""
+    from tldr_spark.operators.textstats import cross_doc_span_stats
+
+    return cross_doc_span_stats(_docs(spark, sf_dir), n=_SPAN_N)
+
+
 # -- BPE vocabulary induction (Sennrich ACL'16), 8 unrolled merge rounds -----
 
 _BPE_MERGES = 8
@@ -4944,18 +5032,6 @@ def q_bowtie_regions(spark, sf_dir):
 # meaningful at any scale factor. The Spark side collects the chosen terms to
 # the driver — a bounded vocabulary-rank lookup (2-3 rows), not row data.
 
-_SQL_PTOKS = r"""
-  ptoks AS (
-    SELECT doc_id, u.s['pos'] - 1 AS pos, u.s['tok'] AS token
-    FROM (SELECT doc_id,
-                 list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
-                             x -> x <> '') AS l
-          FROM documents) t,
-         UNNEST(list_transform(generate_series(1, len(t.l)),
-                               i -> {'pos': i, 'tok': t.l[i]})) AS u(s)
-  )
-"""
-
 _SQL_TERM_RANKS = """
   dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM ptoks GROUP BY 1),
   ranked_terms AS (
@@ -6026,6 +6102,8 @@ _WINDOW_PRIORITY = [
     "lang_temperature_mix",
     "hub_articulation_probes",
     "bpe_merges",
+    "dup_span_stats",
+    "bigram_quality",
     # -- (a1) NEW late in round 4, deliberately OFF-window: the six
     # remaining (a)-entries above are each the sole in-window witness for
     # a round-4 implementation change, so these rotate into the ROUND-5

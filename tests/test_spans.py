@@ -1,0 +1,139 @@
+"""Cross-document duplicated-span coverage vs an exact python oracle."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tldr_spark.operators.textstats import cross_doc_span_stats
+
+
+def _py_oracle(texts, n):
+    toks = {d: [t for t in txt.split() if t] for d, txt in texts.items()}
+    grams = {}  # gram -> set(docs)
+    for d, ts in toks.items():
+        for s in range(len(ts) - n + 1):
+            grams.setdefault(tuple(ts[s : s + n]), set()).add(d)
+    out = {}
+    for d, ts in toks.items():
+        covered = set()
+        for s in range(len(ts) - n + 1):
+            if len(grams[tuple(ts[s : s + n])]) >= 2:
+                covered.update(range(s, s + n))
+        nt = len(ts)
+        out[d] = (nt, len(covered), (len(covered) * 1000) // nt if nt else 0)
+    return out
+
+
+def _run(spark, texts, n):
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["n_tok"], r["covered_tokens"], r["dup_span_pm"])
+        for r in cross_doc_span_stats(df, n=n).collect()
+    }
+
+
+def test_hand_case(spark):
+    texts = {
+        0: "a b c d e x y z",     # shares "a b c d e" with doc 1
+        1: "q a b c d e r s",
+        2: "u v w",               # too short for n=5, nothing shared
+        3: "",                    # empty doc
+    }
+    got = _run(spark, texts, 5)
+    want = _py_oracle(texts, 5)
+    assert got == want
+    assert got[0] == (8, 5, 625)
+    assert got[2] == (3, 0, 0)
+    assert got[3] == (0, 0, 0)
+
+
+def test_overlapping_spans_union_not_sum(spark):
+    # doc 0 and 1 share a 6-token run -> two overlapping 5-gram windows
+    # must union to 6 covered tokens, not 10
+    texts = {0: "a b c d e f", 1: "a b c d e f", 2: "zz"}
+    got = _run(spark, texts, 5)
+    assert got[0] == (6, 6, 1000)
+
+
+def test_within_doc_repeat_is_not_shared(spark):
+    # the gram repeats INSIDE doc 0 only -> count-distinct-docs = 1
+    texts = {0: "a b c a b c", 1: "x y z w v u"}
+    got = _run(spark, texts, 3)
+    assert got == _py_oracle(texts, 3)
+    assert got[0][1] == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_matches_python(spark, seed):
+    rnd = random.Random(seed)
+    words = ["w%d" % i for i in range(12)]
+    texts = {
+        d: " ".join(rnd.choice(words) for _ in range(rnd.randrange(0, 30)))
+        for d in range(25)
+    }
+    assert _run(spark, texts, 4) == _py_oracle(texts, 4)
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        cross_doc_span_stats(df, n=0)
+
+
+def test_bigram_logprob_matches_python(spark):
+    import math
+
+    from tldr_spark.operators.tfidf import bigram_logprob
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat ran",
+        2: "x",      # single token: no transitions
+        3: "",       # empty
+        4: "on the mat the cat sat",
+    }
+    toks = {d: [t for t in s.split() if t] for d, s in texts.items()}
+    big = {}
+    ctx = {}
+    vocab = {t for ts in toks.values() for t in ts}
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    want = {}
+    for d, ts in toks.items():
+        trans = list(zip(ts, ts[1:]))
+        if not trans:
+            want[d] = (0, None)
+            continue
+        lp = sum(
+            math.log((big[(a, b)] + 1) / (ctx[a] + len(vocab))) for a, b in trans
+        ) / len(trans)
+        want[d] = (len(trans), lp)
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["mean_logprob"])
+        for r in bigram_logprob(df).collect()
+    }
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d][0] == want[d][0]
+        if want[d][1] is None:
+            assert got[d][1] is None
+        else:
+            assert abs(got[d][1] - want[d][1]) < 1e-12
+
+
+def test_bigram_separates_scrambled_from_natural(spark):
+    from tldr_spark.operators.tfidf import bigram_logprob
+
+    # same unigram bag, different order: the repeated natural phrasing
+    # must outscore the one-off scramble (a unigram model ties them)
+    nat = "the cat sat on the mat"
+    texts = {i: nat for i in range(5)}
+    texts[5] = "mat the on sat cat the"
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_logprob"] for r in bigram_logprob(df).collect()}
+    assert got[0] > got[5]

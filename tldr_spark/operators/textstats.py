@@ -317,3 +317,82 @@ def token_length_percentiles(
     return spark.createDataFrame(
         [tuple(v for _, v in row)], ", ".join(f"{k} long" for k, _ in row)
     )
+
+
+def cross_doc_span_stats(
+    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document duplicated-span coverage (the span-level exact-dedup
+    measure of Lee et al. ACL'22 / RefinedWeb, at n-gram granularity):
+
+      (doc_id, n_tok, covered_tokens, dup_span_pm)
+
+    A token position is COVERED iff some n-gram window containing it also
+    occurs in at least one OTHER document; dup_span_pm = per-mille of the
+    document's tokens inside such spans. This is the signal behind
+    "remove any substring of >= 50 tokens that appears more than once in
+    the corpus" — reported per document so the filter threshold is a
+    downstream choice.
+
+    Shape: one gram shuffle (groupBy gram, count distinct doc — map-side
+    combined), one semi-join back, then a PER-DOC window over the shared
+    gram starts. Interval union collapses to min(n, s - lag(s)) because
+    every span has length exactly n and starts arrive sorted — no
+    interval tree, no per-row Python. Skew ceiling of the window is the
+    longest document, not a hot gram.
+    """
+    if n < 1:
+        raise ValueError(f"n must be positive, got {n}")
+    from pyspark.sql import Window
+
+    from tldr_spark.operators.index import _tokens
+
+    t = _tokens(docs, id_col, text_col)
+    ntok = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
+    grams = (
+        t.select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("token", n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    st = grams.join(shared, "gram", "left_semi").select("doc_id", "s").distinct()
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    cov = (
+        st.withColumn(
+            "contrib",
+            F.least(F.lit(n), F.col("s") - F.coalesce(F.lag("s").over(ws), F.col("s") - n)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("covered_tokens"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(ntok, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        )
+        .withColumn(
+            "dup_span_pm",
+            F.when(
+                F.col("n_tok") > 0,
+                F.expr("(covered_tokens * 1000) div n_tok"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )

@@ -180,3 +180,76 @@ def unigram_logprob(
     )
     tc.unpersist()
     return out
+
+
+def bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_transitions, mean_logprob) — per-document mean bigram
+    log-probability under the corpus's own add-one-smoothed model:
+
+        P(t_i | t_{i-1}) = (c(t_{i-1}, t_i) + 1) / (ctx(t_{i-1}) + V)
+
+    with c the corpus bigram count, ctx(w) = w's occurrences as a bigram
+    CONTEXT (non-final position — the exact row-stochastic normalizer),
+    V the vocabulary size. One order sharper than
+    :func:`unigram_logprob` as the CCNet/KenLM perplexity stand-in:
+    unigram scores are blind to scrambled word order; this is not.
+
+    Shape: per-doc bigram extraction is ONE doc-partitioned lead()
+    window; corpus bigram counts and context counts are two map-side-
+    combined aggregates (the second derived from the first — no second
+    pass over the corpus); V rides along as a 1-row broadcast. Documents
+    with fewer than 2 tokens have no transitions: NULL mean_logprob.
+    """
+    from pyspark.sql import Window
+
+    from tldr_spark.operators.index import _tokens
+
+    t = _tokens(docs, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        t.select(
+            "doc_id",
+            F.col("token").alias("w1"),
+            F.lead("token").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    corpus = big.groupBy("w1", "w2").agg(F.sum("tf").alias("c"))
+    ctx = corpus.groupBy("w1").agg(F.sum("c").alias("cw"))
+    vocab = t.agg(F.count_distinct("token").alias("v_vocab"))
+    scored = (
+        big.join(corpus, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_transitions"),
+            (
+                F.sum(
+                    F.col("tf")
+                    * F.log(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("cw") + F.col("v_vocab"))
+                    )
+                )
+                / F.sum("tf")
+            ).alias("mean_logprob"),
+        )
+    )
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_transitions", F.lit(0)).alias("n_transitions"),
+            "mean_logprob",
+        )
+        .localCheckpoint(eager=True)
+    )
+    big.unpersist()
+    return out
