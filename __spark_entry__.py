@@ -3282,6 +3282,42 @@ def q_hub_articulation_probes(spark, sf_dir):
     return articulation_probes(derive_edges(spark, sf_dir), n_hubs=_ART_HUBS)
 
 
+# -- streaming count-min build (mergeable sketch == batch, bit-for-bit) ------
+
+_SCMS_D, _SCMS_W = 4, 64
+
+
+def _scms_bucket_sql(row: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{row}:', item)), 1, 8)) AS BIGINT)"
+        f" % {_SCMS_W}"
+    )
+
+
+_SCMS_SQL = (
+    """WITH items AS (
+  SELECT CAST((event_id * 131 + 7) % 211 AS VARCHAR) AS item FROM events
+)
+SELECT rw, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT {j} AS rw, {_scms_bucket_sql(j)} AS bucket FROM items"
+        for j in range(_SCMS_D)
+    )
+    + ") GROUP BY rw, bucket"
+)
+
+
+@_q("stream_countmin_cells", _SCMS_SQL)
+def q_stream_countmin_cells(spark, sf_dir):
+    """Count-min sketch built BY Structured Streaming over the landed
+    edge-arrival stream (availableNow drain): cellwise-sum mergeability
+    makes the incremental build bit-identical to the batch oracle —
+    bounded d*w state for an unbounded crawl stream."""
+    from tldr_spark.streaming.edges_stream import streamed_countmin_cells
+
+    return streamed_countmin_cells(spark, sf_dir, depth=_SCMS_D, width=_SCMS_W)
+
+
 # -- bigram-LM quality (order-sensitive CCNet perplexity proxy) --------------
 
 # (moved up from the retrieval section: bigram_quality needs it first)
@@ -6104,6 +6140,7 @@ _WINDOW_PRIORITY = [
     "bpe_merges",
     "dup_span_stats",
     "bigram_quality",
+    "stream_countmin_cells",
     # -- (a1) NEW late in round 4, deliberately OFF-window: the six
     # remaining (a)-entries above are each the sole in-window witness for
     # a round-4 implementation change, so these rotate into the ROUND-5

@@ -222,3 +222,28 @@ def test_stateful_streaming_sessions_across_batches(spark, tmp_path):
     # batch 3: event at 20h closes session 2 as well
     got = drain([(7, 20 * h, "a")])
     assert got == {(7, 1): 2, (7, 2): 1}
+
+
+def test_streaming_countmin_equals_batch_sketch(spark):
+    # cellwise-sum mergeability: the sketch the streaming engine builds
+    # incrementally must be bit-identical to a one-shot batch build over
+    # the same arrivals
+    from pyspark.sql import functions as F
+
+    from tldr_spark.operators.heavyhitters import countmin_sketch
+    from tldr_spark.streaming.edges_stream import streamed_countmin_cells
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["rw"], r["bucket"]): r["cnt"]
+        for r in streamed_countmin_cells(spark, sf, depth=3, width=32).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        ((F.col("event_id") * 131 + 7) % 211).cast("string").alias("item")
+    )
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in countmin_sketch(ev, "item", depth=3, width=32).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 3 * ev.count()

@@ -118,3 +118,48 @@ def streamed_sliding_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("in_deg").cast("long").alias("in_deg"),
         F.round(F.col("in_weight") * 1024).cast("long").alias("in_weight_q"),
     )
+
+
+def streamed_countmin_cells(
+    spark: SparkSession, sf_dir: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-min sketch built BY THE STREAMING ENGINE: the d x w cell
+    aggregate runs as a streaming groupBy over the landing edge stream
+    (availableNow drain, complete mode). Because the sketch is a pure
+    cellwise-sum structure, the incremental streaming build is
+    bit-identical to a one-shot batch build over the same arrivals —
+    that mergeability is exactly why CMS is the right frequency state
+    for an unbounded crawl stream (state is d*w int64 cells FOREVER,
+    immune to unbounded-key state growth that a per-item streaming
+    count would suffer). Items are the dst vertex ids; buckets use the
+    same md5-slice arithmetic as operators/heavyhitters.py, so the
+    DuckDB oracle reproduces every cell."""
+    import uuid
+
+    from tldr_spark.operators.heavyhitters import _bucket
+
+    base = f"{spark.conf.get('spark.sql.warehouse.dir', 'spark-warehouse').removeprefix('file:')}/_stream_tmp/{uuid.uuid4().hex[:12]}"
+    landing, ckpt = f"{base}/landing", f"{base}/ckpt"
+    events_to_edge_files(spark, sf_dir, landing)
+    item = F.col("dst").cast("string")
+    cells = (
+        read_edge_stream(spark, landing)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("rw"),
+                            _bucket(item, j, width).alias("bucket"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.rw").alias("rw"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    run_available_now(cells, name, ckpt)
+    return spark.table(name).select("rw", "bucket", F.col("cnt").cast("long").alias("cnt"))
