@@ -3282,6 +3282,52 @@ def q_hub_articulation_probes(spark, sf_dir):
     return articulation_probes(derive_edges(spark, sf_dir), n_hubs=_ART_HUBS)
 
 
+# -- LSA top singular component (distributed power iteration) ----------------
+
+_LSA_ITERS = 8
+
+
+def _lsa_round_sql(k: int) -> str:
+    return f"""
+  u{k} AS MATERIALIZED (
+    SELECT tc.doc_id, SUM(tc.tf * v{k - 1}.v) AS u
+    FROM tc JOIN v{k - 1} USING (token) GROUP BY 1),
+  w{k} AS MATERIALIZED (
+    SELECT tc.token, SUM(tc.tf * u{k}.u) AS w
+    FROM tc JOIN u{k} USING (doc_id) GROUP BY 1),
+  n{k} AS (SELECT SQRT(SUM(w * w)) AS nn FROM w{k}),
+  v{k} AS MATERIALIZED (SELECT token, w / nn AS v FROM w{k}, n{k})"""
+
+
+_LSA_SQL = (
+    f"WITH {_SQL_TOKS},\n"
+    """  tc AS MATERIALIZED (
+    SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+  v0 AS MATERIALIZED (
+    SELECT token, 1.0 / SQRT((SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) FROM tc)) AS v
+    FROM (SELECT DISTINCT token FROM tc)),"""
+    + ",".join(_lsa_round_sql(k) for k in range(1, _LSA_ITERS + 1))
+    + f"""
+SELECT doc_id, CAST(ROUND(u * 16384) AS BIGINT) AS score_q FROM u{_LSA_ITERS}"""
+)
+
+
+@_q("lsa_doc_scores", _LSA_SQL)
+def q_lsa_doc_scores(spark, sf_dir):
+    """Per-document score on the corpus's dominant LSA axis: 8 rounds of
+    power iteration on the integer doc-term count matrix — two map-side-
+    combined aggregates per round, the L2 normalizer as a 1-row broadcast,
+    zero driver rows. 2^-14 quantized (the iterate after a FIXED round
+    count is compared, so only aggregate-order ulps need absorbing — the
+    same argument as the fixed-iteration PageRank oracles)."""
+    from tldr_spark.operators.lsa import lsa_top_component
+
+    res = lsa_top_component(_docs(spark, sf_dir), iterations=_LSA_ITERS)
+    return res.doc_scores.select(
+        "doc_id", F.round(F.col("score") * 16384).cast("long").alias("score_q")
+    )
+
+
 # -- streaming count-min build (mergeable sketch == batch, bit-for-bit) ------
 
 _SCMS_D, _SCMS_W = 4, 64
@@ -6141,6 +6187,7 @@ _WINDOW_PRIORITY = [
     "dup_span_stats",
     "bigram_quality",
     "stream_countmin_cells",
+    "lsa_doc_scores",
     # -- (a1) NEW late in round 4, deliberately OFF-window: the six
     # remaining (a)-entries above are each the sole in-window witness for
     # a round-4 implementation change, so these rotate into the ROUND-5
