@@ -3533,6 +3533,53 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_learn(words, _BPE_MERGES).merges
 
 
+_BPE_SEG_SQL = (
+    f"WITH {_SQL_TOKS},\n"
+    """  v1 AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+           list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+    FROM (SELECT token AS word FROM toks) GROUP BY word
+  ),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_MERGES + 1))
+    + f"""
+SELECT word, n, CAST(len(syms) AS BIGINT) AS n_subwords,
+       array_to_string(syms, ' ') AS segmented
+FROM v{_BPE_MERGES + 1}
+ORDER BY n DESC, word ASC LIMIT 50"""
+)
+
+
+@_q("bpe_vocab_segmented", _BPE_SEG_SQL)
+def q_bpe_vocab_segmented(spark, sf_dir):
+    """The APPLY side of BPE induction: the top-50 corpus words with
+    their segmentation after the 8 learned merges — compression the
+    merge table actually buys on the vocabulary it was trained on."""
+    from tldr_spark.operators.bpe import bpe_learn, bpe_segment
+
+    words = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy(F.col("token").alias("word"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seg = bpe_segment(bpe_learn(words, _BPE_MERGES).vocab)
+    return seg.orderBy(F.desc("n"), F.asc("word")).limit(50)
+
+
+@_q("ann_pq_topk", None)
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k over the embeddings table — the
+    memory-side ANN variant (4 sub-codebooks x 8 centroids: 4 bytes per
+    vector). Rows-only (k-means training, same contract as ann_ivf_topk);
+    semantics pinned by tests/test_pq.py (numpy encode mirror, ADC table
+    sums, clustered-corpus recall, seeded determinism)."""
+    from tldr_spark.operators.pq import pq_topk, train_pq_codebooks
+
+    embs = load(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(embs, m=4, k=8, sample=1024, seed=7)
+    probes = embs.orderBy("vec_id").limit(10)
+    return pq_topk(embs, probes, books, k=5)
+
+
 # -- language-temperature corpus remix (alpha = 0.5) ------------------------
 
 _TEMP_SCALE = 65536
@@ -6188,6 +6235,7 @@ _WINDOW_PRIORITY = [
     "bigram_quality",
     "stream_countmin_cells",
     "lsa_doc_scores",
+    "bpe_vocab_segmented",
     # -- (a1) NEW late in round 4, deliberately OFF-window: the six
     # remaining (a)-entries above are each the sole in-window witness for
     # a round-4 implementation change, so these rotate into the ROUND-5
