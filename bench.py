@@ -567,6 +567,49 @@ def run_secondary(deadline: float | None = None) -> dict:
         from tldr_spark.operators.walks import node2vec_walks
         t("node2vec8x2", lambda: node2vec_walks(
             edges, walk_length=8, walks_per_vertex=2).count())
+        # round-4 continuation-session operators
+        from tldr_spark.operators.components import connected_components as _cc
+        from tldr_spark.operators.incremental import incremental_components
+        def _inc_cc():
+            old = _cc(prev_edges.select("src", "dst")).assignments
+            delta = edges.select("src", "dst").join(
+                prev_edges.select("src", "dst"), ["src", "dst"], "left_anti"
+            )
+            return incremental_components(old, delta).count()
+        t("cc_incremental", _inc_cc)
+        from tldr_spark.operators.heavyhitters import (
+            countmin_sketch,
+            heavy_hitters_exact,
+        )
+        toks = docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).alias("token")
+        ).filter(F.col("token") != "")
+        t("heavy_hitters", lambda: heavy_hitters_exact(
+            toks, "token", min_count=1000, k=4096).count())
+        t("countmin_build", lambda: countmin_sketch(
+            toks, "token", depth=4, width=256).count())
+        from tldr_spark.operators.textstats import cross_doc_span_stats
+        t("dup_spans5", lambda: cross_doc_span_stats(docs, n=5).count())
+        from tldr_spark.operators.tfidf import bigram_logprob
+        t("bigram_lm", lambda: bigram_logprob(docs).count())
+        from tldr_spark.operators.bpe import bpe_learn
+        t("bpe8", lambda: bpe_learn(
+            toks.groupBy(F.col("token").alias("word")).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            8,
+        ).merges.count())
+        from tldr_spark.operators.lsa import lsa_top_component
+        t("lsa8", lambda: lsa_top_component(docs, iterations=8).doc_scores.count())
+        from tldr_spark.operators.mixing import temperature_resample
+        t("temperature_mix", lambda: temperature_resample(docs).count())
+        from tldr_spark.operators.pq import pq_topk, train_pq_codebooks
+        def _pq():
+            books = train_pq_codebooks(embs, m=4, k=16, sample=2048, seed=7)
+            return pq_topk(embs, embs.filter("vec_id < 20"), books, k=10).count()
+        t("ann_pq_topk", _pq)
+        from tldr_spark.operators.bridges import articulation_probes
+        t("articulation3", lambda: articulation_probes(edges, n_hubs=3).count())
         # leiden LAST: multilevel loop (move pass + CC + contraction per
         # level) is the longest table entry; everything above lands first
         # if the budget is tight
