@@ -3235,6 +3235,53 @@ def q_countmin_estimates(spark, sf_dir):
     return probes.join(est, "token").select("token", "n_exact", "n_cms")
 
 
+# -- funnel conversion + semi-structured props extraction --------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+_FUNNEL_SQL = """WITH
+  s1 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
+         WHERE event_type = 'view' GROUP BY 1),
+  s2 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+         JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t
+         WHERE e.event_type = 'click' GROUP BY 1),
+  s3 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+         JOIN s2 ON s2.u = e.user_id AND e.ts > s2.t
+         WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT 1 AS step, 'view' AS event_type,
+       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)"""
+
+
+@_q("funnel_view_click_purchase", _FUNNEL_SQL)
+def q_funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel conversion (view -> click -> purchase) with
+    earliest-match semantics: per step ONE hash join against the
+    shrinking user frontier + one map-side min aggregate; the per-type
+    filter is pushed to the parquet scan."""
+    from tldr_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(load(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
+_PROPS_SQL = """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1"""
+
+
+@_q("props_k_histogram", _PROPS_SQL)
+def q_props_k_histogram(spark, sf_dir):
+    """Semi-structured extraction over the events' JSON props column:
+    get_json_object path read + histogram — the schema-on-read surface
+    a crawl pipeline needs for WARC metadata (JVM-side JSON path, one
+    map-side-combined aggregate; no UDF)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.get_json_object("props", "$.k").cast("long").alias("k")
+    ).groupBy("k").agg(F.count(F.lit(1)).alias("n_events"))
+
+
 # -- hub articulation (cut-vertex) probes ------------------------------------
 
 _ART_HUBS = 3
@@ -6236,6 +6283,8 @@ _WINDOW_PRIORITY = [
     "stream_countmin_cells",
     "lsa_doc_scores",
     "bpe_vocab_segmented",
+    "funnel_view_click_purchase",
+    "props_k_histogram",
     # -- (a1) NEW late in round 4, deliberately OFF-window: the six
     # remaining (a)-entries above are each the sole in-window witness for
     # a round-4 implementation change, so these rotate into the ROUND-5
