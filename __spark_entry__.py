@@ -3460,6 +3460,44 @@ def q_bigram_quality(spark, sf_dir):
     )
 
 
+_TRIGRAM_SQL = f"""WITH {_SQL_PTOKS},
+  tri AS (SELECT a.doc_id, a.token AS w1, b.token AS w2, c.token AS w3,
+                 COUNT(*) AS tf
+          FROM ptoks a
+          JOIN ptoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN ptoks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          GROUP BY 1, 2, 3, 4),
+  corpus AS (SELECT w1, w2, w3, SUM(tf) AS c FROM tri GROUP BY 1, 2, 3),
+  ctx AS (SELECT w1, w2, SUM(c) AS cw FROM corpus GROUP BY 1, 2),
+  vocab AS (SELECT COUNT(DISTINCT token) AS v_vocab FROM ptoks),
+  scored AS (
+    SELECT tri.doc_id, SUM(tri.tf) AS n_transitions,
+           SUM(tri.tf * LN(CAST(corpus.c + 1 AS DOUBLE) / (ctx.cw + vocab.v_vocab)))
+             / SUM(tri.tf) AS mean_logprob
+    FROM tri JOIN corpus USING (w1, w2, w3) JOIN ctx USING (w1, w2)
+    CROSS JOIN vocab
+    GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(s.n_transitions, 0) AS BIGINT) AS n_transitions,
+       CAST(ROUND(s.mean_logprob * 1024) AS BIGINT) AS logprob_q
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
+
+
+@_q("trigram_quality", _TRIGRAM_SQL)
+def q_trigram_quality(spark, sf_dir):
+    """One Markov order past bigram_quality: per-doc mean TRIGRAM logprob
+    under the corpus's own add-one model with the exact row-stochastic
+    (w1, w2)-context normalizer — catches locally-repetitive spam whose
+    adjacent pairs are individually plausible. Same 2^10 quantization
+    rule: libm ln() ulps cannot move the rounded integer."""
+    from tldr_spark.operators.tfidf import trigram_logprob
+
+    return trigram_logprob(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_transitions",
+        F.round(F.col("mean_logprob") * 1024).cast("long").alias("logprob_q"),
+    )
+
+
 # -- cross-document duplicated-span coverage (Lee et al. ACL'22 measure) -----
 
 _SPAN_N = 5
@@ -6285,6 +6323,7 @@ _WINDOW_PRIORITY = [
     "bpe_vocab_segmented",
     "funnel_view_click_purchase",
     "props_k_histogram",
+    "trigram_quality",
     # -- (a1) NEW late in round 4, deliberately OFF-window: the six
     # remaining (a)-entries above are each the sole in-window witness for
     # a round-4 implementation change, so these rotate into the ROUND-5

@@ -137,3 +137,62 @@ def test_bigram_separates_scrambled_from_natural(spark):
     df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
     got = {r["doc_id"]: r["mean_logprob"] for r in bigram_logprob(df).collect()}
     assert got[0] > got[5]
+
+
+def test_trigram_logprob_matches_python(spark):
+    import math
+
+    from tldr_spark.operators.tfidf import trigram_logprob
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat sat",
+        2: "x y",     # two tokens: no trigram transitions
+        3: "",        # empty
+        4: "on the mat the cat sat on the mat",
+    }
+    toks = {d: [t for t in s.split() if t] for d, s in texts.items()}
+    tri = {}
+    ctx = {}
+    vocab = {t for ts in toks.values() for t in ts}
+    for ts in toks.values():
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+            ctx[(a, b)] = ctx.get((a, b), 0) + 1
+    want = {}
+    for d, ts in toks.items():
+        trans = list(zip(ts, ts[1:], ts[2:]))
+        if not trans:
+            want[d] = (0, None)
+            continue
+        lp = sum(
+            math.log((tri[(a, b, c)] + 1) / (ctx[(a, b)] + len(vocab)))
+            for a, b, c in trans
+        ) / len(trans)
+        want[d] = (len(trans), lp)
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["mean_logprob"])
+        for r in trigram_logprob(df).collect()
+    }
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d][0] == want[d][0]
+        if want[d][1] is None:
+            assert got[d][1] is None
+        else:
+            assert abs(got[d][1] - want[d][1]) < 1e-12
+
+
+def test_trigram_separates_pairwise_plausible_loop(spark):
+    from tldr_spark.operators.tfidf import trigram_logprob
+
+    # "a b a b a b" has only plausible BIGRAMS once "a b"/"b a" are common,
+    # but its trigrams (a b a / b a b) never occur in the natural docs —
+    # the trigram model must score the loop below the natural phrasing
+    nat = "a b c a b d"
+    texts = {i: nat for i in range(5)}
+    texts[5] = "a b a b a b"
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_logprob"] for r in trigram_logprob(df).collect()}
+    assert got[0] > got[5]

@@ -253,3 +253,85 @@ def bigram_logprob(
     )
     big.unpersist()
     return out
+
+
+def trigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_transitions, mean_logprob) — per-document mean TRIGRAM
+    log-probability under the corpus's own add-one-smoothed model:
+
+        P(t_i | t_{i-2}, t_{i-1}) = (c(t_{i-2}, t_{i-1}, t_i) + 1)
+                                    / (ctx(t_{i-2}, t_{i-1}) + V)
+
+    with c the corpus trigram count, ctx(w1, w2) = the bigram's
+    occurrences as a trigram CONTEXT (non-final, i.e. followed by at
+    least one token — the exact row-stochastic normalizer), V the
+    unigram vocabulary size. One Markov order sharper than
+    :func:`bigram_logprob`: the bigram model cannot tell "the the the"
+    loops from text once each adjacent pair is plausible; the trigram
+    penalizes locally-repetitive machine spam that per-pair statistics
+    miss (the CCNet-style quality ladder's next rung).
+
+    Shape is bigram_logprob's with a wider key: trigram extraction is
+    the SAME single doc-partitioned window pass (two lead() offsets, no
+    self-join); corpus trigram counts and context counts are two
+    map-side-combined aggregates, the second derived from the first;
+    V rides along as a 1-row broadcast. Documents with fewer than 3
+    tokens have no transitions: n_transitions = 0, NULL mean_logprob.
+    At web scale the trigram table is the cost (O(corpus tokens) rows,
+    hapax-heavy like any n-gram table) — it is born partitioned by its
+    own hash key and never collected or broadcast.
+    """
+    from pyspark.sql import Window
+
+    from tldr_spark.operators.index import _tokens
+
+    t = _tokens(docs, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        t.select(
+            "doc_id",
+            F.col("token").alias("w1"),
+            F.lead("token", 1).over(w).alias("w2"),
+            F.lead("token", 2).over(w).alias("w3"),
+        )
+        .filter(F.col("w3").isNotNull())
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    corpus = tri.groupBy("w1", "w2", "w3").agg(F.sum("tf").alias("c"))
+    ctx = corpus.groupBy("w1", "w2").agg(F.sum("c").alias("cw"))
+    vocab = t.agg(F.count_distinct("token").alias("v_vocab"))
+    scored = (
+        tri.join(corpus, ["w1", "w2", "w3"])
+        .join(ctx, ["w1", "w2"])
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_transitions"),
+            (
+                F.sum(
+                    F.col("tf")
+                    * F.log(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("cw") + F.col("v_vocab"))
+                    )
+                )
+                / F.sum("tf")
+            ).alias("mean_logprob"),
+        )
+    )
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_transitions", F.lit(0)).alias("n_transitions"),
+            "mean_logprob",
+        )
+        .localCheckpoint(eager=True)
+    )
+    tri.unpersist()
+    return out
