@@ -3282,6 +3282,33 @@ def q_props_k_histogram(spark, sf_dir):
     ).groupBy("k").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+# -- cohort retention matrix (first-event weekly cohorts) --------------------
+
+_RETENTION_SQL = """WITH per AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 86400000000) // 7 AS period
+  FROM events),
+  first AS (SELECT user_id, MIN(period) AS cohort FROM per GROUP BY 1)
+SELECT DATE '1970-01-01' + CAST(f.cohort * 7 AS INTEGER) AS cohort_start,
+       CAST(p.period - f.cohort AS BIGINT) AS offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per p JOIN first f USING (user_id)
+GROUP BY 1, 2"""
+
+
+@_q("retention_cohorts", _RETENTION_SQL)
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix over the events table: distinct
+    users of each first-event cohort active `offset` weeks later.
+    Periods are pure int64 epoch-day arithmetic (no calendar/week-start
+    semantics to disagree on cross-engine); one (user, period) distinct
+    bounds hot users at n_periods rows, then one min-agg + one hash
+    join + one map-side-combined count."""
+    from tldr_spark.operators.retention import retention_cohorts
+
+    return retention_cohorts(load(spark, sf_dir, "events"), unit_days=7)
+
+
 # -- hub articulation (cut-vertex) probes ------------------------------------
 
 _ART_HUBS = 3
@@ -6324,6 +6351,7 @@ _WINDOW_PRIORITY = [
     "funnel_view_click_purchase",
     "props_k_histogram",
     "trigram_quality",
+    "retention_cohorts",
     # -- (a1) NEW late in round 4, deliberately OFF-window: the six
     # remaining (a)-entries above are each the sole in-window witness for
     # a round-4 implementation change, so these rotate into the ROUND-5
