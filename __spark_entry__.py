@@ -3282,6 +3282,44 @@ def q_props_k_histogram(spark, sf_dir):
     ).groupBy("k").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+# -- Zipf rank-frequency exponent (corpus-health diagnostic) -----------------
+
+_ZIPF_TOP_N = 1000
+
+_ZIPF_SQL = f"""WITH {_SQL_TOKS},
+  cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+  top AS (SELECT token, c FROM cnt ORDER BY c DESC, token ASC LIMIT {_ZIPF_TOP_N}),
+  ranked AS (SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS DOUBLE)) AS x,
+                    LN(CAST(c AS DOUBLE)) AS y
+             FROM top),
+  s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_top,
+       CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 16384) AS BIGINT)
+         AS slope_q,
+       CAST(ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                  * 16384) AS BIGINT) AS intercept_q
+FROM s"""
+
+
+@_q("zipf_alpha_tokens", _ZIPF_SQL)
+def q_zipf_alpha_tokens(spark, sf_dir):
+    """Zipf rank-frequency exponent over the corpus's top-1000 tokens:
+    OLS of ln(count) ~ ln(rank), closed form, with ties ranked
+    (count desc, token asc) so the ranking is total cross-engine.
+    ONE map-side token count + a TakeOrdered + a bounded 1000-row
+    window; 2^-14 quantized (sums of 1000 O(10) doubles — aggregation-
+    order ulps are ~1e-12, far inside the quantum)."""
+    from tldr_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_n=_ZIPF_TOP_N).select(
+        "n_top",
+        F.round(F.col("slope") * 16384).cast("long").alias("slope_q"),
+        F.round(F.col("intercept") * 16384).cast("long").alias("intercept_q"),
+    )
+
+
 # -- cohort retention matrix (first-event weekly cohorts) --------------------
 
 _RETENTION_SQL = """WITH per AS (
@@ -6352,6 +6390,7 @@ _WINDOW_PRIORITY = [
     "props_k_histogram",
     "trigram_quality",
     "retention_cohorts",
+    "zipf_alpha_tokens",
     # -- (a1) NEW late in round 4, deliberately OFF-window: the six
     # remaining (a)-entries above are each the sole in-window witness for
     # a round-4 implementation change, so these rotate into the ROUND-5

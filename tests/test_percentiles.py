@@ -46,3 +46,59 @@ def test_empty_and_constant_corpora(spark):
         "n_docs": 25, "p50_tokens": 7, "p90_tokens": 7,
         "p99_tokens": 7, "max_tokens": 7,
     }
+
+
+# -- zipf_fit ------------------------------------------------------------------
+
+
+def test_zipf_fit_matches_numpy(spark):
+    import math
+
+    from tldr_spark.operators.textstats import zipf_fit
+
+    # deterministic zipf-ish corpus: token t_i appears ceil(60/i) times
+    words = []
+    for i in range(1, 13):
+        words += [f"t{i:02d}"] * ((60 + i - 1) // i)
+    texts = [(0, " ".join(words[:40])), (1, " ".join(words[40:]))]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    row = zipf_fit(df, top_n=8).collect()[0]
+
+    # python oracle: counts over the SAME corpus, same tie rule
+    from collections import Counter
+
+    cnt = Counter(words)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    xs = [math.log(r + 1) for r in range(len(top))]
+    ys = [math.log(c) for _, c in top]
+    n = float(len(xs))
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert row["n_top"] == 8
+    assert abs(row["slope"] - slope) < 1e-9
+    assert abs(row["intercept"] - intercept) < 1e-9
+
+
+def test_zipf_fit_degenerate_single_token(spark):
+    from tldr_spark.operators.textstats import zipf_fit
+
+    df = spark.createDataFrame([(0, "a a a a")], "doc_id long, text string")
+    row = zipf_fit(df).collect()[0]
+    assert row["n_top"] == 1
+    assert row["slope"] is None and row["intercept"] is None
+
+
+def test_zipf_true_powerlaw_recovers_exponent(spark):
+    from tldr_spark.operators.textstats import zipf_fit
+
+    # counts exactly proportional to rank^-1 -> slope == -1 up to the
+    # integer rounding of the counts
+    words = []
+    for i in range(1, 33):
+        words += [f"w{i:02d}"] * max(1, round(3200 / i))
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    row = zipf_fit(df, top_n=32).collect()[0]
+    assert abs(row["slope"] + 1.0) < 0.01

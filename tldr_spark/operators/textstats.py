@@ -396,3 +396,52 @@ def cross_doc_span_stats(
             .cast("long"),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_n: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """1-row (n_top, slope, intercept) — OLS fit of ln(count) ~ ln(rank)
+    over the corpus's ``top_n`` most frequent tokens: the Zipf
+    rank-frequency exponent (slope ≈ -1 for natural language; template
+    spam and generated boilerplate bend it visibly — Piantadosi 2014's
+    corpus-health diagnostic at a single-number price).
+
+    Shape: ONE map-side-combined token count over the corpus, then a
+    TakeOrdered top-``top_n`` (no global sort materialized), a window
+    rank over the ``top_n``-row result (bounded single partition — by
+    construction, not by data), and one closed-form OLS aggregate:
+    slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²). Ties rank by (count desc,
+    token asc), so the ranking is total and engine-independent. Fewer
+    than 2 distinct tokens → NULL slope/intercept."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+"), lambda t: t != ""
+    )
+    cnt = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), F.asc("token")).limit(int(top_n))
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    ranked = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("x") * F.col("y"))
+    den = n * sxx - sx * sx
+    slope = F.when(den != 0, (n * sxy - sx * sy) / den)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        slope.alias("slope"),
+        F.when(den != 0, (sy - ((n * sxy - sx * sy) / den) * sx) / n).alias(
+            "intercept"
+        ),
+    )
