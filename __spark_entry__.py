@@ -3282,6 +3282,52 @@ def q_props_k_histogram(spark, sf_dir):
     ).groupBy("k").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+# -- source-overlap audit: pairwise shingle Jaccard between corpus groups ----
+
+_SRC_OVERLAP_SQL = r"""WITH gl AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+  grams AS (
+    SELECT DISTINCT gl.source AS grp, u.g AS gram
+    FROM gl, UNNEST(list_transform(generate_series(1, len(l) - 2),
+         i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS u(g)),
+  sizes AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng FROM grams GROUP BY 1),
+  inter AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM grams a JOIN grams b ON a.gram = b.gram AND a.grp < b.grp
+            GROUP BY 1, 2)
+SELECT sa.grp AS source_a, sb.grp AS source_b, sa.ng AS n_a, sb.ng AS n_b,
+       COALESCE(i.n_common, 0) AS n_common,
+       CAST(ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                  / (sa.ng + sb.ng - COALESCE(i.n_common, 0)) * 16384)
+            AS BIGINT) AS jaccard_q
+FROM sizes sa JOIN sizes sb ON sa.grp < sb.grp
+LEFT JOIN inter i ON i.grp_a = sa.grp AND i.grp_b = sb.grp"""
+
+
+@_q("source_overlap_jaccard", _SRC_OVERLAP_SQL)
+def q_source_overlap_jaccard(spark, sf_dir):
+    """Corpus-overlap audit: exact Jaccard between every source pair's
+    distinct 3-gram shingle sets (the source-level view of what per-doc
+    MinHash dedup sees pairwise — two 'independent' dumps near 1 are
+    the same crawl twice). One corpus-sized (source, gram) distinct;
+    the gram self-join fans out at most |sources|^2 per gram; the size
+    frame is |sources| rows. 2^-14 quantized integer-ratio output."""
+    from tldr_spark.operators.textstats import group_shingle_jaccard
+
+    out = group_shingle_jaccard(_docs(spark, sf_dir), n=3)
+    return out.select(
+        F.col("grp_a").alias("source_a"),
+        F.col("grp_b").alias("source_b"),
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(F.col("jaccard") * 16384).cast("long").alias("jaccard_q"),
+    )
+
+
 # -- Zipf rank-frequency exponent (corpus-health diagnostic) -----------------
 
 _ZIPF_TOP_N = 1000
@@ -6391,6 +6437,7 @@ _WINDOW_PRIORITY = [
     "trigram_quality",
     "retention_cohorts",
     "zipf_alpha_tokens",
+    "source_overlap_jaccard",
     # -- (a1) NEW late in round 4, deliberately OFF-window: the six
     # remaining (a)-entries above are each the sole in-window witness for
     # a round-4 implementation change, so these rotate into the ROUND-5

@@ -196,3 +196,82 @@ def test_trigram_separates_pairwise_plausible_loop(spark):
     df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
     got = {r["doc_id"]: r["mean_logprob"] for r in trigram_logprob(df).collect()}
     assert got[0] > got[5]
+
+
+# -- group_shingle_jaccard -----------------------------------------------------
+
+
+def _py_group_jaccard(texts_by_group, n=3):
+    def sh(s):
+        t = [w for w in s.split() if w]
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    sets = {}
+    for g, texts in texts_by_group.items():
+        u = set()
+        for s in texts:
+            u |= sh(s)
+        if u:
+            sets[g] = u
+    out = {}
+    gs = sorted(sets)
+    for i, a in enumerate(gs):
+        for b in gs[i + 1 :]:
+            c = len(sets[a] & sets[b])
+            out[(a, b)] = (len(sets[a]), len(sets[b]), c,
+                           c / (len(sets[a]) + len(sets[b]) - c))
+    return out
+
+
+def test_group_jaccard_matches_python(spark):
+    from tldr_spark.operators.textstats import group_shingle_jaccard
+
+    groups = {
+        "a": ["the cat sat on the mat", "a b c d"],
+        "b": ["the cat sat on the rug", "a b c d e"],
+        "c": ["totally different words here now"],
+        "d": ["xx"],  # too short for a 3-gram: drops out of the matrix
+    }
+    rows = []
+    i = 0
+    for g, texts in groups.items():
+        for t in texts:
+            rows.append((i, t, g))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["grp_a"], r["grp_b"]): (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+        for r in group_shingle_jaccard(df, n=3, group_col="source").collect()
+    }
+    want = _py_group_jaccard(groups)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][:3] == want[k][:3], k
+        assert abs(got[k][3] - want[k][3]) < 1e-12, k
+    # sanity on the structure: a-b overlap strictly between 0 and 1,
+    # c shares nothing with either
+    assert 0 < got[("a", "b")][3] < 1
+    assert got[("a", "c")][2] == 0 and got[("b", "c")][2] == 0
+
+
+def test_group_jaccard_identical_groups(spark):
+    from tldr_spark.operators.textstats import group_shingle_jaccard
+
+    df = spark.createDataFrame(
+        [(0, "w x y z", "p"), (1, "w x y z", "q")],
+        "doc_id long, text string, source string",
+    )
+    got = group_shingle_jaccard(df).collect()
+    assert len(got) == 1 and got[0]["jaccard"] == 1.0
+
+
+def test_group_jaccard_within_group_dups_ignored(spark):
+    from tldr_spark.operators.textstats import group_shingle_jaccard
+
+    # duplicate docs inside one group must not inflate its shingle count
+    df = spark.createDataFrame(
+        [(0, "u v w", "p"), (1, "u v w", "p"), (2, "u v w x", "q")],
+        "doc_id long, text string, source string",
+    )
+    r = group_shingle_jaccard(df).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1, 2)

@@ -445,3 +445,62 @@ def zipf_fit(
             "intercept"
         ),
     )
+
+
+def group_shingle_jaccard(
+    docs: DataFrame,
+    n: int = 3,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(grp_a, grp_b, n_a, n_b, n_common, jaccard) for every unordered
+    group pair — exact Jaccard between the groups' distinct token
+    ``n``-gram shingle sets. The corpus-overlap audit a training-data
+    pipeline runs before mixing sources: two "independent" dumps with
+    jaccard near 1 are the same crawl twice; near 0 they genuinely add
+    coverage (the source-level view of what per-doc MinHash dedup sees
+    pairwise).
+
+    Shape: per-doc distinct shingles (one doc-partitioned window pass),
+    one join to the group column, one (group, gram) distinct — THE
+    corpus-sized shuffle, everything after is bounded by it — then a
+    gram-keyed self-join whose fan-out per gram is at most |groups|²
+    (groups are corpus metadata: sources, dumps, snapshots — a handful,
+    never data-sized), and a |groups|-row size frame theta-joined for
+    the full pair matrix (zero-overlap pairs included, jaccard = 0).
+    """
+    from tldr_spark.operators.dedup import shingles
+
+    sh = shingles(docs, n, id_col, text_col)
+    src = docs.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+    gs = sh.join(src, "id").select("grp", "gram").distinct().persist()
+    sizes = gs.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = gs.select(F.col("grp").alias("grp_a"), "gram")
+    b = gs.select(F.col("grp").alias("grp_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("grp").alias("grp_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("grp_b"), F.col("n_grams").alias("n_b"))
+    out = (
+        sa.join(sb, F.col("grp_a") < F.col("grp_b"))
+        .join(inter, ["grp_a", "grp_b"], "left")
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_common", F.lit(0)))
+            ).alias("jaccard"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    gs.unpersist()
+    return out
