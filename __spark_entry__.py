@@ -3282,6 +3282,51 @@ def q_props_k_histogram(spark, sf_dir):
     ).groupBy("k").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+# -- label silhouette: are the labeled clusters separated in embedding space? -
+
+_SIL_SQL = """WITH pts AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS x,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings),
+  cent AS (SELECT label AS clabel, pos, AVG(CAST(x AS DOUBLE)) AS c
+           FROM pts GROUP BY 1, 2),
+  d AS (SELECT p.vec_id, p.label, c.clabel,
+               SQRT(SUM((CAST(p.x AS DOUBLE) - c.c)
+                        * (CAST(p.x AS DOUBLE) - c.c))) AS dist
+        FROM pts p JOIN cent c USING (pos) GROUP BY 1, 2, 3),
+  ab AS (SELECT vec_id, label,
+                MIN(CASE WHEN clabel = label THEN dist END) AS a,
+                MIN(CASE WHEN clabel <> label THEN dist END) AS b
+         FROM d GROUP BY 1, 2),
+  sil AS (SELECT label,
+                 CASE WHEN b IS NULL THEN NULL
+                      WHEN GREATEST(a, b) = 0 THEN 0.0
+                      ELSE (b - a) / GREATEST(a, b) END AS s
+          FROM ab)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(ROUND(AVG(s) * 4096) AS BIGINT) AS silhouette_q
+FROM sil GROUP BY 1"""
+
+
+@_q("label_silhouette", _SIL_SQL)
+def q_label_silhouette(spark, sf_dir):
+    """Per-label mean SIMPLIFIED silhouette (centroid-based — Hruschka
+    et al. ICDM'04, the O(N·k·d) form MLlib's ClusteringEvaluator
+    ships) over the ground-truth labels: the embedding-vs-label
+    separation audit run before trusting labels for hard-negative
+    mining. Centroids broadcast as k dense arrays; scores are one
+    N·k-row vectorized JVM pass; 2^-12 quantized (aggregation-order
+    ulps only — the compared iterate is closed-form)."""
+    from tldr_spark.operators.silhouette import label_silhouette
+
+    return label_silhouette(load(spark, sf_dir, "embeddings")).select(
+        "label",
+        "n_points",
+        F.round(F.col("mean_silhouette") * 4096).cast("long").alias("silhouette_q"),
+    )
+
+
 # -- source-overlap audit: pairwise shingle Jaccard between corpus groups ----
 
 _SRC_OVERLAP_SQL = r"""WITH gl AS (
@@ -6438,6 +6483,7 @@ _WINDOW_PRIORITY = [
     "retention_cohorts",
     "zipf_alpha_tokens",
     "source_overlap_jaccard",
+    "label_silhouette",
     # -- (a1) NEW late in round 4, deliberately OFF-window: the six
     # remaining (a)-entries above are each the sole in-window witness for
     # a round-4 implementation change, so these rotate into the ROUND-5
