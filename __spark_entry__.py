@@ -6351,6 +6351,72 @@ def q_canonical_resolution(spark, sf_dir):
     return resolve_canonical_chains(derive_edges(spark, sf_dir), max_hops=8)
 
 
+# -- per-language exact-duplicate profile (multilingual dedup budgeting) -----
+
+@_q(
+    "lang_dup_rates",
+    """WITH per AS (
+      SELECT lang, md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS copies
+      FROM documents GROUP BY 1, 2)
+    SELECT lang, CAST(SUM(copies) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(copies) - COUNT(*) AS BIGINT) AS dup_docs,
+           CAST(ROUND(CAST(SUM(copies) - COUNT(*) AS DOUBLE) / SUM(copies)
+                      * 1048576) AS BIGINT) AS dup_ratio_q
+    FROM per GROUP BY lang""",
+)
+def q_lang_dup_rates(spark, sf_dir):
+    """Per-language exact-dup ratio (docs beyond the first copy of each
+    distinct text, within the language). Two map-combined aggregates;
+    the shuffle key is (lang, md5) — full text never moves."""
+    from tldr_spark.operators.dedup import group_dup_stats
+
+    return group_dup_stats(_docs(spark, sf_dir), group_col="lang").select(
+        F.col("grp").alias("lang"),
+        "n_docs",
+        "n_distinct",
+        "dup_docs",
+        F.round(F.col("dup_ratio") * 1048576).cast("long").alias("dup_ratio_q"),
+    )
+
+
+# -- per-source boilerplate grams (CCNet-style template-chrome probe) --------
+
+@_q(
+    "boilerplate_top_grams",
+    f"""WITH {_SQL_SHINGLES},
+    grp AS (SELECT doc_id, source FROM documents),
+    dfs AS (SELECT g.source, s.gram, CAST(COUNT(*) AS BIGINT) AS df
+            FROM sh s JOIN grp g ON g.doc_id = s.doc_id GROUP BY 1, 2),
+    nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_source
+           FROM documents GROUP BY 1),
+    rk AS (SELECT source, gram, df,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY df DESC, gram ASC) AS rk
+           FROM dfs)
+    SELECT r.source, r.gram, r.df, n.n_docs_source,
+           CAST(ROUND(CAST(r.df AS DOUBLE) / n.n_docs_source * 1048576)
+                AS BIGINT) AS df_ratio_q,
+           CAST(r.rk AS INTEGER) AS rk
+    FROM rk r JOIN nd n ON n.source = r.source WHERE r.rk <= 5""",
+)
+def q_boilerplate_top_grams(spark, sf_dir):
+    """Per-source top-5 trigrams by document frequency — the CCNet-style
+    boilerplate probe (template chrome repeats across one source's docs).
+    One (source, gram) count shuffle, then a vocabulary-sized window.
+    Ties broken gram-ascending: total order, cross-engine stable."""
+    from tldr_spark.operators.textstats import boilerplate_top_grams
+
+    return boilerplate_top_grams(_docs(spark, sf_dir), n=3, top_k=5).select(
+        "source",
+        "gram",
+        "df",
+        "n_docs_source",
+        F.round(F.col("df_ratio") * 1048576).cast("long").alias("df_ratio_q"),
+        "rk",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

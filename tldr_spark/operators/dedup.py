@@ -66,6 +66,46 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def group_dup_stats(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group exact-duplicate profile: (group, n_docs, n_distinct,
+    dup_docs, dup_ratio) where dup_docs = docs beyond the first copy of
+    each distinct text WITHIN the group.
+
+    Corpus-health diagnostic for multilingual crawls: a language whose
+    dup_ratio spikes is usually a scraper loop or a mirrored dump, and
+    per-language dedup budgets are set from exactly this table. Two
+    map-combined hash aggregates — (group, digest) then (group) — so the
+    only shuffle key is the digest pair; no text ever moves twice.
+    """
+    per_text = (
+        docs.select(
+            F.col(group_col).alias("grp"), F.md5(F.col(text_col)).alias("text_md5")
+        )
+        .groupBy("grp", "text_md5")
+        .agg(F.count(F.lit(1)).alias("copies"))
+    )
+    return (
+        per_text.groupBy("grp")
+        .agg(
+            F.sum("copies").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (F.sum("copies") - F.count(F.lit(1))).alias("dup_docs"),
+        )
+        .select(
+            "grp",
+            "n_docs",
+            "n_distinct",
+            "dup_docs",
+            (F.col("dup_docs") / F.col("n_docs")).alias("dup_ratio"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

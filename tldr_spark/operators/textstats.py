@@ -504,3 +504,57 @@ def group_shingle_jaccard(
     )
     gs.unpersist()
     return out
+
+
+def boilerplate_top_grams(
+    docs: DataFrame,
+    n: int = 3,
+    top_k: int = 5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, gram, df, n_docs_source, df_ratio, rk) — per group, the
+    ``top_k`` token ``n``-grams by document frequency within the group
+    (ties broken gram-ascending so the ranking is total and
+    cross-engine deterministic).
+
+    The CCNet-style boilerplate probe: a gram that appears in a large
+    fraction of one source's documents is template chrome (nav bars,
+    cookie banners, footers), not content — this table is what you eyeball
+    (or threshold) before stripping it. Shape at 10^12 docs: per-doc
+    distinct shingles (doc-partitioned window, no shuffle), one
+    (group, gram) count — the corpus-sized shuffle — then a window over
+    each group's gram counts. The window partitions by group, which CAN
+    skew (one giant dump); the count aggregate that precedes it has
+    already collapsed the data to distinct (group, gram) rows, so the
+    window input is vocabulary-sized, not corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    from tldr_spark.operators.dedup import shingles
+
+    sh = shingles(docs, n, id_col, text_col)
+    grp = docs.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+    df_ = (
+        sh.join(grp, "id")
+        .groupBy("grp", "gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs_source")
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("df"), F.asc("gram"))
+    return (
+        df_.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .join(n_docs, "grp")
+        .select(
+            F.col("grp").alias("source"),
+            "gram",
+            "df",
+            "n_docs_source",
+            (F.col("df").cast("double") / F.col("n_docs_source")).alias("df_ratio"),
+            "rk",
+        )
+    )
