@@ -6417,6 +6417,55 @@ def q_boilerplate_top_grams(spark, sf_dir):
     )
 
 
+# -- bond-percolation profile (robustness under random edge loss) ------------
+
+_PERC_PCTS = (30, 60, 90)
+
+
+def _perc_sql(pcts) -> str:
+    """One recursive closure per (nested) keep level; UNION ALL of the
+    per-level aggregate rows. The selector is the same pure-BIGINT
+    arithmetic as operators/percolation.py:bond_keep."""
+    blocks, selects = [], []
+    for p in pcts:
+        blocks.append(
+            f"""s{p} AS (SELECT src, dst FROM e
+      WHERE ((src % 100003) * 31 + (dst % 100003) * 17) % 100 < {p}),
+  u{p} AS (SELECT src AS u, dst AS v FROM s{p} UNION SELECT dst, src FROM s{p}),
+  r{p}(u, v) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM u{p})
+    UNION
+    SELECT r.u, d.v FROM r{p} r JOIN u{p} d ON d.u = r.v
+  ),
+  a{p} AS (SELECT u, MIN(v) AS c FROM r{p} GROUP BY u),
+  z{p} AS (SELECT c, COUNT(*) AS sz FROM a{p} GROUP BY c)"""
+        )
+        selects.append(
+            f"""SELECT CAST({p} AS BIGINT) AS keep_pct,
+       CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_vertices,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS giant_size
+FROM z{p}"""
+        )
+    return (
+        f"WITH RECURSIVE {_E},\n  "
+        + ",\n  ".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@_q("bond_percolation_curve", _perc_sql(_PERC_PCTS))
+def q_bond_percolation_curve(spark, sf_dir):
+    """Giant-component profile at three deterministic bond-keep levels
+    (nested kept sets — a true percolation curve). Each level: pushed
+    filter + one CC pass over the surviving edges; per-level output is
+    one aggregate row."""
+    from tldr_spark.operators.percolation import bond_percolation_profile
+
+    return bond_percolation_profile(derive_edges(spark, sf_dir), _PERC_PCTS)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
