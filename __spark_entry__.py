@@ -6466,6 +6466,49 @@ def q_bond_percolation_curve(spark, sf_dir):
     return bond_percolation_profile(derive_edges(spark, sf_dir), _PERC_PCTS)
 
 
+# -- motif pattern matching (GraphFrames-style find) --------------------------
+
+@_q(
+    "motif_ffl_top",
+    f"""WITH {_E},
+  b AS (
+    SELECT e1.src AS a, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM e e1
+    JOIN e e2 ON e2.src = e1.dst
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    GROUP BY e1.src)
+SELECT a, cnt FROM b ORDER BY cnt DESC, a LIMIT 20""",
+)
+def q_motif_ffl_top(spark, sf_dir):
+    """Top-20 feed-forward-loop sources via the motif API: pattern
+    'a->b; b->c; a->c' compiled to two edge equi-joins plus a grouped
+    count (operators/motif.py).  Pure relational semantics (a=c 2-cycle
+    closures included) so the SQL twin is exact.  Total order
+    (cnt DESC, a ASC) makes the top-k cross-engine deterministic."""
+    from tldr_spark.operators.motif import motif_count_by
+
+    out = motif_count_by(derive_edges(spark, sf_dir), "a->b; b->c; a->c", "a")
+    return out.orderBy(F.desc("cnt"), F.asc("a")).limit(20)
+
+
+@_q(
+    "motif_unclosed_wedges",
+    f"""WITH {_E}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_unclosed
+FROM e e1 JOIN e e2 ON e2.src = e1.dst
+WHERE NOT EXISTS (
+  SELECT 1 FROM e e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)""",
+)
+def q_motif_unclosed_wedges(spark, sf_dir):
+    """Directed 2-paths with NO closing a->c edge — exercises the motif
+    API's negated term ('a->b; b->c; !a->c' => left_anti join on the
+    (src,dst) pair)."""
+    from tldr_spark.operators.motif import motif_find
+
+    m = motif_find(derive_edges(spark, sf_dir), "a->b; b->c; !a->c")
+    return m.agg(F.count(F.lit(1)).cast("long").alias("n_unclosed"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
