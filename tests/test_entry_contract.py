@@ -51,7 +51,7 @@ def test_oracle_sql_plans_in_duckdb():
         ),
         "events": "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR",
         "documents": "doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT",
-        "embeddings": "vec_id BIGINT, embedding FLOAT[]",
+        "embeddings": "vec_id BIGINT, embedding FLOAT[], label INTEGER",
     }
     for t, cols in tables.items():
         con.execute(f"CREATE TABLE {t} ({cols})")
