@@ -6509,6 +6509,65 @@ def q_motif_unclosed_wedges(spark, sf_dir):
     return m.agg(F.count(F.lit(1)).cast("long").alias("n_unclosed"))
 
 
+# -- k-center farthest-first coreset over the embeddings ---------------------
+
+_KCENTER_K = 5
+
+
+def _kcenter_sql(k: int) -> str:
+    """Unrolled greedy: one (cN, dN) CTE pair per step. d2 uses the same
+    dot(v,v)-2dot(v,c)+dot(c,c) in-order double folds as the Spark side
+    (list_dot_product == zip_with+aggregate), so floats agree bitwise;
+    LEAST chains in the same step order."""
+
+    def d2(e: str, c: str) -> str:
+        return (
+            f"list_dot_product({e}.v, {e}.v) - 2*list_dot_product({e}.v, {c}.v)"
+            f" + list_dot_product({c}.v, {c}.v)"
+        )
+
+    parts = [
+        "emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id, v FROM emb2 ORDER BY vec_id LIMIT 1)",
+        f"d0 AS (SELECT e.vec_id, e.v, {d2('e', 'c')} AS d2 FROM emb2 e, c0 c)",
+    ]
+    selects = [
+        "SELECT CAST(0 AS INTEGER) AS step, vec_id, CAST(0 AS BIGINT) AS d2_q FROM c0"
+    ]
+    for i in range(1, k):
+        excl = " UNION ALL ".join(f"SELECT vec_id FROM c{j}" for j in range(i))
+        parts.append(
+            f"c{i} AS (SELECT vec_id, v, d2 FROM d{i - 1} WHERE vec_id NOT IN ({excl})"
+            " ORDER BY d2 DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT p.vec_id, p.v, LEAST(p.d2, {d2('p', 'c')}) AS d2"
+            f" FROM d{i - 1} p, c{i} c)"
+        )
+        selects.append(
+            f"SELECT CAST({i} AS INTEGER) AS step, vec_id,"
+            f" CAST(FLOOR(d2 * 1048576) AS BIGINT) AS d2_q FROM c{i}"
+        )
+    return (
+        "WITH "
+        + ",\n  ".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY step"
+    )
+
+
+@_q("kcenter_coreset", _kcenter_sql(_KCENTER_K))
+def q_kcenter_coreset(spark, sf_dir):
+    """Gonzalez farthest-first k-center over the embedding table — the
+    diversity/coreset selector. Deterministic: min-vec_id seed, argmax
+    squared-L2 to the chosen set per step (ties vec_id-asc), coverage
+    radius reported 2^-20-quantized."""
+    from tldr_spark.operators.kcenter import kcenter_farthest_first
+
+    return kcenter_farthest_first(load(spark, sf_dir, "embeddings"), k=_KCENTER_K)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
