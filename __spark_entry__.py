@@ -6568,6 +6568,48 @@ def q_kcenter_coreset(spark, sf_dir):
     return kcenter_farthest_first(load(spark, sf_dir, "embeddings"), k=_KCENTER_K)
 
 
+# -- greedy max-coverage document selection over shingles --------------------
+
+_MAXCOVER_K = 4
+
+
+def _maxcover_sql(k: int) -> str:
+    """Unrolled greedy: r0 = all distinct (doc_id, gram); per step a top-1
+    by (remaining-gram count DESC, doc_id ASC) then a NOT EXISTS subtract
+    of the newly covered grams — the exact anti-join the Spark side runs."""
+    parts = [_SQL_SHINGLES.strip().rstrip(), "r0 AS (SELECT doc_id, gram FROM sh)"]
+    selects = []
+    for i in range(k):
+        parts.append(
+            f"c{i} AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain"
+            f" FROM r{i} GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT r.doc_id, r.gram FROM r{i} r WHERE NOT EXISTS"
+            f" (SELECT 1 FROM r{i} x JOIN c{i} c ON x.doc_id = c.doc_id"
+            f" WHERE x.gram = r.gram))"
+        )
+        selects.append(f"SELECT CAST({i} AS INTEGER) AS step, doc_id, gain FROM c{i}")
+    return (
+        "WITH "
+        + ",\n  ".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY step"
+    )
+
+
+@_q("maxcover_docs", _maxcover_sql(_MAXCOVER_K))
+def q_maxcover_docs(spark, sf_dir):
+    """Greedy max-coverage pick of the 4 documents jointly covering the
+    most distinct word 3-shingles (submodular coverage subsetting; the
+    set-cover dual of kcenter_coreset). Ties doc_id-ascending."""
+    from tldr_spark.operators.maxcover import maxcover_greedy
+
+    sh = _shingles(_docs(spark, sf_dir)).select(F.col("id").alias("doc_id"), "gram")
+    return maxcover_greedy(sh, k=_MAXCOVER_K)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
