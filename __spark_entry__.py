@@ -6610,6 +6610,38 @@ def q_maxcover_docs(spark, sf_dir):
     return maxcover_greedy(sh, k=_MAXCOVER_K)
 
 
+# -- collective influence (Morone-Makse optimal-percolation influencers) -----
+
+@_q(
+    "collective_influence_top",
+    f"""WITH {_E},
+  ue AS (SELECT src, dst FROM e WHERE src <> dst),
+  und AS (SELECT src AS u, dst AS v FROM ue UNION SELECT dst, src FROM ue),
+  deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY u),
+  ci_nn AS (
+    SELECT DISTINCT x.u AS a, y.v AS w
+    FROM und x JOIN und y ON y.u = x.v
+    WHERE x.u <> y.v),
+  ci_d2 AS (
+    SELECT a, w FROM ci_nn
+    WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = ci_nn.a AND und.v = ci_nn.w)),
+  ci_fr AS (
+    SELECT ci_d2.a, SUM(dw.deg - 1) AS fsum
+    FROM ci_d2 JOIN deg dw ON dw.u = ci_d2.w GROUP BY ci_d2.a)
+SELECT deg.u AS vertex, deg.deg,
+       CAST((deg.deg - 1) * ci_fr.fsum AS BIGINT) AS ci
+FROM deg JOIN ci_fr ON ci_fr.a = deg.u
+ORDER BY ci DESC, vertex LIMIT 20""",
+)
+def q_collective_influence_top(spark, sf_dir):
+    """Top-20 vertices by Collective Influence CI_2 = (deg-1) * sum of
+    (deg-1) over the distance-exactly-2 frontier, undirected simple
+    graph. Total order (ci DESC, vertex ASC)."""
+    from tldr_spark.operators.ci import collective_influence
+
+    return collective_influence(derive_edges(spark, sf_dir), top_k=20)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
