@@ -6642,6 +6642,36 @@ def q_collective_influence_top(spark, sf_dir):
     return collective_influence(derive_edges(spark, sf_dir), top_k=20)
 
 
+# -- posting-list varbyte compression planning --------------------------------
+
+@_q(
+    "postings_varbyte_top",
+    f"""WITH {_SQL_TOKS.strip()},
+  post AS (SELECT DISTINCT token, doc_id AS doc FROM toks),
+  gaps AS (
+    SELECT token,
+           doc - COALESCE(LAG(doc) OVER (PARTITION BY token ORDER BY doc), -1) AS gap
+    FROM post),
+  agg AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                         WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+                         ELSE 5 END) AS BIGINT) AS vb_bytes
+    FROM gaps GROUP BY token)
+SELECT token, df, vb_bytes, CAST(df * 8 AS BIGINT) AS raw_bytes
+FROM agg ORDER BY vb_bytes DESC, token LIMIT 20""",
+)
+def q_postings_varbyte_top(spark, sf_dir):
+    """Top-20 tokens by d-gap varbyte posting-list size — the inverted-
+    index capacity model (Manning IR ch.5). Pure integer thresholds,
+    bit-identical cross-engine; total order (vb_bytes DESC, token ASC)."""
+    from tldr_spark.operators.index import posting_varbyte_sizes
+
+    out = posting_varbyte_sizes(_docs(spark, sf_dir), top_k=20)
+    return out.select("token", "df", F.col("vb_bytes").cast("long"),
+                      F.col("raw_bytes").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

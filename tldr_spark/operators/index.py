@@ -226,3 +226,57 @@ def anchor_text_index(
         F.count(F.lit(1)).alias("n_mentions"),
         F.countDistinct("src_url").alias("n_sources"),
     )
+
+
+def posting_varbyte_sizes(
+    docs: DataFrame,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Index-compression planning: per token, the byte cost of its
+    d-gap-encoded varbyte posting list vs the raw 8-byte-per-posting
+    cost. The standard capacity model run before building an inverted
+    index at scale (Manning IR ch.5).
+
+    Contract: postings are DISTINCT doc ids sorted ascending; gap(1st) =
+    doc_id + 1 (ids are 0-based), gap(next) = delta; varbyte cost per
+    gap is pure integer threshold arithmetic (1..5 bytes for gaps up to
+    2^35-1 — beyond any doc-id domain here), so it is bit-identical in
+    any engine. Returns top_k tokens by vb_bytes DESC, token ASC:
+    (token, df, vb_bytes, raw_bytes).
+
+    Scale shape: ONE (token-keyed) shuffle for the lag window — the same
+    partitioning the bucketed postings sink already provides, making the
+    window exchange-free from storage; then a map-side-combined groupBy
+    and a TakeOrderedAndProject top-k. No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    post = (
+        _tokens(docs, id_col, text_col)
+        .select(F.col("token"), F.col("doc_id").alias("doc"))
+        .distinct()
+    )
+    w = Window.partitionBy("token").orderBy("doc")
+    gaps = post.select(
+        "token",
+        (F.col("doc") - F.coalesce(F.lag("doc").over(w), F.lit(-1))).alias("gap"),
+    )
+    vb = (
+        F.when(F.col("gap") < 128, 1)
+        .when(F.col("gap") < 16384, 2)
+        .when(F.col("gap") < 2097152, 3)
+        .when(F.col("gap") < 268435456, 4)
+        .otherwise(5)
+    )
+    return (
+        gaps.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum(vb).alias("vb_bytes"),
+        )
+        .select("token", "df", "vb_bytes", (F.col("df") * 8).alias("raw_bytes"))
+        .orderBy(F.desc("vb_bytes"), F.asc("token"))
+        .limit(top_k)
+    )
