@@ -6672,6 +6672,40 @@ def q_postings_varbyte_top(spark, sf_dir):
                       F.col("raw_bytes").cast("long"))
 
 
+# -- keyword-in-context concordance -------------------------------------------
+
+@_q(
+    "kwic_snippets",
+    r"""WITH arr AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+                       t -> t <> '') AS l
+    FROM documents),
+  top AS (
+    SELECT u.token FROM arr, UNNEST(l) AS u(token)
+    GROUP BY u.token ORDER BY COUNT(*) DESC, u.token LIMIT 1),
+  occ AS (
+    SELECT a.doc_id, a.l, g.i AS pos
+    FROM arr a, UNNEST(generate_series(1, len(a.l))) AS g(i), top
+    WHERE a.l[g.i] = top.token)
+SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+       array_to_string(
+         list_slice(l, GREATEST(1, pos - 2), LEAST(len(l), pos + 2)), ' ')
+         AS snippet
+FROM occ""",
+)
+def q_kwic_snippets(spark, sf_dir):
+    """KWIC concordance of the corpus's most frequent token (+/-2 token
+    window): the audit view a pipeline runs before acting on a term-level
+    filter. Term choice is deterministic (count DESC, token ASC); one
+    O(1)-row collect picks it, then a single pushed-down token-equality
+    scan emits tf(term) snippet rows."""
+    from tldr_spark.operators.kwic import kwic, top_token
+
+    docs = _docs(spark, sf_dir)
+    return kwic(docs, top_token(docs), window=2)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6839,6 +6873,7 @@ _WINDOW_PRIORITY = [
     "hourly_bursts",
     "token_length_percentiles",
     "densest_subgraph",
+    "kwic_snippets",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
