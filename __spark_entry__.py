@@ -6706,6 +6706,65 @@ def q_kwic_snippets(spark, sf_dir):
     return kwic(docs, top_token(docs), window=2)
 
 
+# -- regex policy scan / redaction --------------------------------------------
+
+# PII defaults (zero hits on the synthetic corpus — the explicit-0 audit
+# rows are part of the contract) plus two corpus-hitting probes so the
+# rollup is value-bearing at every sf. RE2-safe subset only.
+_PATTERN_SET = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}",
+    "url": r"https?://[A-Za-z0-9./_%+?=&#:~-]+",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "digit_run9": r"[0-9]{9,}",
+    "qu_token": r"qu[a-z]+",
+    "long_word": r"[a-z]{6,}",
+}
+
+_PATTERN_VALUES = ", ".join(
+    f"('{name}', '{pat}')" for name, pat in _PATTERN_SET.items()
+)
+
+
+@_q(
+    "pattern_profile",
+    f"""WITH pats(pattern, pat) AS (VALUES {_PATTERN_VALUES}),
+  cnt AS (
+    SELECT p.pattern, len(regexp_extract_all(d.text, p.pat)) AS n
+    FROM documents d CROSS JOIN pats p)
+SELECT pattern,
+       CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+       CAST(SUM(n) AS BIGINT) AS total_hits,
+       CAST(MAX(n) AS BIGINT) AS max_per_doc
+FROM cnt GROUP BY pattern""",
+)
+def q_pattern_profile(spark, sf_dir):
+    """Corpus policy-scan rollup: per regex pattern, docs hit / total hits
+    / max per doc — the audit a pipeline reads before redacting. Zero-hit
+    patterns keep explicit 0 rows. One corpus scan, |patterns| regex
+    passes per row, one map-side-combined aggregate."""
+    from tldr_spark.operators.patterns import pattern_profile
+
+    return pattern_profile(_docs(spark, sf_dir), _PATTERN_SET)
+
+
+@_q(
+    "redacted_hashes",
+    r"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT) AS n_hits,
+       md5(regexp_replace(text, '[a-z]{6,}', '<MASK>', 'g')) AS redacted_md5
+FROM documents""",
+)
+def q_redacted_hashes(spark, sf_dir):
+    """Global regex redaction (mask every >=6-letter word — the masking
+    machinery a PII pass uses), provenance as md5 of the redacted text so
+    the compared rows stay small. regexp_replace is global on both engines
+    ('g' flag in DuckDB)."""
+    from tldr_spark.operators.patterns import redact
+
+    out = redact(_docs(spark, sf_dir), r"[a-z]{6,}")
+    return out.select("doc_id", "n_hits", F.md5("redacted").alias("redacted_md5"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6874,6 +6933,8 @@ _WINDOW_PRIORITY = [
     "token_length_percentiles",
     "densest_subgraph",
     "kwic_snippets",
+    "pattern_profile",
+    "redacted_hashes",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
