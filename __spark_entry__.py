@@ -6822,6 +6822,46 @@ def q_asof_click_last_view(spark, sf_dir):
     )
 
 
+# -- context-window chunking ---------------------------------------------------
+
+_CHUNK_C, _CHUNK_O = 32, 8  # stride 24
+
+
+@_q(
+    "doc_chunks",
+    rf"""WITH arr AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+                       t -> t <> '') AS l
+    FROM documents),
+  a2 AS (SELECT doc_id, l, len(l) AS n FROM arr WHERE len(l) > 0),
+  ch AS (
+    SELECT doc_id, l, n, u.i AS chunk_id
+    FROM a2, UNNEST(generate_series(
+      0, CASE WHEN n <= {_CHUNK_C} THEN 0
+              ELSE (n - {_CHUNK_C} + {_CHUNK_C - _CHUNK_O} - 1)
+                   // {_CHUNK_C - _CHUNK_O} END)) AS u(i))
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(chunk_id * {_CHUNK_C - _CHUNK_O} + 1 AS INTEGER) AS start_tok,
+       CAST(LEAST({_CHUNK_C}, n - chunk_id * {_CHUNK_C - _CHUNK_O}) AS INTEGER)
+         AS n_tokens,
+       array_to_string(list_slice(
+         l, chunk_id * {_CHUNK_C - _CHUNK_O} + 1,
+         chunk_id * {_CHUNK_C - _CHUNK_O}
+           + LEAST({_CHUNK_C}, n - chunk_id * {_CHUNK_C - _CHUNK_O})), ' ')
+         AS chunk
+FROM ch""",
+)
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (32-token windows, 8-token overlap): the
+    split a pretraining/RAG pipeline runs before embedding. One corpus
+    scan; the token array is sliced in-row, never shuffled; the last
+    chunk is the only short one and always reaches the final token."""
+    from tldr_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=_CHUNK_C, overlap=_CHUNK_O)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6993,6 +7033,7 @@ _WINDOW_PRIORITY = [
     "pattern_profile",
     "redacted_hashes",
     "asof_click_last_view",
+    "doc_chunks",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
