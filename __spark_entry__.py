@@ -6862,6 +6862,29 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=_CHUNK_C, overlap=_CHUNK_O)
 
 
+# -- weighted sampling (Efraimidis-Spirakis A-Res) ----------------------------
+
+@_q(
+    "weighted_sample_docs",
+    """WITH pri AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           ln((((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 + 0.5)
+              / 1000000.0) / CAST(n_chars AS DOUBLE) AS p
+    FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, CAST(ROUND(p * 1048576) AS BIGINT) AS priority_q
+FROM pri ORDER BY p DESC, doc_id LIMIT 25""",
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted sample without replacement (A-Res): 25 docs
+    with P(select) proportional to n_chars, priorities from the module's
+    MINSTD hash stream so the pick is engine- and partitioning-stable.
+    Map-side filter + ONE TakeOrderedAndProject; no global sort."""
+    from tldr_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    return weighted_sample(docs, "doc_id", "n_chars", k=25)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7034,6 +7057,7 @@ _WINDOW_PRIORITY = [
     "redacted_hashes",
     "asof_click_last_view",
     "doc_chunks",
+    "weighted_sample_docs",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",

@@ -98,3 +98,41 @@ def stratified_sample(
         .filter(hash_bucket_ppm(F.col(key_col), salt) < F.col("rate_ppm"))
         .drop("rate_ppm")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res, IPL 2006): each row gets priority u^(1/w) with u a
+    uniform drawn from the same MINSTD hash stream as the rest of this
+    module (ppm bucket midpoint, so u in (0,1) exactly); the k largest
+    priorities are the sample, so P(select) is proportional to weight,
+    reproducibly across engines, reruns, and partitionings.
+
+    We rank by ln(u)/w — monotone in u^(1/w) for w>0 — to stay in safe
+    double range. Rows with weight <= 0 or NULL are excluded (P=0).
+    Shape: a map-side filter + ONE TakeOrderedAndProject; no global sort,
+    no shuffle beyond the k-row reduction. Ties (same priority) break by
+    key ascending; the returned ``priority_q`` is 2^-20-quantized so the
+    value itself is comparable cross-engine.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket_ppm(F.col(key_col), salt).cast("double") + 0.5) / F.lit(1e6)
+    pri = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__pri", pri)
+        .orderBy(F.desc("__pri"), F.col(key_col).asc())
+        .limit(k)
+        .withColumn(
+            "priority_q", F.round(F.col("__pri") * 1048576).cast("long")
+        )
+        .drop("__pri")
+    )
