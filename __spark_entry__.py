@@ -6885,6 +6885,49 @@ def q_weighted_sample_docs(spark, sf_dir):
     return weighted_sample(docs, "doc_id", "n_chars", k=25)
 
 
+# -- range (interval) join ------------------------------------------------------
+
+_ERRWIN_US = 600_000_000  # 10 min
+
+
+@_q(
+    "error_window_clicks",
+    f"""WITH err AS (
+    SELECT event_id AS error_id, epoch_us(ts) AS s,
+           epoch_us(ts) + {_ERRWIN_US} AS e
+    FROM events WHERE event_type = 'error'),
+  clk AS (SELECT epoch_us(ts) AS t FROM events WHERE event_type = 'click')
+SELECT error_id, CAST(COUNT(t) AS BIGINT) AS n_clicks
+FROM err LEFT JOIN clk ON clk.t BETWEEN err.s AND err.e
+GROUP BY error_id""",
+)
+def q_error_window_clicks(spark, sf_dir):
+    """Interval containment: clicks landing inside the 10-minute window
+    after each error event (zero-click errors kept) — the blast-radius
+    query. Spark side is the time-bucket equi-join from operators/
+    ranges.py (bucket width = window length, so each interval explodes to
+    ~2 bucket rows and the plan is a hash join, never a theta
+    BroadcastNestedLoopJoin); DuckDB oracle is the plain BETWEEN join."""
+    from tldr_spark.operators.ranges import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    err = ev.where("event_type = 'error'").select(
+        F.col("event_id").alias("error_id"),
+        us.alias("s"),
+        (us + _ERRWIN_US).alias("e"),
+    )
+    clk = ev.where("event_type = 'click'").select(us.alias("t"))
+    hits = (
+        interval_join(clk, err, "t", "s", "e", bucket_width=_ERRWIN_US)
+        .groupBy("error_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    return err.join(hits, "error_id", "left").select(
+        "error_id", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7058,6 +7101,7 @@ _WINDOW_PRIORITY = [
     "asof_click_last_view",
     "doc_chunks",
     "weighted_sample_docs",
+    "error_window_clicks",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
