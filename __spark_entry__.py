@@ -6928,6 +6928,48 @@ def q_error_window_clicks(spark, sf_dir):
     )
 
 
+# -- hypertable-style hierarchical rollup -------------------------------------
+
+_ROLLUP_LEVELS = [3600, 21600, 86400]  # hour -> 6h -> day
+
+
+@_q(
+    "hypertable_rollup",
+    "\nUNION ALL\n".join(
+        f"""SELECT CAST({w} AS BIGINT) AS level_s,
+       CAST((epoch_us(ts) // 1000000 // {w}) * {w} AS BIGINT) AS bucket_s,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events GROUP BY bucket_s"""
+        for w in _ROLLUP_LEVELS
+    ),
+)
+def q_hypertable_rollup(spark, sf_dir):
+    """Continuous-aggregate ladder over events.value (as exact cents):
+    hour buckets from raw, 6h from hour partials, day from 6h partials —
+    the engine NEVER rescans raw for the coarse levels, while the oracle
+    aggregates every level directly from raw, so the compare proves the
+    merge algebra. Values are cents (exact int64) so partial-sum order
+    cannot move the answer."""
+    from tldr_spark.operators.rollup import rollup_levels
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("t_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = rollup_levels(ev, "t_s", "cents", _ROLLUP_LEVELS)
+    return out.select(
+        "level_s", "bucket_s", "n",
+        F.col("sum_v").alias("sum_cents"),
+        F.col("min_v").alias("min_cents"),
+        F.col("max_v").alias("max_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7102,6 +7144,7 @@ _WINDOW_PRIORITY = [
     "doc_chunks",
     "weighted_sample_docs",
     "error_window_clicks",
+    "hypertable_rollup",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
