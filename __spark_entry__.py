@@ -6970,6 +6970,37 @@ def q_hypertable_rollup(spark, sf_dir):
     )
 
 
+# -- KMV distinct sketch --------------------------------------------------------
+
+_KMV_K = 256
+
+
+@_q(
+    "kmv_distinct_vertices",
+    f"""WITH {_E},
+  v AS (SELECT src AS x FROM e UNION SELECT dst FROM e),
+  h AS (SELECT DISTINCT ((x % 2147483647) * 48271) % 2147483647 AS h FROM v),
+  top AS (SELECT h FROM h ORDER BY h LIMIT {_KMV_K}),
+  st AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM top)
+SELECT CAST(n AS BIGINT) AS k_used, CAST(hk AS BIGINT) AS kth_h,
+       CAST(ROUND(CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+                       ELSE {_KMV_K - 1}.0 * 2147483647 / hk END) AS BIGINT)
+         AS distinct_est
+FROM st""",
+)
+def q_kmv_distinct_vertices(spark, sf_dir):
+    """KMV distinct sketch (k=256) over the link graph's vertex set —
+    the cross-engine-reproducible counterpart to the HLL-based hyper_anf:
+    the sketch is a SET (k smallest MINSTD hashes), so the estimate is
+    bit-identical in DuckDB. One DISTINCT shuffle + TakeOrdered(k);
+    mergeable per-partition (pytest merge law)."""
+    from tldr_spark.operators.kmv import kmv_distinct
+
+    e = derive_edges(spark, sf_dir)
+    v = e.select(F.col("src").alias("x")).union(e.select("dst")).distinct()
+    return kmv_distinct(v, "x", k=_KMV_K)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7145,6 +7176,7 @@ _WINDOW_PRIORITY = [
     "weighted_sample_docs",
     "error_window_clicks",
     "hypertable_rollup",
+    "kmv_distinct_vertices",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
