@@ -7047,6 +7047,49 @@ def q_textrank_keywords(spark, sf_dir):
     )
 
 
+# -- 2-D skyline (Pareto frontier) ----------------------------------------------
+
+@_q(
+    "pareto_docs",
+    r"""WITH m AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS dv
+    FROM (SELECT doc_id, n_chars,
+                 list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+                             t -> t <> '') AS l
+          FROM documents)
+    WHERE len(l) > 0)
+SELECT doc_id, n_chars, CAST(ROUND(dv * 1048576) AS BIGINT) AS diversity_q
+FROM m t
+WHERE NOT EXISTS (
+  SELECT 1 FROM m o
+  WHERE (o.n_chars >= t.n_chars AND o.dv > t.dv)
+     OR (o.n_chars > t.n_chars AND o.dv >= t.dv))""",
+)
+def q_pareto_docs(spark, sf_dir):
+    """Pareto-frontier documents on (length, lexical diversity): the
+    undominated candidate set a curation pass inspects instead of a
+    blended score. Engine side is the pure-window 2-D skyline (two
+    running-max range windows over ONE sort, no dominance join); the
+    oracle is the brute NOT EXISTS dominance quantifier, so the compare
+    proves the window formulation."""
+    from tldr_spark.operators.skyline import skyline2d
+
+    toks = F.filter(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+"), lambda t: t != "")
+    m = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), toks.alias("l"))
+        .where(F.size("l") > 0)
+        .withColumn(
+            "dv", F.size(F.array_distinct("l")).cast("double") / F.size("l")
+        )
+        .drop("l")
+    )
+    return skyline2d(m, "n_chars", "dv").select(
+        "doc_id", "n_chars", F.round(F.col("dv") * 1048576).cast("long").alias("diversity_q")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7224,6 +7267,7 @@ _WINDOW_PRIORITY = [
     "hypertable_rollup",
     "kmv_distinct_vertices",
     "textrank_keywords",
+    "pareto_docs",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
