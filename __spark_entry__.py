@@ -7160,6 +7160,51 @@ def q_events_cube(spark, sf_dir):
     )
 
 
+# -- Heaps' law vocabulary-growth fit --------------------------------------------
+
+@_q(
+    "heaps_beta_tokens",
+    f"""WITH {_SQL_TOKS.strip()},
+  per_doc AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id),
+  firstd AS (SELECT token, MIN(doc_id) AS doc_id FROM toks GROUP BY token),
+  new_v AS (SELECT doc_id, COUNT(*) AS nv FROM firstd GROUP BY doc_id),
+  base AS (
+    SELECT d.doc_id, COALESCE(nt, 0) AS nt, COALESCE(nv, 0) AS nv
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN per_doc USING (doc_id) LEFT JOIN new_v USING (doc_id)),
+  curve AS (
+    SELECT SUM(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS n,
+           SUM(nv) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS v
+    FROM base),
+  pts AS (SELECT ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+          FROM curve WHERE n > 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CASE WHEN COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) <> 0 THEN
+         CAST(ROUND((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+                    / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)) * 16384) AS BIGINT)
+       END AS slope_q,
+       CASE WHEN COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) <> 0 THEN
+         CAST(ROUND((SUM(y) - (COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+                               / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)) * SUM(x))
+                    / COUNT(*) * 16384) AS BIGINT)
+       END AS intercept_q
+FROM pts""",
+)
+def q_heaps_beta_tokens(spark, sf_dir):
+    """Heaps'-law vocabulary-growth exponent (V = K·N^beta, slope = beta,
+    2^-14 quantized like zipf_alpha_tokens): the corpus-health twin of
+    the Zipf fit — template-heavy corpora flatten beta. Three doc-keyed
+    aggregates + one |docs|-row running window + a closed-form OLS."""
+    from tldr_spark.operators.textstats import heaps_fit
+
+    row = heaps_fit(_docs(spark, sf_dir))
+    return row.select(
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round(F.col("slope") * 16384).cast("long").alias("slope_q"),
+        F.round(F.col("intercept") * 16384).cast("long").alias("intercept_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7340,6 +7385,7 @@ _WINDOW_PRIORITY = [
     "pareto_docs",
     "robust_value_outliers",
     "events_cube",
+    "heaps_beta_tokens",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",

@@ -558,3 +558,57 @@ def boilerplate_top_grams(
             "rk",
         )
     )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """1-row (n_points, slope, intercept) — OLS fit of ln(V) ~ ln(N) over
+    the vocabulary-growth curve: after each document (in ``id_col``
+    order), N = cumulative token count and V = cumulative distinct-token
+    count. Heaps' law predicts V = K·N^beta with beta ≈ 0.4-0.6 for
+    natural text; the corpus-health twin of :func:`zipf_fit` (a
+    template-heavy corpus flattens beta the same way it bends the Zipf
+    slope). slope = beta, intercept = ln K.
+
+    Shape: the growth curve never materializes per-token state — each
+    token's FIRST document is one min-aggregate, per-document token and
+    new-vocabulary counts are two doc-keyed aggregates, and the cumulative
+    sums are one running window over the |docs|-row result. Docs with zero
+    tokens contribute flat curve points. Fewer than 2 points (or a
+    degenerate all-equal N) → NULL slope/intercept."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+"), lambda t: t != ""
+    )
+    tok = docs.select(F.col(id_col).alias("d"), F.explode(toks).alias("token"))
+    per_doc = tok.groupBy("d").agg(F.count(F.lit(1)).alias("nt"))
+    first = tok.groupBy("token").agg(F.min("d").alias("d"))
+    new_v = first.groupBy("d").agg(F.count(F.lit(1)).alias("nv"))
+    base = (
+        docs.select(F.col(id_col).alias("d"))
+        .join(per_doc, "d", "left")
+        .join(new_v, "d", "left")
+        .fillna(0, ["nt", "nv"])
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    curve = base.select(
+        F.sum("nt").over(w).alias("N"), F.sum("nv").over(w).alias("V")
+    ).where(F.col("N") > 0)
+    pts = curve.select(
+        F.log(F.col("N").cast("double")).alias("x"),
+        F.log(F.col("V").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("x") * F.col("y"))
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.when(den != 0, slope).alias("slope"),
+        F.when(den != 0, (sy - slope * sx) / n).alias("intercept"),
+    )
