@@ -7266,6 +7266,60 @@ def q_hrw_rebalance_moved(spark, sf_dir):
     return hrw_moved(docs, "doc_id", _HRW_SHARDS, _HRW_SHARDS + 1)
 
 
+# -- Bloom filter membership pre-filter -----------------------------------------
+
+_BLOOM_M, _BLOOM_K = 1 << 17, 4
+
+
+@_q(
+    "bloom_frontier_stats",
+    f"""WITH {_E},
+  mem AS (SELECT DISTINCT dst AS id FROM e),
+  pro AS (SELECT DISTINCT src AS id FROM e
+          WHERE src NOT IN (SELECT id FROM mem)),
+  mpos AS (
+    SELECT DISTINCT (g * g + g) % 2147483647 % {_BLOOM_M} AS pos
+    FROM mem, UNNEST(generate_series(0, {_BLOOM_K - 1})) AS u(i),
+         LATERAL (SELECT ((id + i * 1000003) % 2147483647 * 48271)
+                         % 2147483647 AS g) gg),
+  ppos AS (
+    SELECT id, (g * g + g) % 2147483647 % {_BLOOM_M} AS pos
+    FROM pro, UNNEST(generate_series(0, {_BLOOM_K - 1})) AS u(i),
+         LATERAL (SELECT ((id + i * 1000003) % 2147483647 * 48271)
+                         % 2147483647 AS g) gg),
+  hits AS (
+    SELECT ppos.id,
+           MIN(CASE WHEN mpos.pos IS NOT NULL THEN 1 ELSE 0 END) AS hit
+    FROM ppos LEFT JOIN mpos USING (pos) GROUP BY ppos.id)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mem) AS n_members,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM mpos) AS bits_set,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(hit) AS BIGINT) AS false_positives
+FROM hits""",
+)
+def q_bloom_frontier_stats(spark, sf_dir):
+    """Bloom filter of crawled pages (distinct link targets) probed with
+    the frontier (source-only vertices, disjoint by construction): 1 row
+    of n_members / bits_set / n_probes / exact false_positives — the
+    sketch is deterministic, so its FPR is a reproducible number. Bits
+    broadcast (<= m rows); probing never shuffles the candidate stream."""
+    from tldr_spark.operators.bloom import bloom_build, bloom_probe
+
+    e = derive_edges(spark, sf_dir)
+    mem = e.select(F.col("dst").alias("id")).distinct()
+    pro = e.select(F.col("src").alias("id")).distinct().join(mem, "id", "left_anti")
+    bits = bloom_build(mem, "id", _BLOOM_M, _BLOOM_K).localCheckpoint(eager=False)
+    probed = bloom_probe(bits, pro, "id", _BLOOM_M, _BLOOM_K)
+    n_members = mem.count()
+    bits_set = bits.count()
+    return probed.agg(
+        F.lit(n_members).cast("long").alias("n_members"),
+        F.lit(bits_set).cast("long").alias("bits_set"),
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("false_positives"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7449,6 +7503,7 @@ _WINDOW_PRIORITY = [
     "heaps_beta_tokens",
     "hrw_shard_counts",
     "hrw_rebalance_moved",
+    "bloom_frontier_stats",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
