@@ -7320,6 +7320,41 @@ def q_bloom_frontier_stats(spark, sf_dir):
     )
 
 
+# -- diversity indices ------------------------------------------------------------
+
+@_q(
+    "source_lang_diversity",
+    """WITH cnt AS (
+    SELECT source, lang, COUNT(*) AS c FROM documents
+    WHERE lang IS NOT NULL GROUP BY source, lang),
+  tot AS (SELECT source, SUM(c) AS n, COUNT(*) AS k FROM cnt GROUP BY source),
+  per AS (
+    SELECT cnt.source, tot.n, tot.k,
+           -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) AS h_term,
+           (CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n) AS s_term
+    FROM cnt JOIN tot USING (source))
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_rows, CAST(MAX(k) AS BIGINT) AS n_cats,
+       CAST(ROUND(SUM(h_term) * 16384) AS BIGINT) AS shannon_q,
+       CASE WHEN MAX(k) > 1 THEN
+         CAST(ROUND(SUM(h_term) / ln(CAST(MAX(k) AS DOUBLE)) * 16384) AS BIGINT)
+       END AS shannon_norm_q,
+       CAST(ROUND((1.0 - SUM(s_term)) * 16384) AS BIGINT) AS simpson_q
+FROM per GROUP BY source""",
+)
+def q_source_lang_diversity(spark, sf_dir):
+    """Per-source language diversity: Shannon entropy (raw + normalized)
+    and Simpson's index over the lang mix — the corpus-balance numbers a
+    curation dashboard tracks. One (source,lang) count shuffle + one
+    source-keyed aggregate; 2^-14 quantized."""
+    from tldr_spark.operators.diversity import group_diversity
+
+    out = group_diversity(_docs(spark, sf_dir), "source", "lang")
+    q = lambda c: F.round(F.col(c) * 16384).cast("long").alias(c + "_q")
+    return out.select(
+        "source", "n_rows", "n_cats", q("shannon"), q("shannon_norm"), q("simpson")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7504,6 +7539,7 @@ _WINDOW_PRIORITY = [
     "hrw_shard_counts",
     "hrw_rebalance_moved",
     "bloom_frontier_stats",
+    "source_lang_diversity",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
