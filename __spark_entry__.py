@@ -7355,6 +7355,49 @@ def q_source_lang_diversity(spark, sf_dir):
     )
 
 
+@_q(
+    "lang_token_waterfill",
+    """WITH g AS (
+    SELECT lang AS grp, CAST(SUM(n_chars) AS BIGINT) AS n
+    FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+  t AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS tot,
+           CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(MAX(n) AS BIGINT) AS n_max,
+           (CAST(SUM(n) AS BIGINT) * 3) // 4 AS budget
+    FROM g),
+  s AS (
+    SELECT n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n, grp) AS BIGINT) AS j,
+           CAST(SUM(n) OVER (ORDER BY n, grp ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS p,
+           CAST(COALESCE(LAG(n) OVER (ORDER BY n, grp), 0) AS BIGINT) AS n_prev
+    FROM g),
+  seg AS (
+    SELECT MAX(CASE WHEN t.budget - (s.p - s.n) >= (t.m - s.j + 1) * s.n_prev
+               THEN LEAST((t.budget - (s.p - s.n)) // (t.m - s.j + 1), s.n - 1)
+               END) AS seg_cap
+    FROM s, t),
+  cap AS (
+    SELECT CAST(CASE WHEN t.budget >= t.tot THEN t.n_max
+                ELSE COALESCE(seg.seg_cap, 0) END AS BIGINT) AS cap
+    FROM seg, t)
+SELECT g.grp AS lang, g.n AS n_chars_sum,
+       LEAST(g.n, cap.cap) AS alloc, cap.cap AS cap
+FROM g, cap""",
+)
+def q_lang_token_waterfill(spark, sf_dir):
+    """Water-filling char-budget allocation across languages at 3/4 of
+    the corpus total: the max-min-fair cap c with sum(min(n_lang, c)) <=
+    budget — dominant en gets clipped, small langs keep everything. All
+    integer arithmetic, bit-identical cross-engine."""
+    from tldr_spark.operators.waterfill import waterfill_allocation
+
+    docs = _docs(spark, sf_dir).where(F.col("lang").isNotNull())
+    out = waterfill_allocation(docs, "lang", "n_chars", budget_frac=(3, 4))
+    return out.select("lang", F.col("n").alias("n_chars_sum"), "alloc", "cap")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7540,6 +7583,7 @@ _WINDOW_PRIORITY = [
     "hrw_rebalance_moved",
     "bloom_frontier_stats",
     "source_lang_diversity",
+    "lang_token_waterfill",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
