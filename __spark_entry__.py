@@ -7398,6 +7398,95 @@ def q_lang_token_waterfill(spark, sf_dir):
     return out.select("lang", F.col("n").alias("n_chars_sum"), "alloc", "cap")
 
 
+_REC_EVAL_SQL = """WITH ev AS (
+    SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item, ts
+    FROM events
+    WHERE user_id IS NOT NULL
+      AND CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL),
+  train AS (SELECT user_id, item, COUNT(*) AS score FROM ev
+            WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2),
+  test AS (SELECT user_id, item, COUNT(*) AS tc FROM ev
+           WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2),
+  base AS (
+    SELECT t.user_id, t.item, t.score, LEAST(COALESCE(s.tc, 0), 3) AS rel
+    FROM train t LEFT JOIN test s
+      ON t.user_id = s.user_id AND t.item = s.item),
+  terms AS (
+    SELECT user_id, rel,
+      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY score DESC, item) AS i,
+      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rel DESC, item) AS j,
+      POWER(2.0, rel) - 1.0 AS gain,
+      SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER
+        (PARTITION BY user_id ORDER BY score DESC, item
+         ROWS UNBOUNDED PRECEDING) AS cum_hits
+    FROM base),
+  agg AS (
+    SELECT user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_items,
+      CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+      SUM(CASE WHEN i <= 5 THEN gain / log2(CAST(i + 1 AS DOUBLE)) END) AS dcg,
+      SUM(CASE WHEN j <= 5 THEN gain / log2(CAST(j + 1 AS DOUBLE)) END) AS idcg,
+      MIN(CASE WHEN i <= 5 AND rel > 0 THEN i END) AS first_hit,
+      SUM(CASE WHEN i <= 5 AND rel > 0
+          THEN CAST(cum_hits AS DOUBLE) / i END) AS prec_sum
+    FROM terms GROUP BY user_id)
+SELECT user_id, n_items, n_rel,
+  CAST(ROUND((CASE WHEN idcg > 0 THEN dcg / idcg END) * 16384) AS BIGINT)
+    AS ndcg5_q,
+  CAST(ROUND(COALESCE(1.0 / first_hit, 0.0) * 16384) AS BIGINT) AS mrr5_q,
+  CAST(ROUND((CASE WHEN n_rel > 0 THEN COALESCE(prec_sum, 0.0)
+              / CAST(LEAST(n_rel, 5) AS DOUBLE) END) * 16384) AS BIGINT)
+    AS ap5_q
+FROM agg"""
+
+
+@_q("user_rec_ranking_eval", _REC_EVAL_SQL)
+def q_user_rec_ranking_eval(spark, sf_dir):
+    """Offline recommender scorecard: per user, rank the items (props.k)
+    they touched before Jan 16 by train-window popularity, grade
+    relevance by capped test-window interaction count, and score the
+    ranking with nDCG@5 / MRR@5 / AP@5 — one user-keyed shuffle end to
+    end. 2^-14 quantized."""
+    from tldr_spark.operators.ranking_eval import ranking_metrics
+
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            "ts",
+        )
+        .where(F.col("user_id").isNotNull() & F.col("item").isNotNull())
+    )
+    train = (
+        ev.where(F.col("ts") < split)
+        .groupBy("user_id", "item")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    test = (
+        ev.where(F.col("ts") >= split)
+        .groupBy("user_id", "item")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    base = train.join(test, ["user_id", "item"], "left").select(
+        "user_id",
+        "item",
+        "score",
+        F.least(F.coalesce(F.col("tc"), F.lit(0)), F.lit(3)).alias("rel"),
+    )
+    m = ranking_metrics(base, "user_id", "item", "score", "rel", 5)
+    q = lambda c, n: F.round(F.col(c) * 16384).cast("long").alias(n)
+    return m.select(
+        F.col("query").alias("user_id"),
+        "n_items",
+        "n_rel",
+        q("ndcg_k", "ndcg5_q"),
+        q("mrr_k", "mrr5_q"),
+        q("ap_k", "ap5_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7584,6 +7673,7 @@ _WINDOW_PRIORITY = [
     "bloom_frontier_stats",
     "source_lang_diversity",
     "lang_token_waterfill",
+    "user_rec_ranking_eval",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
