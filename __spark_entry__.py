@@ -7440,6 +7440,187 @@ SELECT user_id, n_items, n_rel,
 FROM agg"""
 
 
+_DSIR_SQL = r"""WITH raw AS (
+    SELECT doc_id, lang,
+           string_split_regex(trim(text), '[ \t\n\r\f]+') AS l
+    FROM documents),
+  feats AS (
+    SELECT doc_id, u.f AS feature
+    FROM raw, UNNEST(list_concat(
+        list_filter(l, t -> t <> ''),
+        list_transform(generate_series(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1]))) AS u(f)),
+  docf AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(feature), 1, 8)) AS BIGINT) % 1024 AS b,
+           COUNT(*) AS c
+    FROM feats GROUP BY 1, 2),
+  lmq AS (SELECT b, SUM(c) AS cq FROM docf GROUP BY b),
+  lmp AS (SELECT b, SUM(c) AS cp
+          FROM docf JOIN raw USING (doc_id)
+          WHERE raw.lang = 'en' GROUP BY b),
+  tot AS (SELECT (SELECT SUM(cq) FROM lmq) AS nq,
+                 (SELECT COALESCE(SUM(cp), 0) FROM lmp) AS np)
+SELECT d.doc_id,
+       CAST(SUM(d.c) AS BIGINT) AS n_feats,
+       CAST(ROUND((SUM(d.c * (ln(COALESCE(p.cp, 0) + 1.0) - ln(q.cq + 1.0)))
+                   + SUM(d.c) * (ln(t.nq + 1024.0) - ln(t.np + 1024.0)))
+                  * 16384) AS BIGINT) AS logw_q
+FROM docf d JOIN lmq q USING (b) LEFT JOIN lmp p USING (b), tot t
+GROUP BY d.doc_id, t.nq, t.np"""
+
+
+@_q("dsir_en_logweights", _DSIR_SQL)
+def q_dsir_en_logweights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. NeurIPS'23) with English as
+    the target domain: log-ratio of add-1-smoothed hashed unigram+bigram
+    LMs, B=1024 buckets — the "keep the crawl slice that looks like the
+    target" selection score. Two tiny broadcast LM frames, two shuffles,
+    zero UDFs. 2^-14 quantized."""
+    from tldr_spark.operators.dsir import dsir_logweights
+
+    out = dsir_logweights(_docs(spark, sf_dir), F.col("lang") == "en", buckets=1024)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_feats",
+        F.round(F.col("logw") * 16384).cast("long").alias("logw_q"),
+    )
+
+
+_WINNOW_SEL_SQL = r"""WITH clean AS (
+    SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+    FROM documents),
+  g AS (
+    SELECT doc_id, t.i AS p,
+           CAST(concat('0x', substr(md5(substr(s, t.i, 5)), 1, 8)) AS BIGINT) AS h,
+           len(s) - 4 AS ng
+    FROM clean, UNNEST(generate_series(1, len(s) - 4)) AS t(i)
+    WHERE len(s) >= 5),
+  win AS (
+    SELECT d.doc_id, w.i AS wi
+    FROM (SELECT doc_id, MAX(ng) AS ng FROM g GROUP BY doc_id) d,
+         UNNEST(generate_series(1, GREATEST(d.ng - 7, 1))) AS w(i)),
+  sel AS (
+    SELECT DISTINCT doc_id, p, h FROM (
+      SELECT w.doc_id, w.wi, g.p, g.h,
+             ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.wi
+                                ORDER BY g.h ASC, g.p DESC) AS rn
+      FROM win w JOIN g ON g.doc_id = w.doc_id
+                       AND g.p BETWEEN w.wi AND w.wi + 7)
+    WHERE rn = 1)"""
+
+_WINNOW_DENSITY_SQL = (
+    _WINNOW_SEL_SQL
+    + r"""
+SELECT s.doc_id, CAST(MAX(g.ng) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_fps
+FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.p = s.p
+GROUP BY s.doc_id"""
+)
+
+_WINNOW_PAIRS_SQL = (
+    _WINNOW_SEL_SQL
+    + r""",
+  dfp AS (SELECT DISTINCT doc_id, h FROM sel),
+  keep AS (SELECT h FROM dfp GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM dfp a JOIN keep USING (h) JOIN dfp b USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 8"""
+)
+
+
+@_q("winnow_fp_density", _WINNOW_DENSITY_SQL)
+def q_winnow_fp_density(spark, sf_dir):
+    """Winnowing (MOSS, SIGMOD'03) fingerprint selection over the char
+    5-grams of each sanitized document, window w=8: per-doc selected
+    fingerprint count vs gram count (expected density 2/(w+1)). The
+    selection is a pure per-row projection — ZERO shuffles beyond the
+    final count agg."""
+    from tldr_spark.operators.winnow import winnow_fingerprints
+
+    docs = _docs(spark, sf_dir)
+    s = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    ng = docs.select(
+        "doc_id", (F.length(s) - F.lit(4)).cast("long").alias("n_grams")
+    ).where(F.col("n_grams") >= 1)
+    fps = winnow_fingerprints(docs, k=5, w=8)
+    return (
+        fps.groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_fps"))
+        .join(ng, "doc_id")
+        .select("doc_id", "n_grams", "n_fps")
+    )
+
+
+@_q("winnow_shared_span_pairs", _WINNOW_PAIRS_SQL)
+def q_winnow_shared_span_pairs(spark, sf_dir):
+    """Document pairs sharing >=8 winnowing fingerprints — shared-SPAN
+    near-dup candidates (any common substring of length >= w+k-1 = 12
+    sanitized chars is guaranteed to share one; >=8 shared asks for
+    substantial span overlap on this repetitive synthetic corpus).
+    Boilerplate fingerprints (df > 50) pruned before the self-join so
+    per-fingerprint fan-out is bounded."""
+    from tldr_spark.operators.winnow import winnow_shared_pairs
+
+    return winnow_shared_pairs(
+        _docs(spark, sf_dir), k=5, w=8, min_shared=8, max_df=50
+    )
+
+
+_LMDIV_SQL = r"""WITH toks AS (
+    SELECT d.lang AS g, u.t AS tok
+    FROM documents d,
+         UNNEST(string_split_regex(trim(d.text), '[ \t\n\r\f]+')) AS u(t)
+    WHERE u.t <> ''),
+  cnt AS (SELECT g, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+  tot AS (SELECT g, SUM(c) AS n FROM cnt GROUP BY 1),
+  pairs AS (SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb
+            FROM tot a JOIN tot b ON a.g < b.g),
+  v AS (SELECT DISTINCT tok FROM cnt),
+  terms AS (
+    SELECT p.ga, p.gb, p.na, p.nb,
+           CAST(COALESCE(ca.c, 0) AS DOUBLE) / p.na AS pp,
+           CAST(COALESCE(cb.c, 0) AS DOUBLE) / p.nb AS qq
+    FROM pairs p CROSS JOIN v
+    LEFT JOIN cnt ca ON ca.g = p.ga AND ca.tok = v.tok
+    LEFT JOIN cnt cb ON cb.g = p.gb AND cb.tok = v.tok
+    WHERE COALESCE(ca.c, 0) + COALESCE(cb.c, 0) > 0)
+SELECT ga AS lang_a, gb AS lang_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(ROUND(SUM(
+           CASE WHEN pp > 0 THEN 0.5 * pp * ln(pp / ((pp + qq) / 2)) ELSE 0 END
+         + CASE WHEN qq > 0 THEN 0.5 * qq * ln(qq / ((pp + qq) / 2)) ELSE 0 END
+       ) * 16384) AS BIGINT) AS jsd_q
+FROM terms
+GROUP BY 1, 2, 3, 4"""
+
+
+@_q("lang_js_divergence", _LMDIV_SQL)
+def q_lang_js_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-language unigram
+    LMs — corpus-drift distance, bounded by ln 2. The Spark side uses
+    the shared-mass closed form (inner token join only; absent-token
+    terms folded into (ln2/2)(2 - shared p+q)); the oracle computes the
+    dense two-sided KL-to-mixture — the compare proves the algebraic
+    fold. 2^-14 quantized."""
+    from tldr_spark.operators.lmdiv import group_js_divergence
+
+    toks = _toks(_docs(spark, sf_dir)).join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    out = group_js_divergence(toks, group_col="lang", token_col="token")
+    return out.select(
+        F.col("group_a").alias("lang_a"),
+        F.col("group_b").alias("lang_b"),
+        "n_a",
+        "n_b",
+        F.round(F.col("jsd") * 16384).cast("long").alias("jsd_q"),
+    )
+
+
 @_q("user_rec_ranking_eval", _REC_EVAL_SQL)
 def q_user_rec_ranking_eval(spark, sf_dir):
     """Offline recommender scorecard: per user, rank the items (props.k)
@@ -7674,6 +7855,10 @@ _WINDOW_PRIORITY = [
     "source_lang_diversity",
     "lang_token_waterfill",
     "user_rec_ranking_eval",
+    "dsir_en_logweights",
+    "winnow_fp_density",
+    "winnow_shared_span_pairs",
+    "lang_js_divergence",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
