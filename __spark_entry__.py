@@ -7621,6 +7621,48 @@ def q_lang_js_divergence(spark, sf_dir):
     )
 
 
+_ITEMSETS_SQL = r"""WITH b AS (
+    SELECT DISTINCT user_id AS u, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+    FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+  uu AS (SELECT COUNT(DISTINCT u) AS n_users FROM b),
+  freq AS (SELECT item, COUNT(*) AS n FROM b GROUP BY item HAVING COUNT(*) >= 40),
+  fb AS (SELECT b.u, b.item FROM b JOIN freq USING (item)),
+  p AS (
+    SELECT a.item AS item_a, c.item AS item_b, COUNT(*) AS n_ab
+    FROM fb a JOIN fb c USING (u)
+    WHERE a.item < c.item
+    GROUP BY 1, 2 HAVING COUNT(*) >= 40)
+SELECT p.item_a, p.item_b,
+       CAST(fa.n AS BIGINT) AS n_a, CAST(fc.n AS BIGINT) AS n_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(ROUND(CAST(p.n_ab AS DOUBLE) * uu.n_users / (fa.n * fc.n) * 16384)
+            AS BIGINT) AS lift_q
+FROM p JOIN freq fa ON fa.item = p.item_a
+       JOIN freq fc ON fc.item = p.item_b, uu"""
+
+
+@_q("item_pair_lift", _ITEMSETS_SQL)
+def q_item_pair_lift(spark, sf_dir):
+    """A-priori first pass over user baskets (distinct props.k per
+    user): item pairs with support >= 40 plus lift. Infrequent items
+    pruned BEFORE the per-user self-join (the A-priori invariant), so
+    pair fan-out covers frequent items only. 2^-14 quantized lift."""
+    from tldr_spark.operators.itemsets import pair_support
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.get_json_object("props", "$.k").cast("long").alias("item")
+    ).where(F.col("item").isNotNull())
+    out = pair_support(ev, user_col="user_id", item_col="item", min_support=40)
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round(F.col("lift") * 16384).cast("long").alias("lift_q"),
+    )
+
+
 @_q("user_rec_ranking_eval", _REC_EVAL_SQL)
 def q_user_rec_ranking_eval(spark, sf_dir):
     """Offline recommender scorecard: per user, rank the items (props.k)
@@ -7859,6 +7901,7 @@ _WINDOW_PRIORITY = [
     "winnow_fp_density",
     "winnow_shared_span_pairs",
     "lang_js_divergence",
+    "item_pair_lift",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
