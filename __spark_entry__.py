@@ -7663,6 +7663,77 @@ def q_item_pair_lift(spark, sf_dir):
     )
 
 
+_KLEINBERG_SQL = r"""WITH RECURSIVE ev AS (
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS te
+    FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+  ax AS (
+    SELECT MIN(te) AS t0, COUNT(*) AS big_d,
+           CAST((MAX(te) - MIN(te)) // 86400 + 1 AS INT) AS big_t
+    FROM ev),
+  ci AS (SELECT item, CAST((te - ax.t0) // 86400 AS INT) AS i FROM ev, ax),
+  dd AS (SELECT i, COUNT(*) AS d FROM ci GROUP BY i),
+  it AS (SELECT item, COUNT(*) AS big_r FROM ci GROUP BY item HAVING COUNT(*) >= 1),
+  rr AS (SELECT item, i, COUNT(*) AS r FROM ci GROUP BY item, i),
+  axis AS (SELECT g.i FROM ax, UNNEST(generate_series(0, ax.big_t - 1)) AS g(i)),
+  grid AS (SELECT it.item, it.big_r, a.i FROM it CROSS JOIN axis a),
+  costs AS (
+    SELECT z.*,
+           -(z.r * ln(z.p0) + (z.d - z.r) * ln(1.0 - z.p0)) AS e0,
+           -(z.r * ln(z.p1) + (z.d - z.r) * ln(1.0 - z.p1)) AS e1
+    FROM (
+      SELECT grid.item, grid.i,
+             CAST(COALESCE(rr.r, 0) AS DOUBLE) AS r,
+             CAST(COALESCE(dd.d, 0) AS DOUBLE) AS d,
+             LEAST(CAST(grid.big_r AS DOUBLE) / ax.big_d, 1.0 - 1e-9) AS p0,
+             LEAST(2.0 * CAST(grid.big_r AS DOUBLE) / ax.big_d, 1.0 - 1e-9) AS p1,
+             1.0 * ln(CAST(ax.big_t AS DOUBLE)) AS trans,
+             ax.big_t AS big_t, ax.t0 AS t0
+      FROM grid
+      LEFT JOIN rr ON rr.item = grid.item AND rr.i = grid.i
+      LEFT JOIN dd ON dd.i = grid.i
+      CROSS JOIN ax) z),
+  fwd AS (
+    SELECT item, i, e0 AS c0, trans + e1 AS c1 FROM costs WHERE i = 0
+    UNION ALL
+    SELECT c.item, c.i, LEAST(f.c0, f.c1) + c.e0,
+           LEAST(f.c1, f.c0 + c.trans) + c.e1
+    FROM fwd f JOIN costs c ON c.item = f.item AND c.i = f.i + 1),
+  bwd AS (
+    SELECT it.item, ax.big_t - 1 AS i,
+           CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1
+    FROM it, ax
+    UNION ALL
+    SELECT c.item, b.i - 1,
+           LEAST(c.e0 + b.b0, c.trans + c.e1 + b.b1),
+           LEAST(c.e1 + b.b1, c.e0 + b.b0)
+    FROM bwd b JOIN costs c ON c.item = b.item AND c.i = b.i
+    WHERE b.i >= 1)
+SELECT f.item, CAST(c.t0 + c.i * 86400 AS BIGINT) AS bucket_epoch,
+       CAST(c.r AS BIGINT) AS r, CAST(c.d AS BIGINT) AS d
+FROM fwd f JOIN bwd b ON b.item = f.item AND b.i = f.i
+JOIN costs c ON c.item = f.item AND c.i = f.i
+WHERE f.c1 + b.b1 < f.c0 + b.b0"""
+
+
+@_q("item_daily_bursts", _KLEINBERG_SQL)
+def q_item_daily_bursts(spark, sf_dir):
+    """Kleinberg 2-state burst detection (KDD'02) per item (props.k)
+    over daily event counts: the days the minimum-cost state sequence
+    spends in the elevated-rate state (s=2, gamma=1). Forward/backward
+    Viterbi as array folds; the oracle replays the identical folds as
+    recursive CTEs — bit-identical IEEE sequences, integer output (no
+    quantization needed)."""
+    from tldr_spark.operators.kleinberg import kleinberg_bursts
+
+    ev = load(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("long").alias("item"), "ts"
+    ).where(F.col("item").isNotNull())
+    return kleinberg_bursts(
+        ev, time_col="ts", item_col="item", bucket="day", s=2.0, gamma=1.0, min_count=1
+    )
+
+
 @_q("user_rec_ranking_eval", _REC_EVAL_SQL)
 def q_user_rec_ranking_eval(spark, sf_dir):
     """Offline recommender scorecard: per user, rank the items (props.k)
@@ -7902,6 +7973,7 @@ _WINDOW_PRIORITY = [
     "winnow_shared_span_pairs",
     "lang_js_divergence",
     "item_pair_lift",
+    "item_daily_bursts",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
