@@ -7734,6 +7734,42 @@ def q_item_daily_bursts(spark, sf_dir):
     )
 
 
+_CUSUM_SQL = r"""WITH ev AS (
+    SELECT event_type AS g, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS te
+    FROM events),
+  ax AS (SELECT MIN(te) AS t0, (MAX(te) - MIN(te)) // 86400 + 1 AS big_t FROM ev),
+  cnt AS (SELECT g, (te - ax.t0) // 86400 + 1 AS i, COUNT(*) AS x
+          FROM ev, ax GROUP BY 1, 2),
+  axis AS (SELECT s.i FROM ax, UNNEST(generate_series(1, ax.big_t)) AS s(i)),
+  grid AS (SELECT gg.g, a.i, COALESCE(c.x, 0) AS x
+           FROM (SELECT DISTINCT g FROM cnt) gg CROSS JOIN axis a
+           LEFT JOIN cnt c ON c.g = gg.g AND c.i = a.i),
+  sc AS (SELECT g, i, SUM(x) OVER (PARTITION BY g ORDER BY i) AS s,
+                SUM(x) OVER (PARTITION BY g) AS tot FROM grid),
+  dev AS (SELECT sc.g, sc.i, ABS(ax.big_t * sc.s - sc.i * sc.tot) AS d,
+                 sc.tot, ax.big_t, ax.t0
+          FROM sc, ax WHERE sc.i < ax.big_t),
+  best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY d DESC, i ASC) AS rn
+           FROM dev)
+SELECT g AS "group", CAST(t0 + (i - 1) * 86400 AS BIGINT) AS cp_epoch,
+       CAST(d AS BIGINT) AS dev_scaled, CAST(tot AS BIGINT) AS total,
+       CAST(big_t AS BIGINT) AS n_buckets
+FROM best WHERE rn = 1"""
+
+
+@_q("event_type_changepoints", _CUSUM_SQL)
+def q_event_type_changepoints(spark, sf_dir):
+    """CUSUM max-deviation changepoint per event type over daily counts
+    — the bucket where cumulative mass deviates most from the
+    uniform-rate line, in EXACT integer arithmetic (|T*S_t - t*S_T|),
+    earliest bucket on ties. One window shuffle; zero floats."""
+    from tldr_spark.operators.changepoint import cusum_changepoints
+
+    return cusum_changepoints(
+        load(spark, sf_dir, "events"), time_col="ts", group_col="event_type", bucket="day"
+    )
+
+
 @_q("user_rec_ranking_eval", _REC_EVAL_SQL)
 def q_user_rec_ranking_eval(spark, sf_dir):
     """Offline recommender scorecard: per user, rank the items (props.k)
@@ -7974,6 +8010,7 @@ _WINDOW_PRIORITY = [
     "lang_js_divergence",
     "item_pair_lift",
     "item_daily_bursts",
+    "event_type_changepoints",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
