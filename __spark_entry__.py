@@ -7770,6 +7770,63 @@ def q_event_type_changepoints(spark, sf_dir):
     )
 
 
+_MK_SQL = r"""WITH ev AS (
+    SELECT event_type AS g, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS te
+    FROM events),
+  ax AS (SELECT MIN(te) AS t0, (MAX(te) - MIN(te)) // 86400 + 1 AS big_t FROM ev),
+  cnt AS (SELECT g, (te - ax.t0) // 86400 + 1 AS i, COUNT(*) AS x
+          FROM ev, ax GROUP BY 1, 2),
+  axis AS (SELECT s.i FROM ax, UNNEST(generate_series(1, ax.big_t)) AS s(i)),
+  grid AS (SELECT gg.g, a.i, COALESCE(c.x, 0) AS x
+           FROM (SELECT DISTINCT g FROM cnt) gg CROSS JOIN axis a
+           LEFT JOIN cnt c ON c.g = gg.g AND c.i = a.i),
+  sstat AS (
+    SELECT a.g, CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                              WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+    FROM grid a JOIN grid b ON b.g = a.g AND b.i > a.i
+    GROUP BY a.g),
+  ties AS (
+    SELECT g, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+    FROM (SELECT g, x, COUNT(*) AS t FROM grid GROUP BY 1, 2) GROUP BY g)
+SELECT s.g AS "group", s.s_stat,
+       CAST(ax.big_t * (ax.big_t - 1) * (2 * ax.big_t + 5) - t.tie_term
+            AS BIGINT) AS var18,
+       CAST(ax.big_t AS BIGINT) AS n_buckets,
+       CAST(ROUND(
+         CASE WHEN s.s_stat = 0
+                OR ax.big_t * (ax.big_t - 1) * (2 * ax.big_t + 5) - t.tie_term = 0
+              THEN 0.0
+              WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                / sqrt((ax.big_t * (ax.big_t - 1) * (2 * ax.big_t + 5) - t.tie_term)
+                       / 18.0)
+              ELSE (s.s_stat + 1)
+                / sqrt((ax.big_t * (ax.big_t - 1) * (2 * ax.big_t + 5) - t.tie_term)
+                       / 18.0)
+         END * 16384) AS BIGINT) AS z_q
+FROM sstat s JOIN ties t USING (g), ax"""
+
+
+@_q("event_type_trend", _MK_SQL)
+def q_event_type_trend(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test per event type over daily
+    counts: exact-integer S and tie-corrected 18*Var(S) (gap buckets
+    tie at zero and shrink the variance), continuity-corrected z. The
+    pair pass is a group-keyed equi-join over the bounded time axis.
+    2^-14 quantized z."""
+    from tldr_spark.operators.trend import mann_kendall
+
+    out = mann_kendall(
+        load(spark, sf_dir, "events"), time_col="ts", group_col="event_type", bucket="day"
+    )
+    return out.select(
+        "group",
+        "s_stat",
+        "var18",
+        "n_buckets",
+        F.round(F.col("z") * 16384).cast("long").alias("z_q"),
+    )
+
+
 @_q("user_rec_ranking_eval", _REC_EVAL_SQL)
 def q_user_rec_ranking_eval(spark, sf_dir):
     """Offline recommender scorecard: per user, rank the items (props.k)
@@ -8011,6 +8068,7 @@ _WINDOW_PRIORITY = [
     "item_pair_lift",
     "item_daily_bursts",
     "event_type_changepoints",
+    "event_type_trend",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
