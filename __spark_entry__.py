@@ -7827,6 +7827,56 @@ def q_event_type_trend(spark, sf_dir):
     )
 
 
+_MATTR_SQL = r"""WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+                       x -> x <> '') AS l
+    FROM documents),
+  toks AS (
+    SELECT doc_id, g.i AS p, l[g.i] AS token
+    FROM base, UNNEST(generate_series(1, len(l))) AS g(i)
+    WHERE len(l) >= 1),
+  meta AS (
+    SELECT doc_id, len(l) AS n, LEAST(25, len(l)) AS eff,
+           len(l) - LEAST(25, len(l)) + 1 AS m
+    FROM base WHERE len(l) >= 1),
+  wins AS (
+    SELECT meta.doc_id, meta.eff, g.s
+    FROM meta, UNNEST(generate_series(1, meta.m)) AS g(s)),
+  wd AS (
+    SELECT w.doc_id, w.s, COUNT(DISTINCT t.token) AS dcount
+    FROM wins w JOIN toks t
+      ON t.doc_id = w.doc_id AND t.p BETWEEN w.s AND w.s + w.eff - 1
+    GROUP BY 1, 2)
+SELECT m.doc_id, CAST(m.n AS BIGINT) AS n_tokens,
+       CAST(m.eff AS BIGINT) AS eff_window, CAST(m.m AS BIGINT) AS n_windows,
+       CAST(SUM(wd.dcount) AS BIGINT) AS sum_distinct,
+       CAST(ROUND(SUM(wd.dcount) / (CAST(m.eff AS DOUBLE) * m.m) * 16384)
+            AS BIGINT) AS mattr_q
+FROM meta m JOIN wd USING (doc_id)
+GROUP BY m.doc_id, m.n, m.eff, m.m"""
+
+
+@_q("doc_mattr", _MATTR_SQL)
+def q_doc_mattr(spark, sf_dir):
+    """MATTR (moving-average type-token ratio, window 25) per document:
+    the per-window distinct sum computed by interval arithmetic on
+    lag()-of-previous-occurrence — O(tokens) per doc, no window
+    enumeration; the oracle brute-enumerates every window, proving the
+    closed form. 2^-14 quantized."""
+    from tldr_spark.operators.mattr import mattr
+
+    out = mattr(_docs(spark, sf_dir), window=25)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "eff_window",
+        "n_windows",
+        "sum_distinct",
+        F.round(F.col("mattr") * 16384).cast("long").alias("mattr_q"),
+    )
+
+
 @_q("user_rec_ranking_eval", _REC_EVAL_SQL)
 def q_user_rec_ranking_eval(spark, sf_dir):
     """Offline recommender scorecard: per user, rank the items (props.k)
@@ -8069,6 +8119,7 @@ _WINDOW_PRIORITY = [
     "item_daily_bursts",
     "event_type_changepoints",
     "event_type_trend",
+    "doc_mattr",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
