@@ -7912,6 +7912,50 @@ def q_cpm3_communities(spark, sf_dir):
     return clique_percolation3(derive_edges(spark, sf_dir))
 
 
+_READABILITY_SQL = r"""WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+                       x -> x <> '') AS w,
+           list_filter(string_split_regex(lower(text), '[.!?]+'),
+                       s -> regexp_matches(s, '[a-z0-9]')) AS segs
+    FROM documents),
+  m AS (
+    SELECT doc_id, len(w) AS n_words, GREATEST(len(segs), 1) AS n_sents,
+           list_sum(list_transform(
+             w, x -> GREATEST(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)
+           )) AS n_syll
+    FROM base WHERE len(w) >= 1)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sents AS BIGINT) AS n_sents, CAST(n_syll AS BIGINT) AS n_syll,
+       CAST(ROUND((206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sents
+                   - 84.6 * CAST(n_syll AS DOUBLE) / n_words) * 16384)
+            AS BIGINT) AS fre_q,
+       CAST(ROUND((0.39 * CAST(n_words AS DOUBLE) / n_sents
+                   + 11.8 * CAST(n_syll AS DOUBLE) / n_words - 15.59) * 16384)
+            AS BIGINT) AS fkgl_q
+FROM m"""
+
+
+@_q("doc_readability", _READABILITY_SQL)
+def q_doc_readability(spark, sf_dir):
+    """Flesch Reading Ease + Flesch-Kincaid grade per document from
+    exactly-reproducible counting rules (whitespace words, [.!?]+
+    sentence segments with the headline convention, [aeiouy]+ runs
+    floored at 1 as syllables). Pure per-row algebra, zero shuffles.
+    2^-14 quantized scores."""
+    from tldr_spark.operators.readability import readability
+
+    out = readability(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.round(F.col("fre") * 16384).cast("long").alias("fre_q"),
+        F.round(F.col("fkgl") * 16384).cast("long").alias("fkgl_q"),
+    )
+
+
 @_q("user_rec_ranking_eval", _REC_EVAL_SQL)
 def q_user_rec_ranking_eval(spark, sf_dir):
     """Offline recommender scorecard: per user, rank the items (props.k)
@@ -8156,6 +8200,7 @@ _WINDOW_PRIORITY = [
     "event_type_trend",
     "doc_mattr",
     "cpm3_communities",
+    "doc_readability",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
