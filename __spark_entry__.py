@@ -8040,6 +8040,24 @@ def q_ams_f2_tokens(spark, sf_dir):
     return sk.join(F.broadcast(f2))
 
 
+_SYMSPELL_SQL = r"""WITH t AS (SELECT DISTINCT s_name AS s FROM supplier)
+SELECT a.s AS s_a, b.s AS s_b
+FROM t a JOIN t b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) = 1"""
+
+
+@_q("supplier_typo_pairs", _SYMSPELL_SQL)
+def q_supplier_typo_pairs(spark, sf_dir):
+    """Edit-distance-1 supplier-name pairs via the SymSpell deletion
+    neighborhood: variants are a per-row array expression, candidates
+    ONE variant equi-join (fan-out |s|+1 per string, never vocab^2),
+    verified by a single levenshtein. The oracle brute-forces all
+    pairs — the compare proves the candidate set is complete."""
+    from tldr_spark.operators.symspell import edit1_pairs
+
+    return edit1_pairs(load(spark, sf_dir, "supplier"), col="s_name")
+
+
 @_q("user_rec_ranking_eval", _REC_EVAL_SQL)
 def q_user_rec_ranking_eval(spark, sf_dir):
     """Offline recommender scorecard: per user, rank the items (props.k)
@@ -8287,6 +8305,7 @@ _WINDOW_PRIORITY = [
     "doc_readability",
     "token_dispersion_dp",
     "ams_f2_tokens",
+    "supplier_typo_pairs",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
