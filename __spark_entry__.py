@@ -8088,6 +8088,64 @@ def q_edges_zorder_layout(spark, sf_dir):
     return zorder_layout_stats(derive_edges(spark, sf_dir), "src", "dst", shift=16)
 
 
+_HISTQ_SQL = r"""WITH base AS (
+    SELECT l_returnflag AS g, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+    FROM lineitem WHERE CAST(ROUND(l_extendedprice * 100) AS BIGINT) > 0),
+  hist AS (
+    SELECT g, CAST(FLOOR(ln(CAST(v AS DOUBLE)) / 0.6931471805599453 * 16)
+                   AS BIGINT) AS b, COUNT(*) AS c
+    FROM base GROUP BY 1, 2),
+  cum AS (
+    SELECT g, b, SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum,
+           SUM(c) OVER (PARTITION BY g) AS n
+    FROM hist),
+  qs AS (SELECT * FROM (VALUES (50, 100), (95, 100), (99, 100)) AS q(qn, qd)),
+  pick AS (
+    SELECT c.g, q.qn AS q_num, q.qd AS q_den, c.n, MIN(c.b) AS bucket
+    FROM cum c CROSS JOIN qs q
+    WHERE c.cum >= (c.n * q.qn + q.qd - 1) // q.qd
+    GROUP BY 1, 2, 3, 4),
+  rk AS (
+    SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM base),
+  ex AS (
+    SELECT r.g, q.qn, r.v AS exact
+    FROM rk r CROSS JOIN qs q
+    JOIN (SELECT g, COUNT(*) AS n FROM base GROUP BY g) t ON t.g = r.g
+    WHERE r.rn = (t.n * q.qn + q.qd - 1) // q.qd)
+SELECT p.g AS "group", CAST(p.q_num AS BIGINT) AS q_num,
+       CAST(p.q_den AS BIGINT) AS q_den, CAST(p.n AS BIGINT) AS n,
+       p.bucket,
+       CAST(ROUND(pow(2.0, CAST(p.bucket + 1 AS DOUBLE) / 16) * 1024) AS BIGINT)
+         AS est_q,
+       e.exact
+FROM pick p JOIN ex e ON e.g = p.g AND e.qn = p.q_num"""
+
+
+@_q("price_histogram_quantiles", _HISTQ_SQL)
+def q_price_histogram_quantiles(spark, sf_dir):
+    """p50/p95/p99 of l_extendedprice (exact cents) per return flag via
+    the DDSketch-style log-histogram (k=16 buckets per octave: one
+    mergeable groupBy instead of a global sort, relative error bounded
+    by 2^(1/16)); the exact rank statistic rides alongside so each row
+    self-validates the guarantee. est quantized at 2^-10 (it is a
+    bucket edge ~1e7 cents, not a small float)."""
+    from tldr_spark.operators.histq import log_histogram_quantiles
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    out = log_histogram_quantiles(li, "cents", "l_returnflag", k=16)
+    return out.select(
+        "group",
+        F.col("q_num").cast("long").alias("q_num"),
+        F.col("q_den").cast("long").alias("q_den"),
+        "n",
+        "bucket",
+        F.round(F.col("est") * 1024).cast("long").alias("est_q"),
+        "exact",
+    )
+
+
 @_q("user_rec_ranking_eval", _REC_EVAL_SQL)
 def q_user_rec_ranking_eval(spark, sf_dir):
     """Offline recommender scorecard: per user, rank the items (props.k)
@@ -8337,6 +8395,7 @@ _WINDOW_PRIORITY = [
     "ams_f2_tokens",
     "supplier_typo_pairs",
     "edges_zorder_layout",
+    "price_histogram_quantiles",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
