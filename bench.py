@@ -615,6 +615,26 @@ def run_secondary(deadline: float | None = None) -> dict:
         # if the budget is tight
         from tldr_spark.operators.community import leiden
         t("leiden", lambda: leiden(edges).labels.count())
+
+        # round-4 additions (cheap, budget-guarded like everything else)
+        from tldr_spark.operators.dsir import dsir_logweights
+        from tldr_spark.operators.kleinberg import kleinberg_bursts
+        from tldr_spark.operators.mattr import mattr
+        from tldr_spark.operators.winnow import winnow_shared_pairs
+
+        t("winnow_pairs", lambda: winnow_shared_pairs(
+            docs, min_shared=8, max_df=50).count())
+        t("dsir_en", lambda: dsir_logweights(
+            docs, F.col("lang") == "en").count())
+        t("mattr25", lambda: mattr(docs, window=25).count())
+
+        def _bursts():
+            ev = load(spark, SF_DIR, "events").select(
+                F.get_json_object("props", "$.k").cast("long").alias("item"), "ts"
+            ).where(F.col("item").isNotNull())
+            kleinberg_bursts(ev, item_col="item", bucket="day").count()
+
+        t("kleinberg_daily", _bursts)
     finally:
         spark.stop()
     return out
