@@ -8380,6 +8380,10 @@ _WINDOW_PRIORITY = [
     "source_lang_diversity",
     "lang_token_waterfill",
     "user_rec_ranking_eval",
+    # -- (a3) NEW latest in round 4 (same policy as (a1): the 50-slot
+    # window is already owned by round-4 queries with no driver row;
+    # these are locally verified (verify_entry.py MATCH + pytest) and
+    # lead the ROUND-5 window from here) --
     "dsir_en_logweights",
     "winnow_fp_density",
     "winnow_shared_span_pairs",

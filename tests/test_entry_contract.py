@@ -42,7 +42,7 @@ def test_oracle_sql_plans_in_duckdb():
         "region": "r_regionkey BIGINT",
         "nation": "n_nationkey BIGINT",
         "customer": "c_custkey BIGINT, c_name VARCHAR",
-        "supplier": "s_suppkey BIGINT",
+        "supplier": "s_suppkey BIGINT, s_name VARCHAR",
         "part": "p_partkey BIGINT",
         "orders": "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE",
         "lineitem": (
