@@ -8146,6 +8146,54 @@ def q_price_histogram_quantiles(spark, sf_dir):
     )
 
 
+_SPEARMAN_SQL = f"""WITH RECURSIVE {_E}, {_EP},
+  {_pr_cte('a', 'e', _MOVERS_ITERS)},
+  {_pr_cte('b', 'ep', _MOVERS_ITERS)},
+  ra AS (SELECT id, CAST(ROUND(rank * 1048576) AS BIGINT) AS rq
+         FROM apr WHERE it = {_MOVERS_ITERS}),
+  rb AS (SELECT id, CAST(ROUND(rank * 1048576) AS BIGINT) AS rq
+         FROM bpr WHERE it = {_MOVERS_ITERS}),
+  ca AS (SELECT ra.id, ra.rq FROM ra JOIN rb USING (id)),
+  cb AS (SELECT rb.id, rb.rq FROM rb JOIN ra USING (id)),
+  pa AS (SELECT id, ROW_NUMBER() OVER (ORDER BY rq DESC, id ASC) AS rank_a FROM ca),
+  pb AS (SELECT id, ROW_NUMBER() OVER (ORDER BY rq DESC, id ASC) AS rank_b FROM cb),
+  agg AS (SELECT COUNT(*) AS n,
+                 COALESCE(SUM((pa.rank_a - pb.rank_b) * (pa.rank_a - pb.rank_b)), 0)
+                   AS sum_d2
+          FROM pa JOIN pb USING (id))
+SELECT CAST(n AS BIGINT) AS n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+       CAST(ROUND((1.0 - 6.0 * sum_d2
+                   / (CAST(n AS DOUBLE) * (n * n - 1))) * 16384) AS BIGINT)
+         AS rho_q
+FROM agg"""
+
+
+@_q("crawl_rank_spearman", _SPEARMAN_SQL)
+def q_crawl_rank_spearman(spark, sf_dir):
+    """Whole-ordering authority drift between crawl snapshots: Spearman
+    rho of the 2^-20-quantized fixed-12 PageRank vectors over the common
+    vertices (movers show WHO changed; rho says HOW MUCH the ordering
+    changed). Ranks via the range-partitioned global prefix-sum — no
+    single-partition sort. 2^-14 quantized rho."""
+    from tldr_spark.operators.rankcorr import spearman_rho
+
+    from tldr_spark.operators.pagerank import pagerank
+
+    old = pagerank(
+        derive_edges_prev(spark, sf_dir), damping=0.85, tolerance=-1.0, max_iter=12
+    ).ranks
+    new = pagerank(
+        derive_edges(spark, sf_dir), damping=0.85, tolerance=-1.0, max_iter=12
+    ).ranks
+    q = lambda df: df.select(  # noqa: E731
+        "id", F.round(F.col("rank") * 1048576).cast("long").alias("score")
+    )
+    out = spearman_rho(q(new), q(old), id_col="id", score_col="score")
+    return out.select(
+        "n", "sum_d2", F.round(F.col("rho") * 16384).cast("long").alias("rho_q")
+    )
+
+
 @_q("user_rec_ranking_eval", _REC_EVAL_SQL)
 def q_user_rec_ranking_eval(spark, sf_dir):
     """Offline recommender scorecard: per user, rank the items (props.k)
@@ -8400,6 +8448,7 @@ _WINDOW_PRIORITY = [
     "supplier_typo_pairs",
     "edges_zorder_layout",
     "price_histogram_quantiles",
+    "crawl_rank_spearman",
     # -- (c) round-3 verdict re-check list (betweenness_probes moved up
     # into the changed-impl block) --
     "random_walks",
