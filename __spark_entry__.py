@@ -8274,6 +8274,115 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+def _fiedler_parts(n_iter: int) -> list[str]:
+    # mirrors operators/spectral.py:fiedler_vector — deflated power
+    # iteration on M = cI - L (c = 2*max_deg), x0 = centered Knuth hash,
+    # mean subtracted after every multiply, pure deferred arithmetic.
+    parts = [
+        _E,
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT a AS v, b AS u FROM und UNION ALL SELECT b AS v, a AS u FROM und)",
+        "deg AS MATERIALIZED (SELECT v AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY v)",
+        "cs AS MATERIALIZED (SELECT 2 * MAX(deg) AS c, COUNT(*) AS n FROM deg)",
+        "h AS (SELECT id, CAST((id * 2654435761) % 1000003 AS DOUBLE) AS x FROM deg)",
+        "x0 AS MATERIALIZED (SELECT id, x - (SELECT SUM(x) / (SELECT n FROM cs) FROM h) AS x FROM h)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""s{i} AS (SELECT a.v AS id, SUM(p.x) AS sx
+               FROM adj a JOIN x{i - 1} p ON p.id = a.u GROUP BY a.v)"""
+        )
+        parts.append(
+            f"""y{i} AS MATERIALIZED (SELECT d.id,
+                 ((SELECT c FROM cs) - d.deg) * p.x
+                 + COALESCE(s.sx, CAST(0 AS DOUBLE)) AS y
+               FROM deg d JOIN x{i - 1} p USING (id)
+               LEFT JOIN s{i} s ON s.id = d.id)"""
+        )
+        parts.append(
+            f"""x{i} AS MATERIALIZED (SELECT id,
+                 y - (SELECT SUM(y) / (SELECT n FROM cs) FROM y{i}) AS x
+               FROM y{i})"""
+        )
+    return parts
+
+
+_FIEDLER_ITERS = 12
+
+
+def _fiedler_sql(n_iter: int) -> str:
+    parts = _fiedler_parts(n_iter)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+  nrm AS (SELECT MAX(ABS(x)) AS nrm FROM x{n_iter})
+SELECT id AS vertex,
+       CAST(ROUND(CASE WHEN nrm.nrm > 0 THEN x / nrm.nrm ELSE 0 END * 16384)
+            AS BIGINT) AS f_q
+FROM x{n_iter} CROSS JOIN nrm"""
+    )
+
+
+def _spectral_cut_sql(n_iter: int) -> str:
+    parts = _fiedler_parts(n_iter)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+  side AS MATERIALIZED (SELECT id, CASE WHEN x > 0 THEN 1 ELSE 0 END AS side FROM x{n_iter}),
+  vols AS (SELECT
+      CAST(SUM(CASE WHEN s.side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      CAST(SUM(CASE WHEN s.side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      CAST(SUM(CASE WHEN s.side = 1 THEN d.deg ELSE 0 END) AS BIGINT) AS vol_pos,
+      CAST(SUM(CASE WHEN s.side = 0 THEN d.deg ELSE 0 END) AS BIGINT) AS vol_neg
+    FROM side s JOIN deg d USING (id)),
+  cut AS (SELECT CAST(COALESCE(SUM(CASE WHEN sa.side <> sb.side THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS cut_edges
+    FROM und u JOIN side sa ON sa.id = u.a JOIN side sb ON sb.id = u.b)
+SELECT n_pos, n_neg, cut_edges, vol_pos, vol_neg,
+       CAST(ROUND(CASE WHEN LEAST(vol_pos, vol_neg) > 0
+                  THEN CAST(cut_edges AS DOUBLE) / LEAST(vol_pos, vol_neg)
+                  ELSE NULL END * 16384) AS BIGINT) AS conductance_q
+FROM cut CROSS JOIN vols"""
+    )
+
+
+@_q("fiedler_fixed12", _fiedler_sql(_FIEDLER_ITERS))
+def q_fiedler_fixed12(spark, sf_dir):
+    """Spectral bipartition scores: deflated power iteration on the
+    shifted Laplacian cI - L (c = 2*max_deg) for a fixed 12 rounds —
+    on the block-disconnected derived graph this converges onto the
+    zero-eigenspace (component indicators), the true spectral optimum;
+    on a connected graph it is the Fiedler vector. One SpMV-shaped
+    shuffle per round + a 1-row deflation broadcast; max-abs-normalized
+    at the output, 2^-14 quantized."""
+    from tldr_spark.operators.spectral import fiedler_vector
+
+    out = fiedler_vector(derive_edges(spark, sf_dir), _FIEDLER_ITERS)
+    return out.select(
+        F.col("id").alias("vertex"),
+        F.round(F.col("f") * 16384).cast("long").alias("f_q"),
+    )
+
+
+@_q("spectral_cut_quality", _spectral_cut_sql(_FIEDLER_ITERS))
+def q_spectral_cut_quality(spark, sf_dir):
+    """1-row quality audit of the Fiedler sign cut: side sizes, crossing
+    edges, side volumes, and conductance = cut / min(vol) (2^-14
+    quantized). One edge join against the side assignment + two tiny
+    aggregates on top of the fiedler_fixed12 chain."""
+    from tldr_spark.operators.spectral import spectral_cut_stats
+
+    out = spectral_cut_stats(derive_edges(spark, sf_dir), _FIEDLER_ITERS)
+    return out.select(
+        "n_pos",
+        "n_neg",
+        "cut_edges",
+        "vol_pos",
+        "vol_neg",
+        F.round(F.col("conductance") * 16384).cast("long").alias("conductance_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
