@@ -8274,6 +8274,40 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_GAP_BITS_SQL = f"""WITH {_E},
+  adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+  pe AS (SELECT src, dst, LAG(dst) OVER (PARTITION BY src ORDER BY dst) AS prev
+         FROM adj),
+  bits AS (SELECT src,
+      CASE WHEN prev IS NULL
+           THEN LENGTH(bin(CAST(2 * ABS(dst - src) + 1 AS BIGINT)))
+           ELSE LENGTH(bin(CAST(dst - prev AS BIGINT))) END AS bits
+    FROM pe),
+  ps AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg,
+                CAST(SUM(bits) AS BIGINT) AS src_bits
+         FROM bits GROUP BY src)
+SELECT CAST(LENGTH(bin(outdeg)) AS BIGINT) AS deg_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_srcs,
+       CAST(SUM(outdeg) AS BIGINT) AS n_edges,
+       CAST(SUM(src_bits) AS BIGINT) AS total_bits,
+       CAST(ROUND(CAST(SUM(src_bits) AS DOUBLE) * 16384 / SUM(outdeg)) AS BIGINT)
+         AS bits_per_edge_q,
+       CAST(64 * SUM(outdeg) AS BIGINT) AS raw_bits
+FROM ps GROUP BY 1"""
+
+
+@_q("adjacency_gap_bits", _GAP_BITS_SQL)
+def q_adjacency_gap_bits(spark, sf_dir):
+    """WebGraph-style delta-gap compressibility audit of the adjacency
+    lists (Boldi-Vigna γ-code cost model), exact integer bit counts by
+    out-degree bucket vs the 64-bit raw encoding. Bit lengths via
+    binary-string length (never fp log2); one distinct + one
+    src-partitioned window + one bucket aggregate, zero UDFs."""
+    from tldr_spark.operators.webgraph import adjacency_gap_bits
+
+    return adjacency_gap_bits(derive_edges(spark, sf_dir))
+
+
 def _fiedler_parts(n_iter: int) -> list[str]:
     # mirrors operators/spectral.py:fiedler_vector — deflated power
     # iteration on M = cI - L (c = 2*max_deg), x0 = centered Knuth hash,
