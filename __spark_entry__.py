@@ -8274,6 +8274,77 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_OLS_SQL = f"""WITH {_SQL_TOKS},
+  ts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt,
+                CAST(COUNT(DISTINCT token) AS BIGINT) AS nd
+         FROM toks GROUP BY doc_id),
+  base AS (SELECT ln(1 + d.n_chars) AS y,
+                  ln(1 + COALESCE(ts.nt, 0)) AS x1,
+                  CASE WHEN COALESCE(ts.nt, 0) > 0
+                       THEN CAST(ts.nd AS DOUBLE) / ts.nt ELSE 0.0 END AS x2
+           FROM documents d LEFT JOIN ts USING (doc_id)),
+  s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+               SUM(x1 * x1) AS sx11, SUM(x1 * x2) AS sx12,
+               SUM(x2 * x2) AS sx22, SUM(x1 * y) AS sx1y,
+               SUM(x2 * y) AS sx2y, SUM(y * y) AS syy
+        FROM base),
+  -- Cramer cofactors, mirroring operators/regression.py:_cramer3
+  d AS (SELECT *,
+          n * (sx11 * sx22 - sx12 * sx12)
+          - sx1 * (sx1 * sx22 - sx12 * sx2)
+          + sx2 * (sx1 * sx12 - sx11 * sx2) AS det
+        FROM s),
+  b AS (SELECT *,
+          (sy * (sx11 * sx22 - sx12 * sx12)
+           - sx1 * (sx1y * sx22 - sx12 * sx2y)
+           + sx2 * (sx1y * sx12 - sx11 * sx2y)) / det AS b0,
+          (n * (sx1y * sx22 - sx12 * sx2y)
+           - sy * (sx1 * sx22 - sx12 * sx2)
+           + sx2 * (sx1 * sx2y - sx1y * sx2)) / det AS b1,
+          (n * (sx11 * sx2y - sx1y * sx12)
+           - sx1 * (sx1 * sx2y - sx1y * sx2)
+           + sy * (sx1 * sx12 - sx11 * sx2)) / det AS b2
+        FROM d)
+SELECT n,
+       CAST(ROUND(b0 * 16384) AS BIGINT) AS b0_q,
+       CAST(ROUND(b1 * 16384) AS BIGINT) AS b1_q,
+       CAST(ROUND(b2 * 16384) AS BIGINT) AS b2_q,
+       CAST(ROUND((1.0 - (syy - (b0 * sy + b1 * sx1y + b2 * sx2y))
+                   / (syy - sy * sy / n)) * 16384) AS BIGINT) AS r2_q
+FROM b"""
+
+
+@_q("ols_quality_fit", _OLS_SQL)
+def q_ols_quality_fit(spark, sf_dir):
+    """Distributed OLS via sufficient statistics: fit
+    ln(1+n_chars) ~ b0 + b1*ln(1+n_tokens) + b2*type_token_ratio over
+    the corpus with ONE map-side-combined aggregate (the 10 normal-
+    equation sums) and an O(1) driver-side Cramer solve — the oracle
+    mirrors the identical cofactor algebra, so the only cross-engine
+    noise is summation order. 2^-14 quantized coefficients + R^2."""
+    from tldr_spark.operators.regression import ols_2feature
+
+    docs = _docs(spark, sf_dir)
+    ts = _toks(docs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.countDistinct("token").alias("nd"),
+    )
+    base = docs.join(ts, "doc_id", "left").select(
+        F.log(F.lit(1.0) + F.col("n_chars")).alias("y"),
+        F.log(F.lit(1.0) + F.coalesce(F.col("nt"), F.lit(0))).alias("x1"),
+        F.when(
+            F.coalesce(F.col("nt"), F.lit(0)) > 0,
+            F.col("nd").cast("double") / F.col("nt"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("x2"),
+    )
+    out = ols_2feature(base, "y", "x1", "x2")
+    q = lambda c, nm: F.round(F.col(c) * 16384).cast("long").alias(nm)  # noqa: E731
+    return out.select("n", q("b0", "b0_q"), q("b1", "b1_q"), q("b2", "b2_q"), q("r2", "r2_q"))
+
+
 _GAP_BITS_SQL = f"""WITH {_E},
   adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
   pe AS (SELECT src, dst, LAG(dst) OVER (PARTITION BY src ORDER BY dst) AS prev
