@@ -8274,6 +8274,43 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_QL_SQL = f"""WITH {_SQL_PTOKS}, {_SQL_TERM_RANKS},
+  terms AS (SELECT token FROM ranked_terms WHERE trank IN (5, 15, 25)),
+  doclen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM ptoks GROUP BY 1),
+  tot AS (SELECT SUM(dl)::DOUBLE AS tot FROM doclen),
+  cf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cf FROM ptoks
+         WHERE token IN (SELECT token FROM terms) GROUP BY 1),
+  tfs AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM ptoks
+          WHERE token IN (SELECT token FROM terms) GROUP BY 1, 2),
+  cand AS (SELECT DISTINCT doc_id FROM tfs),
+  grid AS (SELECT c.doc_id, f.token, f.cf FROM cand c CROSS JOIN cf f)
+SELECT g.doc_id,
+       CAST(ROUND(SUM(LN(
+         (COALESCE(t.tf, 0) + 2000.0 * g.cf / tot.tot) / (d.dl + 2000.0)
+       )) * 1024) AS BIGINT) AS score_q
+FROM grid g
+LEFT JOIN tfs t ON t.doc_id = g.doc_id AND t.token = g.token
+JOIN doclen d ON d.doc_id = g.doc_id
+CROSS JOIN tot
+GROUP BY g.doc_id"""
+
+
+@_q("ql_dirichlet_scores", _QL_SQL)
+def q_ql_dirichlet_scores(spark, sf_dir):
+    """Query-likelihood retrieval with Dirichlet smoothing (mu=2000,
+    Zhai & Lafferty) over the rank-5/15/25 vocabulary terms — the
+    language-modeling counterpart to bm25_scores, including the tf=0
+    background contribution for candidate docs. Token stream filtered to
+    query terms before any doc shuffle; candidates x terms is a 3-row
+    broadcast cross join. 2^10 quantized like bm25."""
+    from tldr_spark.operators.index import ql_dirichlet_scores
+
+    terms = _terms_by_rank(spark, sf_dir, (5, 15, 25))
+    return ql_dirichlet_scores(_docs(spark, sf_dir), terms, mu=2000.0).select(
+        "doc_id", F.round(F.col("score") * 1024).cast("long").alias("score_q")
+    )
+
+
 _OLS_SQL = f"""WITH {_SQL_TOKS},
   ts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt,
                 CAST(COUNT(DISTINCT token) AS BIGINT) AS nd

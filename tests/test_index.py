@@ -129,3 +129,49 @@ def test_empty_inputs(spark):
             fn()
     # phrase absent from corpus
     assert phrase_search(df, ["brown", "dog"]).count() == 0
+
+
+def test_ql_dirichlet_matches_formula(spark):
+    from tldr_spark.operators.index import ql_dirichlet_scores
+
+    terms, mu = ["quick", "dog"], 50.0
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ql_dirichlet_scores(_df(spark), terms, mu=mu).collect()
+    }
+    # independent dict-based mirror
+    toks = {d: _tok(t) for d, t in DOCS}
+    tot = sum(len(v) for v in toks.values())
+    cf = {t: sum(v.count(t) for v in toks.values()) for t in terms}
+    cand = {d for d, v in toks.items() if any(t in v for t in terms)}
+    assert set(got) == cand
+    for d in cand:
+        want = sum(
+            math.log(
+                (toks[d].count(t) + mu * cf[t] / tot) / (len(toks[d]) + mu)
+            )
+            for t in terms
+        )
+        assert abs(got[d] - want) < 1e-12
+    # the dog-heavy doc must outrank the single-mention docs on "dog"
+    dog_only = {
+        r["doc_id"]: r["score"]
+        for r in ql_dirichlet_scores(_df(spark), ["dog"], mu=mu).collect()
+    }
+    assert dog_only[2] == max(dog_only.values())
+
+
+def test_ql_dirichlet_background_term_penalty(spark):
+    """A candidate doc missing one query term still gets that term's
+    background (tf=0) contribution — the score is a proper likelihood."""
+    from tldr_spark.operators.index import ql_dirichlet_scores
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ql_dirichlet_scores(_df(spark), ["fox", "lazy"], mu=10.0).collect()
+    }
+    # doc 3 = "fox" alone: matches fox, missing lazy -> still scored
+    assert 3 in got and got[3] < 0
+    # Dirichlet length normalization: the 1-token exact match beats the
+    # 9-token doc containing both terms (tf/(dl+mu) dominates at small mu)
+    assert got[3] > got[0]

@@ -280,3 +280,56 @@ def posting_varbyte_sizes(
         .orderBy(F.desc("vb_bytes"), F.asc("token"))
         .limit(top_k)
     )
+
+
+def ql_dirichlet_scores(
+    docs: DataFrame,
+    terms: list[str],
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score) — query-likelihood retrieval with Dirichlet-prior
+    smoothing (Zhai & Lafferty SIGIR'01), the language-modeling
+    counterpart to BM25:
+
+        score(d) = sum over query terms t of
+                   ln( (tf(t,d) + mu * cf(t)/|C|) / (|d| + mu) )
+
+    cf(t) = corpus frequency, |C| = total corpus tokens, |d| = doc
+    length. Scored over documents matching at least one term — but the
+    sum still includes the BACKGROUND contribution of the query terms a
+    document lacks (tf=0), which is what makes QL a proper likelihood
+    rather than a match-only accumulator.
+
+    Scale shape mirrors :func:`bm25_scores`: the token stream is
+    filtered to the |Q| query terms BEFORE any doc-keyed shuffle (cost ~
+    sum of df, not corpus size); candidate-docs x terms is a |Q|-row
+    broadcast cross join (the documented tiny-broadcast class); |C| and
+    cf ride as 1-row / |Q|-row broadcasts.
+    """
+    uniq = sorted(set(terms))
+    if not uniq:
+        raise ValueError("ql_dirichlet_scores needs at least one term")
+    tok = _tokens(docs, id_col, text_col)
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = doclen.agg(F.sum("dl").cast("double").alias("tot"))
+    qtok = tok.filter(F.col("token").isin(uniq))
+    cf = qtok.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    tfs = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    cand = tfs.select("doc_id").distinct()
+    grid = cand.crossJoin(F.broadcast(cf))
+    return (
+        grid.join(tfs, ["doc_id", "token"], "left")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(mu) * F.col("cf") / F.col("tot"))
+                / (F.col("dl") + F.lit(mu))
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
