@@ -8274,6 +8274,37 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_CHAR_ENTROPY_SQL = r"""WITH ch AS (
+    SELECT doc_id, u.ch
+    FROM (SELECT doc_id, string_split(text, '') AS l FROM documents) t,
+         UNNEST(t.l) AS u(ch)
+    WHERE u.ch <> ''),
+  hist AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(ROUND((LN(SUM(c)) - SUM(c * LN(c)) / SUM(c)) / 0.6931471805599453
+                  * 1024) AS BIGINT) AS entropy_q
+FROM hist GROUP BY doc_id"""
+
+
+@_q("char_entropy", _CHAR_ENTROPY_SQL)
+def q_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy (bits/char) — the
+    two-sided garbage detector (repetition floods near 0, base64/hex
+    blobs abnormally high). Only integer counts enter libm logs; one
+    (doc_id, char) map-side-combined aggregate + one doc aggregate,
+    2^-10 quantized."""
+    from tldr_spark.operators.textstats import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_chars",
+        "n_distinct",
+        F.round(F.col("entropy_bits") * 1024).cast("long").alias("entropy_q"),
+    )
+
+
 _QL_SQL = f"""WITH {_SQL_PTOKS}, {_SQL_TERM_RANKS},
   terms AS (SELECT token FROM ranked_terms WHERE trank IN (5, 15, 25)),
   doclen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM ptoks GROUP BY 1),

@@ -612,3 +612,47 @@ def heaps_fit(
         F.when(den != 0, slope).alias("slope"),
         F.when(den != 0, (sy - slope * sx) / n).alias("intercept"),
     )
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars, n_distinct, entropy_bits) — per-document
+    character-level Shannon entropy, the cheap two-sided garbage
+    detector for webtext filtering: near-zero entropy flags repetition
+    floods ("aaaa...", padded boilerplate), abnormally HIGH entropy
+    flags base64/hex/minified blobs masquerading as text (normal English
+    prose sits ~4.0-4.5 bits/char).
+
+    H = (ln n - (1/n) * sum over chars c of count(c) * ln count(c)) / ln 2
+
+    — the single-pass form: only counts enter the logs, so both engines
+    feed libm the same integers. Docs with empty text produce no row.
+
+    Scale shape: one char-level explode, then a (doc_id, char) hash
+    aggregate whose map-side combine collapses each partition's stream
+    to at most |alphabet| rows per doc before the shuffle, then a
+    doc-keyed aggregate. No UDFs, no windows.
+    """
+    ch = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    hist = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        hist.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct",
+            (
+                (F.log(F.col("n_chars")) - F.col("clogc") / F.col("n_chars"))
+                / F.lit(0.6931471805599453)
+            ).alias("entropy_bits"),
+        )
+    )
