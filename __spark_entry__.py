@@ -8274,6 +8274,42 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_PREFIX_JACCARD_SQL = f"""WITH {_SQL_SHINGLES},
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.6"""
+
+
+@_q("prefix_jaccard_pairs", _PREFIX_JACCARD_SQL)
+def q_prefix_jaccard_pairs(spark, sf_dir):
+    """Exact Jaccard >= 3/5 via PPJoin-style PREFIX FILTERING (Bayardo
+    et al. WWW'07): each doc joins only on its rarest-first prefix grams
+    (p = |d| - ceil(t|d|) + 1), with an integer-exact size filter, then
+    the exact gram-join verification restricted to the candidate set.
+    Same answer as the brute gram join (the oracle), but the fan-out
+    concentrates on rare grams — the hot-gram df^2 blowup never happens.
+    Prefix length and size filter are rational integer arithmetic so no
+    float boundary can drop a true pair (pinned in
+    tests/test_prefix_filter.py)."""
+    from tldr_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_candidates,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cand = prefix_filter_candidates(docs, n=3, t_num=3, t_den=5)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.6, candidates=cand)
+
+
 _CHAR_ENTROPY_SQL = r"""WITH ch AS (
     SELECT doc_id, u.ch
     FROM (SELECT doc_id, string_split(text, '') AS l FROM documents) t,

@@ -492,3 +492,70 @@ def near_dup_clusters(
         "cluster_size",
         (F.col("id") == F.col("component")).cast("long").alias("is_survivor"),
     )
+
+
+def prefix_filter_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs for exact Jaccard >= t_num/t_den via
+    PREFIX FILTERING (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07
+    "All-Pairs"): order every document's shingles by global rarity
+    (document frequency asc, gram asc) and keep only the first
+
+        p = |d| - ceil(t * |d|) + 1
+
+    rarest grams as the join key. The prefix lemma guarantees any pair
+    with J >= t shares at least one prefix gram, so the candidate set is
+    a SUPERSET of the answer — verified afterwards by the exact
+    :func:`ngram_jaccard_pairs` with ``candidates=``.
+
+    Why this beats the plain gram join at scale: the plain |A-cap-B| join
+    fans out df^2 per gram INCLUDING the hot grams; here a hot gram only
+    joins documents where it lands inside the tiny rarest-first prefix,
+    so the fan-out concentrates on rare grams whose df is small by
+    definition. Threshold is a RATIONAL (t_num/t_den): the prefix length
+    and the size filter min*den >= num*max are pure integer arithmetic —
+    no float boundary can drop a true pair.
+
+    Length filter: J(A,B) >= t implies |A-cap-B| >= t*|A-cup-B|, hence
+    min(|A|,|B|) >= t * max(|A|,|B|); applied as integers on the
+    candidate stream before the distinct."""
+    from pyspark.sql import Window
+
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(docs, n, id_col, text_col)
+    )
+    sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    gdf = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    w = Window.partitionBy("id").orderBy("gdf", "gram")
+    # p = sz - ceil(t*sz) + 1, ceil via integer (num*sz + den - 1) // den
+    p = F.col("sz") - F.floor((F.lit(t_num) * F.col("sz") + t_den - 1) / t_den) + 1
+    pref = (
+        sh.join(gdf, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sz, "id")
+        .filter(F.col("rn") <= p)
+        .select("id", "gram", "sz")
+    )
+    a = pref.select(F.col("id").alias("id_a"), "gram", F.col("sz").alias("sz_a"))
+    b = pref.select(F.col("id").alias("id_b"), "gram", F.col("sz").alias("sz_b"))
+    return (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("sz_a", "sz_b") * t_den
+            >= F.lit(t_num) * F.greatest("sz_a", "sz_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
