@@ -8274,6 +8274,59 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_LANG_SLOPES_SQL = f"""WITH {_SQL_TOKS},
+  ts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM toks GROUP BY doc_id),
+  base AS (SELECT d.lang AS grp,
+                  ln(1 + COALESCE(ts.nt, 0)) AS x,
+                  ln(1 + d.n_chars) AS y
+           FROM documents d LEFT JOIN ts USING (doc_id)),
+  s AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM base GROUP BY grp),
+  f AS (SELECT grp, n,
+               n * sxx - sx * sx AS dx,
+               n * syy - sy * sy AS dy,
+               n * sxy - sx * sy AS cov,
+               sx, sy
+        FROM s)
+SELECT grp AS lang, n,
+       CAST(ROUND(CASE WHEN dx <> 0 THEN cov / dx END * 16384) AS BIGINT)
+         AS slope_q,
+       CAST(ROUND(CASE WHEN dx <> 0 THEN (sy - (cov / dx) * sx) / n END * 16384)
+            AS BIGINT) AS intercept_q,
+       CAST(ROUND(CASE WHEN dx <> 0 AND dy <> 0 THEN (cov * cov) / (dx * dy) END
+                  * 16384) AS BIGINT) AS r2_q
+FROM f"""
+
+
+@_q("per_lang_ols_slopes", _LANG_SLOPES_SQL)
+def q_per_lang_ols_slopes(spark, sf_dir):
+    """Per-language closed-form regression ln(1+n_chars) ~ ln(1+tokens):
+    slope/intercept/R^2 per group with ZERO driver arithmetic — the five
+    sufficient sums and the algebra live inside one map-side-combined
+    groupBy, so one line per group scales to millions of groups. 2^-14
+    quantized."""
+    from tldr_spark.operators.regression import grouped_ols_slope
+
+    docs = _docs(spark, sf_dir)
+    ts = _toks(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    base = docs.join(ts, "doc_id", "left").select(
+        F.col("lang").alias("grp"),
+        F.log(F.lit(1.0) + F.coalesce(F.col("nt"), F.lit(0))).alias("x"),
+        F.log(F.lit(1.0) + F.col("n_chars")).alias("y"),
+    )
+    out = grouped_ols_slope(base, "grp", "x", "y")
+    q = lambda c, nm: F.round(F.col(c) * 16384).cast("long").alias(nm)  # noqa: E731
+    return out.select(
+        F.col("grp").alias("lang"),
+        "n",
+        q("slope", "slope_q"),
+        q("intercept", "intercept_q"),
+        q("r2", "r2_q"),
+    )
+
+
 _PREFIX_JACCARD_SQL = f"""WITH {_SQL_SHINGLES},
     sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (

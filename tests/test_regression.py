@@ -64,3 +64,32 @@ def test_cramer_degenerate_sst():
     # constant y: SST == 0 -> r2 NULL, coefficients finite
     b0, b1, b2, r2 = _cramer3(3, 6.0, 3.0, 9.0, 14.0, 6.0, 5.0, 18.0, 9.0, 27.0)
     assert r2 is None
+
+
+def test_grouped_slope_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for g, (a, b) in enumerate([(1.0, 2.0), (-0.5, 0.1), (3.0, -1.0)]):
+        x = rng.uniform(0, 10, 60)
+        y = a + b * x + rng.normal(0, 0.2, 60)
+        rows += [(f"g{g}", float(xi), float(yi)) for xi, yi in zip(x, y)]
+    rows.append(("deg", 5.0, 7.0))  # single point -> NULL slope
+    rows.append(("novar", 2.0, 1.0))
+    rows.append(("novar", 2.0, 9.0))  # zero x-variance -> NULL slope
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    from tldr_spark.operators.regression import grouped_ols_slope
+
+    got = {r["grp"]: r for r in grouped_ols_slope(df, "grp", "x", "y").collect()}
+    for g, (a, b) in enumerate([(1.0, 2.0), (-0.5, 0.1), (3.0, -1.0)]):
+        xs = np.array([x for gg, x, _ in rows if gg == f"g{g}"])
+        ys = np.array([y for gg, _, y in rows if gg == f"g{g}"])
+        bb, aa = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        row = got[f"g{g}"]
+        assert row["slope"] == __import__("pytest").approx(bb, abs=1e-9)
+        assert row["intercept"] == __import__("pytest").approx(aa, abs=1e-9)
+        assert row["r2"] == __import__("pytest").approx(r * r, abs=1e-9)
+    assert got["deg"]["slope"] is None
+    assert got["novar"]["slope"] is None

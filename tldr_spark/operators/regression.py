@@ -84,3 +84,42 @@ def ols_2feature(
         [(int(row["n"]), b0, b1, b2, r2)],
         "n long, b0 double, b1 double, b2 double, r2 double",
     )
+
+
+def grouped_ols_slope(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group simple linear regression y ~ a + b*x in CLOSED FORM —
+    unlike :func:`ols_2feature` there is no driver step at all: the five
+    sufficient sums and the slope/intercept/r2 algebra all live inside
+    one map-side-combined groupBy, so fitting one line per group scales
+    to millions of groups on a cluster (no window, no second shuffle).
+
+        b  = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        a  = (Sy - b*Sx) / n
+        r2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    Groups with no x-variance (or n < 2) yield NULL slope; zero
+    y-variance yields NULL r2."""
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(dx != 0, cov / dx)
+    return agg.select(
+        "grp",
+        "n",
+        slope.alias("slope"),
+        F.when(dx != 0, (F.col("sy") - (cov / dx) * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+        F.when((dx != 0) & (dy != 0), (cov * cov) / (dx * dy)).alias("r2"),
+    )
