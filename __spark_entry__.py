@@ -8274,6 +8274,43 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_KNN_AGREE_SQL = f"""WITH nn AS (
+    SELECT a.vec_id AS probe_id, a.label AS plabel, b.label AS nlabel,
+           CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                  ORDER BY {_COS} DESC, b.vec_id ASC) AS BIGINT) AS rank
+    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < 30)
+SELECT probe_id AS vec_id,
+       CAST(MIN(plabel) AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       CAST(SUM(CASE WHEN nlabel = plabel THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       CAST(ROUND(CAST(SUM(CASE WHEN nlabel = plabel THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) * 16384) AS BIGINT) AS agree_q
+FROM nn WHERE rank <= 10
+GROUP BY probe_id"""
+
+
+@_q("knn_label_agreement", _KNN_AGREE_SQL)
+def q_knn_label_agreement(spark, sf_dir):
+    """Mislabel detection over the labeled embedding corpus: per probe
+    vector, the fraction of its exact top-10 cosine neighbors sharing
+    its label (low agreement = label noise / out-of-distribution).
+    Broadcast-probe scan of the big side, labels via two hash joins;
+    at corpus scale the probe set is a per-batch sample. 2^-14
+    quantized ratio; the cosine chain is the bit-exact _COS form."""
+    from tldr_spark.operators.similarity import knn_label_agreement
+
+    embs = load(spark, sf_dir, "embeddings")
+    out = knn_label_agreement(embs, k=10, probes=embs.filter("vec_id < 30"))
+    return out.select(
+        "vec_id",
+        "label",
+        "n_neighbors",
+        "n_same",
+        F.round(F.col("agreement") * 16384).cast("long").alias("agree_q"),
+    )
+
+
 _LANG_SLOPES_SQL = f"""WITH {_SQL_TOKS},
   ts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM toks GROUP BY doc_id),
   base AS (SELECT d.lang AS grp,

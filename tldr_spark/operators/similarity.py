@@ -297,3 +297,47 @@ def lsh_topk(
     scored = cand.select("probe_id", "neighbor_id", cosine_expr("pv", "ev").alias("cosine"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_label_agreement(
+    embs: DataFrame,
+    k: int = 10,
+    probes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(vec_id, label, n_neighbors, n_same, agreement) — the classic
+    mislabeled-example detector for labeled training corpora: for each
+    probe vector, the fraction of its exact top-k cosine neighbors that
+    share its label (kNN self-agreement; low agreement = likely label
+    noise or an out-of-distribution example).
+
+    Built on :func:`brute_force_topk` (broadcast probes, JVM-side
+    cosine): at corpus scale run it over a probe SAMPLE per batch — the
+    big side is scanned once per batch and never shuffled; labels ride
+    in on two hash joins against the (id, label) projection."""
+    p = probes if probes is not None else embs
+    nn = brute_force_topk(
+        embs, p.select(F.col(id_col), F.col(vec_col)), k, id_col, vec_col
+    )
+    lab = embs.select(F.col(id_col).alias("_lid"), F.col(label_col).cast("long").alias("_lab"))
+    plab = lab.select(F.col("_lid").alias("probe_id"), F.col("_lab").alias("plabel"))
+    nlab = lab.select(F.col("_lid").alias("neighbor_id"), F.col("_lab").alias("nlabel"))
+    return (
+        nn.join(plab, "probe_id")
+        .join(nlab, "neighbor_id")
+        .groupBy(F.col("probe_id").alias(id_col))
+        .agg(
+            F.min("plabel").alias("label"),
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum((F.col("nlabel") == F.col("plabel")).cast("long")).alias("n_same"),
+        )
+        .select(
+            id_col,
+            "label",
+            "n_neighbors",
+            "n_same",
+            (F.col("n_same") / F.col("n_neighbors")).alias("agreement"),
+        )
+    )
