@@ -8274,6 +8274,45 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_PSI_SQL = r"""WITH b AS (
+    SELECT source AS grp, LENGTH(bin(CAST(n_chars + 1 AS BIGINT))) AS bucket
+    FROM documents),
+  ghist AS (SELECT grp, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+  chist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cc FROM b GROUP BY 1),
+  totals AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+  nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbuckets, CAST(SUM(cc) AS BIGINT) AS ntot
+         FROM chist),
+  grid AS (SELECT t.grp, t.n, c.bucket, c.cc, g.c
+           FROM totals t CROSS JOIN chist c
+           LEFT JOIN ghist g ON g.grp = t.grp AND g.bucket = c.bucket)
+SELECT grp AS source, n,
+       CAST(ROUND(SUM(
+         ((2 * COALESCE(c, 0) + 1) / (2 * n + nb.nbuckets)
+          - (2 * cc + 1) / (2 * nb.ntot + nb.nbuckets))
+         * LN(((2 * COALESCE(c, 0) + 1) / (2 * n + nb.nbuckets))
+              / ((2 * cc + 1) / (2 * nb.ntot + nb.nbuckets)))
+       ) * 16384) AS BIGINT) AS psi_q
+FROM grid CROSS JOIN nb
+GROUP BY grp, n"""
+
+
+@_q("source_psi_drift", _PSI_SQL)
+def q_source_psi_drift(spark, sf_dir):
+    """Population Stability Index of each source's document-length
+    distribution vs the whole corpus (fixed log2 buckets via exact
+    binary-string bitlen, Laplace-smoothed with integer rationals) —
+    the slice-drift audit that flags a stub-flooded or megapage dump.
+    One (grp, bucket) histogram + tiny broadcast grid; 2^-14 quantized."""
+    from tldr_spark.operators.drift import psi_by_group
+
+    out = psi_by_group(_docs(spark, sf_dir), "source", "n_chars")
+    return out.select(
+        F.col("grp").alias("source"),
+        "n",
+        F.round(F.col("psi") * 16384).cast("long").alias("psi_q"),
+    )
+
+
 _KNN_AGREE_SQL = f"""WITH nn AS (
     SELECT a.vec_id AS probe_id, a.label AS plabel, b.label AS nlabel,
            CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
