@@ -8274,6 +8274,30 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_STREAM_VC_SQL = """WITH v AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'view'),
+  c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(epoch_us(c.ts) - epoch_us(v.ts)) AS BIGINT) AS delay_us_sum
+FROM v JOIN c ON c.user_id = v.user_id
+             AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+GROUP BY 1"""
+
+
+@_q("stream_view_click_attrib", _STREAM_VC_SQL)
+def q_stream_view_click_attrib(spark, sf_dir):
+    """End-to-end Structured Streaming STREAM-STREAM interval join:
+    views and clicks land as streams, the watermarked event-time join
+    attributes each click to same-user views in the preceding hour
+    (state bounded by watermark - range eviction), drained availableNow
+    into a memory sink and aggregated per user. Single-file landing =>
+    one micro-batch => exactly the batch interval join, so the oracle is
+    plain SQL."""
+    from tldr_spark.streaming.stream_join import streamed_view_click_attribution
+
+    return streamed_view_click_attribution(spark, sf_dir)
+
+
 _PSI_SQL = r"""WITH b AS (
     SELECT source AS grp, LENGTH(bin(CAST(n_chars + 1 AS BIGINT))) AS bucket
     FROM documents),
