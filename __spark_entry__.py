@@ -8274,6 +8274,48 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+def _spectral_radius_sql(n_iter: int) -> str:
+    # mirrors operators/spectral.py:spectral_radius_estimate — raw
+    # (renorm-free) power iteration on the weight-summed adjacency from
+    # x0 = 1/n on ALL endpoint vertices, Rayleigh quotient at the end.
+    parts = [
+        _E,
+        "g AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (SELECT src, dst FROM e) GROUP BY src, dst)",
+        "verts AS MATERIALIZED (SELECT DISTINCT v AS id FROM (SELECT src AS v FROM e UNION SELECT dst FROM e))",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "x0 AS MATERIALIZED (SELECT id, 1.0 / nv.n AS x FROM verts CROSS JOIN nv)",
+    ]
+    for i in range(1, n_iter + 2):
+        parts.append(
+            f"""x{i} AS MATERIALIZED (SELECT g.dst AS id, SUM(p.x * g.w) AS x
+               FROM g JOIN x{i - 1} p ON p.id = g.src GROUP BY g.dst)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT CAST(ROUND(CASE WHEN den > 0 THEN num / den END * 1024) AS BIGINT)
+         AS lambda_q
+FROM (SELECT SUM(f.x * COALESCE(nx.x, CAST(0 AS DOUBLE))) AS num,
+             SUM(f.x * f.x) AS den
+      FROM x{n_iter} f LEFT JOIN x{n_iter + 1} nx ON nx.id = f.id)"""
+    )
+
+
+@_q("spectral_radius_est", _spectral_radius_sql(12))
+def q_spectral_radius_est(spark, sf_dir):
+    """Rayleigh-quotient spectral-radius estimate of the weight-summed
+    adjacency after 12 raw power-iteration rounds — bounds cascade
+    thresholds (1/lambda) and the convergence rate of every power-
+    iteration operator here. One SpMV shuffle per round; 2^-10
+    quantized."""
+    from tldr_spark.operators.spectral import spectral_radius_estimate
+
+    out = spectral_radius_estimate(derive_edges(spark, sf_dir), 12)
+    return out.select(
+        F.round(F.col("lambda_est") * 1024).cast("long").alias("lambda_q")
+    )
+
+
 _STREAM_VC_SQL = """WITH v AS (
     SELECT user_id, ts FROM events WHERE event_type = 'view'),
   c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')

@@ -99,3 +99,34 @@ def test_duplicate_and_reversed_edges_collapse(spark):
     want = _np_fiedler(BARBELL, 12)
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_spectral_radius_matches_numpy(spark):
+    from tldr_spark.operators.spectral import spectral_radius_estimate
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 0), (0, 3), (3, 0), (1, 0)]
+    df = _edges_df(spark, edges)
+    got = spectral_radius_estimate(df, 12).collect()[0]
+
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for s, d in edges:
+        A[idx[d], idx[s]] += 1.0  # x_{t+1}(dst) = sum over src
+    x = np.full(len(ids), 1.0 / len(ids))
+    for _ in range(12):
+        x = A @ x
+    nxt = A @ x
+    lam = (x @ nxt) / (x @ x)
+    assert got["lambda_est"] == pytest.approx(lam, rel=1e-12)
+    # true dominant eigenvalue for sanity (power iteration ~converged)
+    true = max(abs(np.linalg.eigvals(A)))
+    assert got["lambda_est"] == pytest.approx(true, rel=0.05)
+
+
+def test_spectral_radius_cycle_is_one(spark):
+    from tldr_spark.operators.spectral import spectral_radius_estimate
+
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    got = spectral_radius_estimate(_edges_df(spark, cycle), 9).collect()[0]
+    assert got["lambda_est"] == pytest.approx(1.0, abs=1e-9)

@@ -172,3 +172,79 @@ def spectral_cut_stats(edges: DataFrame, iterations: int = 12) -> DataFrame:
     side.unpersist()
     und.unpersist()
     return out
+
+
+def spectral_radius_estimate(
+    edges: DataFrame,
+    iterations: int = 12,
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """1-row (lambda_est, xdotx_scale) — Rayleigh-quotient estimate of the
+    adjacency spectral radius after a fixed power-iteration count:
+
+        lambda ~= (x_{t+1} . x_t) / (x_t . x_t)
+
+    over the directed multigraph adjacency (duplicate edges sum, as in
+    the reference's PageRank Link contract). The spectral radius bounds
+    epidemic/cascade thresholds (1/lambda) and the convergence rate of
+    every power-iteration operator in this engine, so it is the cheap
+    a-priori "how many iterations will PageRank-family ops need" probe.
+
+    Same SpMV shape as eigenvector_centrality: one edge join + one
+    map-side-combined groupBy per round, scores broadcast when small;
+    no renormalization (raw deferred arithmetic mirrors the unrolled SQL
+    oracle), one extra half-step and two tiny dot-product aggregates at
+    the end."""
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .persist()
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        e.unpersist()
+        verts.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "lambda_est double, xdotx_scale double"
+        )
+    x = verts.select("id", F.lit(1.0 / n).alias("x")).persist()
+    x.count()
+    for _ in range(iterations):
+        xs = F.broadcast(x) if broadcast_scores else x
+        new_x = (
+            xs.join(e, xs["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("x") * F.col("w")).alias("x"))
+            .localCheckpoint(eager=False)
+            .persist()
+        )
+        new_x.count()
+        x.unpersist()
+        x = new_x
+    xs = F.broadcast(x) if broadcast_scores else x
+    nxt = (
+        xs.join(e, xs["id"] == e["src"])
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum(F.col("x") * F.col("w")).alias("x2"))
+    )
+    out = (
+        x.join(nxt, "id", "left")
+        .agg(
+            F.sum(F.col("x") * F.coalesce(F.col("x2"), F.lit(0.0))).alias("num"),
+            F.sum(F.col("x") * F.col("x")).alias("den"),
+        )
+        .select(
+            F.when(F.col("den") > 0, F.col("num") / F.col("den")).alias("lambda_est"),
+            F.col("den").alias("xdotx_scale"),
+        )
+    )
+    e.unpersist()
+    verts.unpersist()
+    return out
