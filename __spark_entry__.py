@@ -8274,6 +8274,62 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+def _jl_sql(k: int = 8, probe_max: int = 25) -> str:
+    # mirrors operators/similarity.py:jl_projection_distortion — the sign
+    # literals come from the same _jl_signs integer hash, so both engines
+    # project with the identical matrix; the squared-distance fold runs in
+    # element order on both sides.
+    from tldr_spark.operators.similarity import _jl_signs
+
+    signs = _jl_signs(k, 64)
+    lit = lambda row: "[" + ", ".join(repr(s) for s in row) + "]"  # noqa: E731
+    pcols = ",\n      ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), {lit(signs[r])}) AS p{r}"
+        for r in range(k)
+    )
+    proj2 = "0.0 " + " ".join(
+        f"+ (a.p{r} - b.p{r}) * (a.p{r} - b.p{r})" for r in range(k)
+    )
+    return f"""WITH pr AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+      {pcols}
+    FROM embeddings WHERE vec_id < {probe_max}),
+  pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+      list_dot_product(list_transform(a.v, (x, i) -> x - (b.v)[i]),
+                       list_transform(a.v, (x, i) -> x - (b.v)[i])) AS dist2,
+      ({proj2}) AS proj2
+    FROM pr a JOIN pr b ON a.id < b.id)
+SELECT id_a, id_b,
+       CAST(ROUND(dist2 * 1024) AS BIGINT) AS dist2_q,
+       CAST(ROUND(CASE WHEN dist2 > 0 THEN proj2 / ({float(k)} * dist2) END
+                  * 16384) AS BIGINT) AS distortion_q
+FROM pairs"""
+
+
+@_q("jl_distortion_pairs", _jl_sql(8, 25))
+def q_jl_distortion_pairs(spark, sf_dir):
+    """Johnson-Lindenstrauss audit: project the 64-dim embeddings onto 8
+    deterministic ±1 rows (Achlioptas database-friendly projection, signs
+    from pure integer hashing) and report per probe pair how well squared
+    distances survive (E[distortion] = 1) — the go/no-go measurement
+    before swapping embeddings for k-dim sketches in a corpus-scale dedup
+    pass. Projections are one JVM-side scan; the audit is a broadcast
+    probe self-join. dist2 at 2^-10, distortion at 2^-14."""
+    from tldr_spark.operators.similarity import jl_projection_distortion
+
+    embs = load(spark, sf_dir, "embeddings")
+    out = jl_projection_distortion(
+        embs, k=8, dim=64, probes=embs.filter("vec_id < 25")
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("dist2") * 1024).cast("long").alias("dist2_q"),
+        F.round(F.col("distortion") * 16384).cast("long").alias("distortion_q"),
+    )
+
+
 def _spectral_radius_sql(n_iter: int) -> str:
     # mirrors operators/spectral.py:spectral_radius_estimate — raw
     # (renorm-free) power iteration on the weight-summed adjacency from

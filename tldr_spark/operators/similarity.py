@@ -341,3 +341,89 @@ def knn_label_agreement(
             (F.col("n_same") / F.col("n_neighbors")).alias("agreement"),
         )
     )
+
+
+def _jl_signs(k: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 projection rows from pure integer hashing —
+    reproducible in any engine (no RNG state)."""
+    rows = []
+    for r in range(k):
+        row = []
+        for j in range(dim):
+            h = ((r * 1000003 + j + 1) * 2654435761) % 2147483647
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def jl_projection_distortion(
+    embs: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    probes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, dist2, proj_dist2, distortion) — the Johnson-
+    Lindenstrauss audit: project dim-d vectors onto k deterministic ±1
+    rows (Achlioptas 2003 database-friendly projections) and report, per
+    probe pair, how well squared distances survive:
+
+        distortion = ||Pa - Pb||^2 / (k * ||a - b||^2)   (E[.] = 1)
+
+    This is the go/no-go measurement before swapping full embeddings for
+    k-dim sketches in a 100-TB dedup pass (k doubles per vector instead
+    of d floats). Identical pairs (zero distance) get NULL distortion.
+
+    Scale shape: the k projections are JVM-side zip_with folds computed
+    in ONE scan pass per vector (no shuffle); the pairwise audit runs on
+    a small probe sample via broadcast self-join — the corpus-wide
+    projection itself never pairs up."""
+    signs = _jl_signs(k, dim)
+    src = probes if probes is not None else embs
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    for r in range(k):
+        arr = F.array(*[F.lit(s) for s in signs[r]])
+        cols.append(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"p{r}")
+        )
+    pr = src.select(*cols)
+    a = pr.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        *[F.col(f"p{r}").alias(f"a{r}") for r in range(k)],
+    )
+    b = pr.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        *[F.col(f"p{r}").alias(f"b{r}") for r in range(k)],
+    )
+    den = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    num = F.lit(0.0)
+    for r in range(k):
+        d = F.col(f"a{r}") - F.col(f"b{r}")
+        num = num + d * d
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", den.alias("dist2"), num.alias("proj_dist2"))
+        .select(
+            "id_a",
+            "id_b",
+            "dist2",
+            "proj_dist2",
+            F.when(
+                F.col("dist2") > 0,
+                F.col("proj_dist2") / (F.lit(float(k)) * F.col("dist2")),
+            ).alias("distortion"),
+        )
+    )
