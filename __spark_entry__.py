@@ -8274,6 +8274,65 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_SURVIVORS_SQL = f"""WITH RECURSIVE {_SQL_SHINGLES},
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sz sa ON sa.doc_id = i.id_a
+      JOIN sz sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5
+    ),
+    und AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, d.v FROM reach r JOIN und d ON d.u = r.v
+    ),
+    a AS (SELECT u AS doc_id, MIN(v) AS canonical_id FROM reach GROUP BY u),
+    szs AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM a GROUP BY 1),
+    q AS (SELECT doc_id,
+            (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END)
+          + (CASE WHEN FLOOR(CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1000.0
+                      / length(text) ELSE 0 END) < 100 THEN 1 ELSE 0 END)
+          + (CASE WHEN FLOOR(CASE WHEN n_tok > 0 THEN n_stop * 1000.0 / n_tok ELSE 0 END) >= 20
+             THEN 1 ELSE 0 END) AS quality,
+            CAST(length(text) AS BIGINT) AS q_chars
+          FROM (
+            SELECT doc_id, text,
+                   len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'), t -> t <> '')) AS n_tok,
+                   len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'),
+                       t -> lower(t) IN ('the','and','of','to','a','in','is','that','it','was')))
+                       AS n_stop
+            FROM documents) t),
+    j AS (SELECT a.doc_id, a.canonical_id, szs.cluster_size, q.quality,
+                 ROW_NUMBER() OVER (PARTITION BY a.canonical_id
+                   ORDER BY q.quality DESC, q.q_chars DESC, a.doc_id ASC) AS rn
+          FROM a JOIN szs USING (canonical_id) JOIN q USING (doc_id))
+SELECT canonical_id, doc_id AS survivor_doc,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(quality AS BIGINT) AS survivor_quality,
+       CAST(cluster_size - 1 AS BIGINT) AS n_removed
+FROM j WHERE rn = 1"""
+
+
+@_q("dedup_best_survivors", _SURVIVORS_SQL)
+def q_dedup_best_survivors(spark, sf_dir):
+    """Quality-aware fuzzy-dedup decision: jaccard>=0.5 clusters ->
+    argmax survivor by (quality bucket DESC, n_chars DESC, doc_id ASC)
+    — keep the copy a training pipeline actually wants, not the min-id
+    copy. All-integer ranking keys; per-cluster row_number window with
+    cluster-bounded state."""
+    from tldr_spark.operators.dedup import quality_dedup_survivors
+
+    return quality_dedup_survivors(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
 def _jl_sql(k: int = 8, probe_max: int = 25) -> str:
     # mirrors operators/similarity.py:jl_projection_distortion — the sign
     # literals come from the same _jl_signs integer hash, so both engines

@@ -559,3 +559,51 @@ def prefix_filter_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def quality_dedup_survivors(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(canonical_id, survivor_doc, cluster_size, survivor_quality,
+    n_removed) — the full fuzzy-dedup DECISION step with quality-aware
+    survivor selection: instead of keeping the arbitrary min-id copy
+    (:func:`near_dup_clusters`), keep the copy a training pipeline
+    actually wants — argmax by (quality bucket DESC, n_chars DESC,
+    doc_id ASC) within each near-dup cluster. All-integer ranking keys,
+    so the choice is deterministic cross-engine.
+
+    Scale: the per-cluster argmax is one row_number window partitioned
+    by cluster id — state bounded by cluster size, which fuzzy-dedup
+    keeps small by construction; everything upstream inherits the
+    ``candidates=`` LSH restriction path."""
+    from pyspark.sql import Window
+
+    from tldr_spark.operators.textstats import quality_score
+
+    clusters = near_dup_clusters(
+        docs, n=n, threshold=threshold, id_col=id_col, text_col=text_col,
+        candidates=candidates,
+    )
+    q = quality_score(docs, id_col, text_col).select(
+        "doc_id", "quality", F.col("n_chars").alias("q_chars")
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("quality"), F.desc("q_chars"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("survivor_doc"),
+            "cluster_size",
+            F.col("quality").cast("long").alias("survivor_quality"),
+            (F.col("cluster_size") - 1).alias("n_removed"),
+        )
+    )
