@@ -8274,6 +8274,29 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_MUTUAL_KNN_SQL = f"""WITH nn AS (
+    SELECT a.vec_id AS pid, b.vec_id AS nid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_COS} DESC, b.vec_id ASC) AS rnk
+    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+  topk AS (SELECT pid, nid FROM nn WHERE rnk <= 3)
+SELECT t.pid AS id_a, t.nid AS id_b
+FROM topk t JOIN topk r ON r.pid = t.nid AND r.nid = t.pid
+WHERE t.pid < t.nid"""
+
+
+@_q("mutual_knn_pairs", _MUTUAL_KNN_SQL)
+def q_mutual_knn_pairs(spark, sf_dir):
+    """Reciprocal-nearest-neighbor pairs (b in a's exact cosine top-3
+    AND a in b's): the high-precision near-dup/cluster-seed relation —
+    the reciprocity constraint kills one-sided hub attraction. Brute
+    top-k + transpose semi-join; at scale the brute stage swaps for
+    LSH/IVF top-k with the same join shape."""
+    from tldr_spark.operators.similarity import mutual_knn_pairs
+
+    return mutual_knn_pairs(load(spark, sf_dir, "embeddings"), k=3)
+
+
 _SURVIVORS_SQL = f"""WITH RECURSIVE {_SQL_SHINGLES},
     sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (

@@ -427,3 +427,37 @@ def jl_projection_distortion(
             ).alias("distortion"),
         )
     )
+
+
+def mutual_knn_pairs(
+    embs: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b) reciprocal-nearest-neighbor pairs: b is in a's exact
+    cosine top-k AND a is in b's (id_a < id_b). Mutual-kNN is the
+    high-precision near-dup/cluster-seed relation — one-sided kNN links
+    hubs to everything, the reciprocal constraint kills the hub
+    asymmetry (Jegou et al., "contextual dissimilarity"; standard RNN
+    clustering seed).
+
+    Exact path: one brute-force top-k (broadcast probes) + a self-join
+    of the (probe, neighbor) list against its own transpose. At corpus
+    scale substitute the LSH/IVF top-k for the brute stage — the
+    reciprocal join shape is unchanged (it only ever touches the k*N
+    candidate list, not the corpus)."""
+    nn = brute_force_topk(embs, embs, k, id_col, vec_col).select(
+        "probe_id", "neighbor_id"
+    )
+    rev = nn.select(
+        F.col("neighbor_id").alias("probe_id"),
+        F.col("probe_id").alias("neighbor_id"),
+    )
+    return (
+        nn.join(rev, ["probe_id", "neighbor_id"], "left_semi")
+        .filter(F.col("probe_id") < F.col("neighbor_id"))
+        .select(
+            F.col("probe_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+        )
+    )
