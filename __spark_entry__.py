@@ -8274,6 +8274,45 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_MASE_SQL = """WITH hours AS (
+    SELECT event_type AS grp, epoch_us(ts) // 3600000000 AS h FROM events),
+  counts AS (SELECT grp, h, CAST(COUNT(*) AS BIGINT) AS y FROM hours GROUP BY 1, 2),
+  span AS (SELECT grp, MIN(h) AS h0, MAX(h) AS h1 FROM counts GROUP BY 1),
+  spine AS (SELECT grp, u.h FROM span, UNNEST(generate_series(h0, h1)) AS u(h)),
+  dense AS (SELECT s.grp, s.h, COALESCE(c.y, 0) AS y
+            FROM spine s LEFT JOIN counts c ON c.grp = s.grp AND c.h = s.h),
+  scored AS (SELECT grp, y, LAG(y, 24) OVER w AS ys, LAG(y, 1) OVER w AS y1
+             FROM dense WINDOW w AS (PARTITION BY grp ORDER BY h))
+SELECT grp AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(ABS(y - ys)) AS BIGINT) AS mae_seasonal_num,
+       CAST(SUM(ABS(y - y1)) AS BIGINT) AS mae_naive_num,
+       CAST(ROUND(CASE WHEN SUM(ABS(y - y1)) > 0
+                  THEN CAST(SUM(ABS(y - ys)) AS DOUBLE) / SUM(ABS(y - y1)) END
+                  * 16384) AS BIGINT) AS mase_q
+FROM scored WHERE ys IS NOT NULL
+GROUP BY grp"""
+
+
+@_q("hourly_mase_naive", _MASE_SQL)
+def q_hourly_mase_naive(spark, sf_dir):
+    """Forecast-baseline scorecard per event type: seasonal-naive
+    (t-24h) vs one-step naive MAE on the DENSIFIED hourly series
+    (missing hours are zeros — lag scores on a gappy series silently
+    compare non-adjacent hours), MASE = ratio (< 1 means the diurnal
+    cycle is real signal). Integer error sums; 2^-14 quantized ratio."""
+    from tldr_spark.operators.forecast import seasonal_naive_eval
+
+    out = seasonal_naive_eval(load(spark, sf_dir, "events"), season=24)
+    return out.select(
+        F.col("grp").alias("event_type"),
+        "n_scored",
+        "mae_seasonal_num",
+        "mae_naive_num",
+        F.round(F.col("mase") * 16384).cast("long").alias("mase_q"),
+    )
+
+
 _MUTUAL_KNN_SQL = f"""WITH nn AS (
     SELECT a.vec_id AS pid, b.vec_id AS nid,
            ROW_NUMBER() OVER (PARTITION BY a.vec_id
