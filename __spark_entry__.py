@@ -8274,6 +8274,48 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_TRANS_ENTROPY_SQL = """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+  b AS (SELECT user_id, event_id, ts_us, event_type,
+          CASE WHEN LAG(ts_us) OVER w IS NULL
+                 OR ts_us - LAG(ts_us) OVER w > 21600 * 1000000::BIGINT
+               THEN 1 ELSE 0 END AS brk
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+  s AS (SELECT user_id, event_id, ts_us, event_type,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM b),
+  nx AS (SELECT event_type AS from_type,
+                LEAD(event_type) OVER w2 AS to_type,
+                LEAD(session_seq) OVER w2 AS to_session,
+                session_seq
+         FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+  counts AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+             FROM nx WHERE to_session = session_seq GROUP BY 1, 2)
+SELECT from_type,
+       CAST(SUM(n) AS BIGINT) AS n_from,
+       CAST(COUNT(*) AS BIGINT) AS n_targets,
+       CAST(ROUND((LN(SUM(n)) - SUM(n * LN(n)) / SUM(n)) / 0.6931471805599453
+                  * 16384) AS BIGINT) AS entropy_q
+FROM counts GROUP BY from_type"""
+
+
+@_q("transition_entropy", _TRANS_ENTROPY_SQL)
+def q_transition_entropy(spark, sf_dir):
+    """Per-state Shannon entropy of the session Markov chain's outgoing
+    distribution (6h session gap, same pairing total order as
+    session_transitions): how predictable the next event is from each
+    state. Integer counts into libm only; 2^-14 quantized bits."""
+    from tldr_spark.operators.sessions import transition_entropy
+
+    out = transition_entropy(load(spark, sf_dir, "events"), gap_seconds=21600)
+    return out.select(
+        "from_type",
+        "n_from",
+        "n_targets",
+        F.round(F.col("entropy_bits") * 16384).cast("long").alias("entropy_q"),
+    )
+
+
 _MASE_SQL = """WITH hours AS (
     SELECT event_type AS grp, epoch_us(ts) // 3600000000 AS h FROM events),
   counts AS (SELECT grp, h, CAST(COUNT(*) AS BIGINT) AS y FROM hours GROUP BY 1, 2),

@@ -120,3 +120,45 @@ def session_transitions(
         "n_transitions",
         (F.col("n_transitions").cast("double") / F.col("n_from")).alias("p"),
     )
+
+
+def transition_entropy(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(from_type, n_from, n_targets, entropy_bits) — per-state Shannon
+    entropy of the session Markov chain's outgoing distribution: how
+    PREDICTABLE the next event is from each state (0 bits = determinism,
+    log2(|types|) = uniform chaos). The behavioral-predictability
+    counterpart of :func:`session_transitions`.
+
+    Single-pass integer-logs form (only counts enter libm, identical in
+    any engine):  H = (ln n_from - sum(n * ln n) / n_from) / ln 2.
+
+    Cost: the transitions aggregate plus one |types|-row rollup."""
+    counts = session_transitions(
+        events, gap_seconds, user_col, ts_col, type_col, id_col
+    ).select("from_type", "n_transitions")
+    return (
+        counts.groupBy("from_type")
+        .agg(
+            F.sum("n_transitions").alias("n_from"),
+            F.count(F.lit(1)).alias("n_targets"),
+            F.sum(
+                F.col("n_transitions") * F.log(F.col("n_transitions"))
+            ).alias("nlogn"),
+        )
+        .select(
+            "from_type",
+            "n_from",
+            "n_targets",
+            (
+                (F.log(F.col("n_from")) - F.col("nlogn") / F.col("n_from"))
+                / F.lit(0.6931471805599453)
+            ).alias("entropy_bits"),
+        )
+    )
