@@ -8274,6 +8274,59 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_WILSON_SQL = r"""WITH q AS (
+    SELECT source,
+           CASE WHEN (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END)
+                   + (CASE WHEN FLOOR(CASE WHEN length(text) > 0
+                          THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1000.0
+                               / length(text) ELSE 0 END) < 100 THEN 1 ELSE 0 END)
+                   + (CASE WHEN FLOOR(CASE WHEN n_tok > 0 THEN n_stop * 1000.0 / n_tok ELSE 0 END) >= 20
+                      THEN 1 ELSE 0 END) = 3
+                THEN 1 ELSE 0 END AS ok
+    FROM (
+      SELECT source, text,
+             len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'), t -> t <> '')) AS n_tok,
+             len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+                 t -> lower(t) IN ('the','and','of','to','a','in','is','that','it','was')))
+                 AS n_stop
+      FROM documents) t),
+  agg AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ok) AS BIGINT) AS k
+          FROM q GROUP BY 1),
+  w AS (SELECT grp, n, k, k / CAST(n AS DOUBLE) AS p, CAST(n AS DOUBLE) AS nd
+        FROM agg)
+SELECT grp AS source, n, k,
+       CAST(ROUND(p * 16384) AS BIGINT) AS phat_q,
+       CAST(ROUND(
+         (p + (1.96 * 1.96) / (2 * nd)
+            - 1.96 * sqrt(p * (1 - p) / nd + (1.96 * 1.96) / (4 * nd * nd)))
+         / (1 + (1.96 * 1.96) / nd) * 16384) AS BIGINT) AS wilson_q
+FROM w"""
+
+
+@_q("source_wilson_ranking", _WILSON_SQL)
+def q_source_wilson_ranking(spark, sf_dir):
+    """Uncertainty-aware source quality ranking: Wilson score lower
+    bound (z=1.96) on each source's top-quality-bucket pass rate — a
+    3-for-3 source must NOT outrank a 95-for-100 source. Only the
+    integer (k, n) pair enters the float formula; 2^-14 quantized."""
+    from tldr_spark.operators.stats import wilson_lower_bound
+    from tldr_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, sf_dir)
+    ok = docs.join(
+        quality_score(docs).select("doc_id", "quality"), "doc_id"
+    ).select("source", (F.col("quality") == 3).cast("int").alias("ok"))
+    out = wilson_lower_bound(ok, "source", "ok", z=1.96)
+    return out.select(
+        F.col("grp").alias("source"),
+        "n",
+        "k",
+        F.round(F.col("phat") * 16384).cast("long").alias("phat_q"),
+        F.round(F.col("wilson_lb") * 16384).cast("long").alias("wilson_q"),
+    )
+
+
 _TRANS_ENTROPY_SQL = """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
   b AS (SELECT user_id, event_id, ts_us, event_type,
           CASE WHEN LAG(ts_us) OVER w IS NULL

@@ -725,3 +725,34 @@ def degree_gini(edges: DataFrame, direction: str = "in") -> DataFrame:
             / (F.col("n_vertices") * F.col("total_deg"))
         ).alias("gini"),
     )
+
+
+def wilson_lower_bound(
+    df, group_col: str, success_col: str, z: float = 1.96
+):
+    """(grp, n, k, phat, wilson_lb) — Wilson score interval lower bound
+    on each group's success proportion (Wilson 1927; the "how to NOT
+    rank a 1-for-1 group above a 950-for-1000 group" estimator):
+
+        lb = (p + z^2/2n - z*sqrt(p(1-p)/n + z^2/4n^2)) / (1 + z^2/n)
+
+    Small groups get pulled hard toward 0, so ranking by wilson_lb is
+    the uncertainty-aware ordering. One map-side-combined groupBy; only
+    the integer (k, n) pair enters the float formula, so both engines
+    compute the identical expression."""
+    from pyspark.sql import functions as F
+
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.col(success_col).cast("long")), F.lit(0)
+        ).alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k") / n
+    z2 = z * z
+    lb = (
+        p + F.lit(z2) / (2 * n)
+        - F.lit(z) * F.sqrt(p * (1 - p) / n + F.lit(z2) / (4 * n * n))
+    ) / (1 + F.lit(z2) / n)
+    return agg.select("grp", "n", "k", p.alias("phat"), lb.alias("wilson_lb"))
