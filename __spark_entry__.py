@@ -8274,6 +8274,62 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_SCAN_SQL = f"""WITH RECURSIVE {_E},
+  und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e WHERE src <> dst),
+  adj AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+  deg AS (SELECT v AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+  cn AS (SELECT u.a, u.b, CAST(COUNT(*) AS BIGINT) AS cn
+         FROM und u JOIN adj n1 ON n1.v = u.a
+                    JOIN adj n2 ON n2.v = u.b AND n2.u = n1.u
+         GROUP BY 1, 2),
+  ee AS (SELECT u.a, u.b, COALESCE(cn.cn, 0) AS support
+         FROM und u LEFT JOIN cn USING (a, b)),
+  eps AS (SELECT ee.a, ee.b
+          FROM ee JOIN deg da ON da.id = ee.a JOIN deg db ON db.id = ee.b
+          WHERE (support + 2) * (support + 2) * 100
+                >= 49 * (da.deg + 1) * (db.deg + 1)),
+  eps_adj AS (SELECT a AS v, b AS u FROM eps UNION ALL SELECT b, a FROM eps),
+  eps_deg AS (SELECT v AS id, COUNT(*) AS ed FROM eps_adj GROUP BY 1),
+  cores AS (SELECT id FROM eps_deg WHERE ed + 1 >= 3),
+  ce AS (SELECT ea.v AS u, ea.u AS v FROM eps_adj ea
+         WHERE ea.v IN (SELECT id FROM cores) AND ea.u IN (SELECT id FROM cores)),
+  reach(u, v) AS (
+    SELECT id, id FROM cores
+    UNION
+    SELECT r.u, d.v FROM reach r JOIN ce d ON d.u = r.v),
+  clab AS (SELECT u AS vertex, MIN(v) AS cluster FROM reach GROUP BY u),
+  border AS (SELECT ea.u AS vertex, MIN(cl.cluster) AS cluster
+             FROM eps_adj ea JOIN clab cl ON cl.vertex = ea.v
+             WHERE ea.u NOT IN (SELECT id FROM cores) GROUP BY 1),
+  labeled AS (SELECT vertex, cluster, 'core' AS role FROM clab
+              UNION ALL SELECT vertex, cluster, 'border' FROM border),
+  rest AS (SELECT id AS vertex FROM deg
+           WHERE id NOT IN (SELECT vertex FROM labeled)),
+  touch AS (SELECT ad.v AS vertex, COUNT(DISTINCT l.cluster) AS nc
+            FROM adj ad JOIN labeled l ON l.vertex = ad.u
+            WHERE ad.v IN (SELECT vertex FROM rest) GROUP BY 1)
+SELECT vertex, role, CAST(cluster AS BIGINT) AS cluster FROM labeled
+UNION ALL
+SELECT r.vertex,
+       CASE WHEN COALESCE(t.nc, 0) >= 2 THEN 'hub' ELSE 'outlier' END AS role,
+       CAST(NULL AS BIGINT) AS cluster
+FROM rest r LEFT JOIN touch t USING (vertex)"""
+
+
+@_q("scan_structural_clusters", _SCAN_SQL)
+def q_scan_structural_clusters(spark, sf_dir):
+    """SCAN structural clustering (Xu KDD'07, eps=0.7, mu=3): clusters
+    by closed-neighborhood agreement with the hub/outlier distinction
+    Louvain-family methods cannot make. The eps test is integer-exact
+    (squared-rational compare, no sqrt); support comes from the hub-safe
+    oriented triangle enumeration; clusters are one CC pass over the
+    sparse core eps-graph."""
+    from tldr_spark.operators.scan import scan_clusters
+
+    return scan_clusters(derive_edges(spark, sf_dir), e_num=7, e_den=10, mu=3)
+
+
 _WILSON_SQL = r"""WITH q AS (
     SELECT source,
            CASE WHEN (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END)
