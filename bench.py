@@ -635,6 +635,39 @@ def run_secondary(deadline: float | None = None) -> dict:
             kleinberg_bursts(ev, item_col="item", bucket="day").count()
 
         t("kleinberg_daily", _bursts)
+
+        # round-4 second continuation session (spectral / scan / prefix-join
+        # / pipeline-decision wave) — budget-guarded like everything else
+        from tldr_spark.operators.spectral import (
+            fiedler_vector,
+            spectral_radius_estimate,
+        )
+        t("fiedler12", lambda: fiedler_vector(edges, 12).count())
+        t("spectral_radius12", lambda: spectral_radius_estimate(edges, 12).count())
+        from tldr_spark.operators.webgraph import adjacency_gap_bits
+        t("gap_bits", lambda: adjacency_gap_bits(edges).count())
+        from tldr_spark.operators.scan import scan_clusters
+        t("scan_clusters", lambda: scan_clusters(edges).count())
+        from tldr_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            prefix_filter_candidates,
+            quality_dedup_survivors,
+        )
+        def _prefix_join():
+            cand = prefix_filter_candidates(docs, n=3, t_num=3, t_den=5)
+            return ngram_jaccard_pairs(docs, n=3, threshold=0.6, candidates=cand).count()
+        t("prefix_jaccard", _prefix_join)
+        t("dedup_survivors", lambda: quality_dedup_survivors(docs).count())
+        from tldr_spark.operators.textstats import char_entropy
+        t("char_entropy", lambda: char_entropy(docs).count())
+        from tldr_spark.operators.similarity import mutual_knn_pairs
+        t("mutual_knn3", lambda: mutual_knn_pairs(embs, k=3).count())
+        from tldr_spark.operators.forecast import seasonal_naive_eval
+        t("mase_hourly", lambda: seasonal_naive_eval(
+            load(spark, SF_DIR, "events")).count())
+        from tldr_spark.streaming.stream_join import streamed_view_click_attribution
+        t("stream_vc_join", lambda: streamed_view_click_attribution(
+            spark, SF_DIR).count())
     finally:
         spark.stop()
     return out
