@@ -1,0 +1,63 @@
+"""Suffix-array construction + LCP longest-repeated-substring vs a
+pure-Python sorted-suffix oracle."""
+
+from __future__ import annotations
+
+from tldr_spark.operators.suffix import longest_repeated_substring, suffix_array_ranks
+
+
+def _py_lrs(text):
+    n = len(text)
+    suf = sorted(range(n), key=lambda i: text[i:])
+    best = 0
+    for a, b in zip(suf, suf[1:]):
+        k = 0
+        while a + k < n and b + k < n and text[a + k] == text[b + k]:
+            k += 1
+        best = max(best, k)
+    return best
+
+
+DOCS = [
+    (0, "banana"),                       # lrs "ana" -> 3
+    (1, "abcdefgh"),                     # all distinct -> 0
+    (2, "abab abab abab"),               # long template repeat
+    (3, "x"),                            # single char -> 0
+    (4, ""),                             # no row
+    (5, "mississippi river mississippi"),
+    (6, "aaaaaaaa"),                     # run: lrs = 7
+]
+
+
+def test_suffix_order_matches_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    final, tables, _ = suffix_array_ranks(df)
+    got = {}
+    for r in final.collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["pos"]))
+    for d, text in DOCS:
+        if not text:
+            assert d not in got
+            continue
+        order = [p for _, p in sorted(got[d])]
+        want = sorted(range(len(text)), key=lambda i: text[i:])
+        assert order == want, (d, order, want)
+    for t in tables:
+        t.unpersist()
+
+
+def test_lrs_matches_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["doc_len"], r["lrs_len"])
+           for r in longest_repeated_substring(df).collect()}
+    for d, text in DOCS:
+        if not text:
+            assert d not in got
+            continue
+        assert got[d] == (len(text), _py_lrs(text)), (d, got[d])
+
+
+def test_max_len_truncation(spark):
+    df = spark.createDataFrame([(0, "abcabc" + "z" * 50)], "doc_id long, text string")
+    got = longest_repeated_substring(df, max_len=6).collect()[0]
+    assert (got["doc_len"], got["lrs_len"]) == (6, 3)

@@ -1,0 +1,175 @@
+"""Distributed suffix arrays by prefix doubling, with rank-table LCPs —
+the exact-substring machinery under "Deduplicating Training Data Makes
+Language Models Better" (Lee et al., ACL'22): finding ARBITRARY-length
+repeated spans, not fixed-n grams (textstats.cross_doc_span_stats is the
+n-gram approximation; this is the exact per-document instrument).
+
+Construction (Manber-Myers prefix doubling, fully relational):
+  round 0:  rank_0(p) = global character ordinal (tiny broadcast dict)
+  round j:  key(p) = (rank_{j-1}(p), rank_{j-1}(p + 2^{j-1}) or -1)
+            rank_j = dense_rank over key  — per-document windows
+Suffixes never cross documents, so every window partitions by doc_id:
+state per task is bounded by document length (web documents are
+MB-bounded), and documents spread across the cluster. ceil(log2 maxlen)
+rounds, one self-join + one dense_rank window each; early-stops when all
+ranks are distinct.
+
+LCP WITHOUT Kasai (Kasai is inherently sequential): keep every round's
+rank table; for two positions the classic sparse-table descent runs as
+J = ceil(log2 maxlen) BATCH rounds over the whole pairs frame —
+  for j = J-1 .. 0:  if rank_j(a + acc) == rank_j(b + acc): acc += 2^j
+— each round is one join of the pairs frame against rank table j. Within
+a document, rank_j equality holds iff the first 2^j characters from both
+positions exist and agree (end-sentinels make truncated blocks unequal),
+so the accumulated acc is exactly the LCP. Everything is joins +
+windows; zero Python UDFs, zero driver loops over data.
+
+End-of-string order matches engine collation for ASCII: the -1 sentinel
+sorts a shorter prefix-suffix first, which is byte-lexicographic order —
+the same ORDER BY the DuckDB oracle applies to materialized suffix
+strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _char_ranks(chars: DataFrame) -> DataFrame:
+    """(ch, crank): global character ordinals — alphabet-sized."""
+    w = Window.orderBy("ch")
+    return chars.select("ch").distinct().select(
+        "ch", F.row_number().over(w).cast("long").alias("crank")
+    )
+
+
+def suffix_array_ranks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int | None = None,
+) -> tuple[DataFrame, list[DataFrame], int]:
+    """Returns (final_ranks, per_round_rank_tables, J).
+
+    final_ranks: (doc_id, pos, rank) — rank orders the suffixes of each
+    document lexicographically (dense 1..n per doc once at least one
+    doubling round has run; ordering-correct always).
+    per_round_rank_tables[j]: (doc_id, pos, r) ranks after round j
+    (prefix length 2^j). J = number of doubling rounds run.
+    ``max_len`` truncates every text first (oracle-bounded variants)."""
+    text = F.col(text_col)
+    if max_len is not None:
+        text = F.substring(text, 1, max_len)
+    chars = (
+        docs.select(F.col(id_col).alias("doc_id"), text.alias("t"))
+        .select("doc_id", F.posexplode(F.split(F.col("t"), "")).alias("pos", "ch"))
+        .filter(F.col("ch") != "")
+    )
+    cr = _char_ranks(chars)
+    r = (
+        chars.join(F.broadcast(cr), "ch")
+        .select("doc_id", "pos", F.col("crank").alias("r"))
+        .persist()
+    )
+    n_max = r.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    if n_max is None:
+        return r.select("doc_id", "pos", F.col("r").alias("rank")), [r], 0
+    tables = [r]
+    j = 0
+    step = 1
+    while step < n_max:
+        nxt = tables[-1].select(
+            "doc_id", (F.col("pos") - step).alias("pos"), F.col("r").alias("r2")
+        )
+        w = Window.partitionBy("doc_id").orderBy("r", "r2n")
+        new = (
+            tables[-1]
+            .join(nxt, ["doc_id", "pos"], "left")
+            .select(
+                "doc_id", "pos", "r", F.coalesce(F.col("r2"), F.lit(-1)).alias("r2n")
+            )
+            .select(
+                "doc_id", "pos", F.dense_rank().over(w).cast("long").alias("r")
+            )
+            .localCheckpoint(eager=False)
+            .persist()
+        )
+        new.count()
+        tables.append(new)
+        j += 1
+        step *= 2
+        # early stop: every suffix already has a unique rank
+        stats = new.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("r").alias("d")
+        ).agg(F.sum(F.col("n") - F.col("d")).alias("ties")).collect()[0]
+        if stats["ties"] == 0:
+            break
+    final = tables[-1].select("doc_id", "pos", F.col("r").alias("rank"))
+    return final, tables, j
+
+
+def _lcp_of_pairs(
+    pairs: DataFrame, tables: list[DataFrame], j_top: int
+) -> DataFrame:
+    """pairs: (doc_id, pa, pb) -> (doc_id, pa, pb, lcp) via the batched
+    sparse-table descent (one join per level)."""
+    cur = pairs.select("doc_id", "pa", "pb", F.lit(0).cast("long").alias("acc"))
+    for j in range(min(j_top, len(tables) - 1), -1, -1):
+        step = 1 << j
+        ra = tables[j].select(
+            "doc_id", F.col("pos").alias("_pra"), F.col("r").alias("_ra")
+        )
+        rb = tables[j].select(
+            "doc_id", F.col("pos").alias("_prb"), F.col("r").alias("_rb")
+        )
+        cur = (
+            cur.withColumn("_pra", F.col("pa") + F.col("acc"))
+            .withColumn("_prb", F.col("pb") + F.col("acc"))
+            .join(ra, ["doc_id", "_pra"], "left")
+            .join(rb, ["doc_id", "_prb"], "left")
+            .select(
+                "doc_id",
+                "pa",
+                "pb",
+                (
+                    F.col("acc")
+                    + F.when(
+                        F.col("_ra").isNotNull()
+                        & (F.col("_ra") == F.col("_rb")),
+                        F.lit(step),
+                    ).otherwise(F.lit(0))
+                ).alias("acc"),
+            )
+        )
+    return cur.withColumnRenamed("acc", "lcp")
+
+
+def longest_repeated_substring(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int | None = None,
+) -> DataFrame:
+    """(doc_id, doc_len, lrs_len) — length of the longest substring that
+    occurs at least twice WITHIN each document (0 when all characters
+    are distinct; docs with empty text produce no row). lrs_len = max
+    LCP between suffix-array-adjacent suffixes — the exact repetition
+    instrument (a high lrs_len/doc_len ratio is template spam)."""
+    final, tables, j_top = suffix_array_ranks(docs, id_col, text_col, max_len)
+    w = Window.partitionBy("doc_id").orderBy("rank")
+    adj = (
+        final.select("doc_id", "pos", "rank")
+        .withColumn("prev_pos", F.lag("pos").over(w))
+        .filter(F.col("prev_pos").isNotNull())
+        .select("doc_id", F.col("prev_pos").alias("pa"), F.col("pos").alias("pb"))
+    )
+    lcps = _lcp_of_pairs(adj, tables, j_top)
+    doclen = tables[0].groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    out = doclen.join(
+        lcps.groupBy("doc_id").agg(F.max("lcp").alias("lrs_len")), "doc_id", "left"
+    ).select(
+        "doc_id", "doc_len", F.coalesce("lrs_len", F.lit(0)).alias("lrs_len")
+    )
+    for t in tables:
+        t.unpersist()
+    return out
