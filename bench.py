@@ -668,6 +668,8 @@ def run_secondary(deadline: float | None = None) -> dict:
         from tldr_spark.streaming.stream_join import streamed_view_click_attribution
         t("stream_vc_join", lambda: streamed_view_click_attribution(
             spark, SF_DIR).count())
+        from tldr_spark.operators.suffix import longest_repeated_substring
+        t("suffix_lrs_full", lambda: longest_repeated_substring(docs).count())
     finally:
         spark.stop()
     return out
