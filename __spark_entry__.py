@@ -8274,6 +8274,47 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_STREAM_DEDUP_SQL = """SELECT (event_id * 131 + 7) % 211 AS dst,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_in_deg
+FROM events GROUP BY 1"""
+
+
+@_q("stream_distinct_in_degree", _STREAM_DEDUP_SQL)
+def q_stream_distinct_in_degree(spark, sf_dir):
+    """Streaming exactly-once edge dedup: dropDuplicatesWithinWatermark
+    keeps one state entry per (src, dst) only until the 1h watermark
+    passes — bounded dedup state on an unbounded crawl stream (plain
+    dropDuplicates grows forever). Single-file availableNow drain makes
+    it exactly the batch distinct, so the streaming path is hash-oracled."""
+    from tldr_spark.streaming.edges_stream import streamed_distinct_in_degree
+
+    return streamed_distinct_in_degree(spark, sf_dir)
+
+
+_BLOCKLIST_SQL = f"""WITH {_SQL_PTOKS}, {_SQL_TERM_RANKS},
+  pats AS (SELECT token AS pat FROM ranked_terms WHERE trank IN (10, 20, 30)),
+  grid AS (SELECT d.doc_id,
+                  (length(d.text) - length(replace(d.text, p.pat, '')))
+                    // length(p.pat) AS h
+           FROM documents d CROSS JOIN pats p)
+SELECT doc_id, CAST(SUM(h) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_patterns_hit
+FROM grid GROUP BY doc_id"""
+
+
+@_q("blocklist_hits", _BLOCKLIST_SQL)
+def q_blocklist_hits(spark, sf_dir):
+    """Multi-pattern literal blocklist scan (policy terms, contamination
+    canaries) over the rank-10/20/30 vocabulary terms: per doc, total
+    non-overlapping occurrences + distinct patterns hit, via the exact
+    replace-length integer identity (no regex dialect drift). One corpus
+    scan x |patterns| broadcast."""
+    from tldr_spark.operators.textstats import blocklist_hits
+
+    terms = _terms_by_rank(spark, sf_dir, (10, 20, 30))
+    return blocklist_hits(_docs(spark, sf_dir), terms)
+
+
 _LRS_SQL = """WITH d AS (
     SELECT doc_id, substr(text, 1, 400) AS t FROM documents
     WHERE doc_id < 40 AND length(substr(text, 1, 400)) > 0),

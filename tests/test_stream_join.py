@@ -58,3 +58,28 @@ def test_streamed_equals_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streamed_dedup_equals_batch_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from tldr_spark.streaming.edges_stream import streamed_distinct_in_degree
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["dst"]: r["distinct_in_deg"]
+        for r in streamed_distinct_in_degree(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r["dst"]: r["c"]
+        for r in ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("event_id") * 131 + 7) % 211).alias("dst"),
+        )
+        .distinct()
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

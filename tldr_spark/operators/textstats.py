@@ -656,3 +656,44 @@ def char_entropy(
             ).alias("entropy_bits"),
         )
     )
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    patterns: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits, n_patterns_hit) — multi-pattern literal scan
+    (policy blocklists, contamination canaries, brand-safety terms):
+    per document, total non-overlapping occurrences across ``patterns``
+    and how many distinct patterns fire. Occurrence counting is the
+    replace-based integer identity
+
+        hits(p) = (len(text) - len(replace(text, p, ''))) / len(p)
+
+    — exact, engine-agnostic, no regex dialect. The doc x pattern grid
+    is a |patterns|-row broadcast cross join (the tiny-broadcast class);
+    one scan of the corpus, map-side-combined rollup. For thousands of
+    patterns swap the grid for an Aho-Corasick pandas UDF — the rollup
+    shape is unchanged."""
+    pats = sorted(set(patterns))
+    if not pats or any(not p for p in pats):
+        raise ValueError("patterns must be non-empty strings")
+    spark = docs.sparkSession
+    pdf = spark.createDataFrame([(p,) for p in pats], "pat string")
+    text = F.col(text_col)
+    hits = (
+        (F.length(text) - F.length(F.replace(text, F.col("pat"), F.lit(""))))
+        / F.length(F.col("pat"))
+    ).cast("long")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), text.alias(text_col))
+        .crossJoin(F.broadcast(pdf))
+        .select("doc_id", hits.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("h").alias("n_hits"),
+            F.sum((F.col("h") > 0).cast("long")).alias("n_patterns_hit"),
+        )
+    )

@@ -163,3 +163,45 @@ def streamed_countmin_cells(
     name = f"stream_cms_{uuid.uuid4().hex[:8]}"
     run_available_now(cells, name, ckpt)
     return spark.table(name).select("rw", "bucket", F.col("cnt").cast("long").alias("cnt"))
+
+
+def streamed_distinct_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACTLY-ONCE edge dedup: the crawl re-discovers the same
+    link endlessly; `dropDuplicatesWithinWatermark` keeps one state entry
+    per (src, dst) only until the 1-hour watermark passes it — bounded
+    state on an unbounded stream (plain dropDuplicates state grows
+    forever). Drained availableNow from a SINGLE landed file, every
+    arrival is processed before the watermark advances, so the result is
+    exactly the batch DISTINCT and the per-dst in-degree rollup is
+    DuckDB-oracle-checkable."""
+    import uuid
+
+    base = f"{spark.conf.get('spark.sql.warehouse.dir', 'spark-warehouse').removeprefix('file:')}/_stream_tmp/{uuid.uuid4().hex[:12]}"
+    landing, ckpt = f"{base}/landing", f"{base}/ckpt"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("event_id") * 131 + 7) % 211).alias("dst"),
+        F.lit(1.0).alias("weight"),
+        F.col("ts").cast("timestamp").alias("event_ts"),
+    ).coalesce(1).write.mode("overwrite").parquet(landing)
+    dedup = (
+        read_edge_stream(spark, landing)
+        .withWatermark("event_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["src", "dst"])
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("distinct_in_deg"))
+    )
