@@ -8274,6 +8274,52 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_LINKPRED_SQL = f"""WITH {_E},
+  und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e WHERE src <> dst),
+  verts AS (SELECT DISTINCT v AS id FROM
+            (SELECT a AS v FROM und UNION SELECT b FROM und)),
+  pos AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS pos FROM verts),
+  n AS (SELECT COUNT(*) AS c FROM verts),
+  cand AS (SELECT LEAST(p.id, q.id) AS a, GREATEST(p.id, q.id) AS b
+           FROM pos p
+           CROSS JOIN UNNEST(generate_series(1, 2)) AS u(j)
+           JOIN pos q ON q.pos =
+             ((p.pos - 1) * 2654435761 + u.j * 1000003) % (SELECT c FROM n) + 1
+           WHERE p.id <> q.id),
+  negs AS (SELECT DISTINCT c.a, c.b FROM cand c
+           LEFT JOIN und u ON u.a = c.a AND u.b = c.b
+           WHERE u.a IS NULL),
+  pairs AS (SELECT a, b, 1 AS label FROM und
+            UNION ALL SELECT a, b, 0 FROM negs),
+  adj AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+  cn AS (SELECT pr.a, pr.b, CAST(COUNT(*) AS BIGINT) AS cn
+         FROM pairs pr
+         JOIN adj na ON na.v = pr.a
+         JOIN adj nb ON nb.v = pr.b AND nb.u = na.u
+         GROUP BY 1, 2),
+  deg AS (SELECT v AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1)
+SELECT pr.a AS id_a, pr.b AS id_b, CAST(pr.label AS INTEGER) AS label,
+       COALESCE(cn.cn, 0) AS cn, da.deg AS deg_a, db.deg AS deg_b
+FROM pairs pr
+LEFT JOIN cn ON cn.a = pr.a AND cn.b = pr.b
+JOIN deg da ON da.id = pr.a
+JOIN deg db ON db.id = pr.b"""
+
+
+@_q("link_pred_training_pairs", _LINKPRED_SQL)
+def q_link_pred_training_pairs(spark, sf_dir):
+    """Graph-ML training-set export: every undirected edge as a label-1
+    example plus 2 hash-sampled TRUE non-edges per vertex (deterministic
+    integer negative sampling over range-partitioned dense positions),
+    with common-neighbor + degree features from a pair-restricted
+    adjacency join — the standard 1:k link-predictor recipe, fully
+    relational."""
+    from tldr_spark.operators.linkpred import link_prediction_dataset
+
+    return link_prediction_dataset(derive_edges(spark, sf_dir), neg_per_vertex=2)
+
+
 _STREAM_DEDUP_SQL = """SELECT (event_id * 131 + 7) % 211 AS dst,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_in_deg
 FROM events GROUP BY 1"""
