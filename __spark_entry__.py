@@ -8274,6 +8274,95 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_SALTED_INDEG_SQL = f"""WITH {_E}
+SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg,
+       CAST(SUM(CAST(weight AS BIGINT)) AS BIGINT) AS w_sum
+FROM e GROUP BY dst"""
+
+
+@_q("salted_in_degree", _SALTED_INDEG_SQL)
+def q_salted_in_degree(spark, sf_dir):
+    """The skew-mitigation path under driver check: in-degree + integer
+    weight mass per dst via the TWO-PHASE SALTED aggregate (every key
+    treated as hot, 8 content-hash salts — phase 1 over (dst, salt),
+    phase 2 over dst), hash-compared against the plain one-phase GROUP
+    BY oracle. Proves the hub-vertex salting rewrite is semantics-
+    preserving, not just faster."""
+    from tldr_spark.operators.skew import salted_aggregate
+
+    edges = derive_edges(spark, sf_dir)
+    out = salted_aggregate(
+        edges.select("dst", F.col("weight").cast("long").alias("w")),
+        "dst",
+        lambda: [
+            F.count(F.lit(1)).alias("c"),
+            F.sum("w").alias("s"),
+        ],
+        lambda: [
+            F.sum("c").alias("in_deg"),
+            F.sum("s").alias("w_sum"),
+        ],
+        hot_threshold=0,
+        n_salts=8,
+    )
+    return out.select("dst", "in_deg", "w_sum")
+
+
+_NGRAM_NOVELTY_SQL = f"""WITH {_SQL_PTOKS},
+  u AS (
+    SELECT 1 AS n, doc_id, token AS gram FROM ptoks
+    UNION ALL
+    SELECT 2, a.doc_id, a.token || ' ' || b.token
+    FROM ptoks a JOIN ptoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    UNION ALL
+    SELECT 3, a.doc_id, a.token || ' ' || b.token || ' ' || c.token
+    FROM ptoks a JOIN ptoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                 JOIN ptoks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2)
+SELECT n, CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+       CAST(ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*) * 16384)
+            AS BIGINT) AS novelty_q
+FROM u GROUP BY n"""
+
+
+@_q("ngram_novelty_curve", _NGRAM_NOVELTY_SQL)
+def q_ngram_novelty_curve(spark, sf_dir):
+    """Corpus repetitiveness profile: distinct/total ratio for 1/2/3-
+    grams (the novelty curve data-quality reports track — a template-
+    flooded dump collapses the 3-gram novelty first). Positional
+    adjacency joins + per-n map-side-combined distinct; 2^-14 ratio."""
+    from tldr_spark.operators.index import _tokens
+
+    toks = _tokens(_docs(spark, sf_dir), "doc_id", "text")
+    nxt1 = toks.select("doc_id", (F.col("pos") - 1).alias("pos"), F.col("token").alias("t2"))
+    nxt2 = toks.select("doc_id", (F.col("pos") - 2).alias("pos"), F.col("token").alias("t3"))
+    g1 = toks.select(F.lit(1).alias("n"), F.col("token").alias("gram"))
+    g2 = toks.join(nxt1, ["doc_id", "pos"]).select(
+        F.lit(2).alias("n"), F.concat_ws(" ", "token", "t2").alias("gram")
+    )
+    g3 = (
+        toks.join(nxt1, ["doc_id", "pos"])
+        .join(nxt2, ["doc_id", "pos"])
+        .select(F.lit(3).alias("n"), F.concat_ws(" ", "token", "t2", "t3").alias("gram"))
+    )
+    u = g1.union(g2).union(g3)
+    return (
+        u.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.countDistinct("gram").alias("distinct_grams"),
+        )
+        .select(
+            "n",
+            "total",
+            "distinct_grams",
+            F.round(F.col("distinct_grams") / F.col("total") * 16384)
+            .cast("long")
+            .alias("novelty_q"),
+        )
+    )
+
+
 _LINKPRED_SQL = f"""WITH {_E},
   und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
           FROM e WHERE src <> dst),
