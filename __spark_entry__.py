@@ -8274,6 +8274,44 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_CROSS_LRS_SQL = """WITH d AS (
+    SELECT doc_id, substr(text, 1, 400) AS t FROM documents
+    WHERE doc_id < 40 AND length(substr(text, 1, 400)) > 0),
+  suf AS (SELECT doc_id, u.i - 1 AS pos, substr(t, u.i) AS s
+          FROM d, UNNEST(generate_series(1, length(t))) AS u(i)),
+  ord AS (SELECT doc_id, pos, s,
+            LAG(doc_id) OVER w AS pdoc, LAG(pos) OVER w AS ppos,
+            LAG(s) OVER w AS ps
+          FROM suf WINDOW w AS (ORDER BY s, doc_id, pos)),
+  pairs AS (SELECT pdoc AS da, ppos AS pa, doc_id AS db, pos AS pb, ps, s
+            FROM ord WHERE pdoc IS NOT NULL AND pdoc <> doc_id),
+  k AS (SELECT da, pa, db, pb,
+          COALESCE(MAX(CASE WHEN substr(s, 1, u.k) = substr(ps, 1, u.k)
+                            THEN u.k END), 0) AS lcp
+        FROM pairs,
+             UNNEST(generate_series(1, LEAST(length(s), length(ps)))) AS u(k)
+        GROUP BY da, pa, db, pb)
+SELECT CAST(lcp AS BIGINT) AS lrs_len, da AS doc_a, db AS doc_b,
+       CAST(pa AS BIGINT) AS pos_a, CAST(pb AS BIGINT) AS pos_b
+FROM k ORDER BY lcp DESC, da, db, pa, pb LIMIT 1"""
+
+
+@_q("cross_doc_repeat", _CROSS_LRS_SQL)
+def q_cross_doc_repeat(spark, sf_dir):
+    """Corpus-level exact duplicated-span detection: the longest
+    substring shared by two DIFFERENT documents, via the GLOBAL suffix
+    array (cross-doc-comparable prefix-doubling ranks densified by the
+    range-partitioned prefix sum — no single-partition window) + the
+    boundary lemma (the max cross-doc LCP occurs at an adjacent
+    different-doc pair in suffix order — one adjacency join, never
+    all-pairs). Driver-checked on 40 docs x 400 chars against sorted
+    suffix STRINGS; deterministic argmax witness pair."""
+    from tldr_spark.operators.suffix import cross_doc_longest_repeat
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 40")
+    return cross_doc_longest_repeat(docs, max_len=400)
+
+
 _SALTED_INDEG_SQL = f"""WITH {_E}
 SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg,
        CAST(SUM(CAST(weight AS BIGINT)) AS BIGINT) AS w_sum
@@ -9373,6 +9411,7 @@ _WINDOW_PRIORITY = [
     "hourly_mase_naive",
     "transition_entropy",
     "doc_longest_repeat",
+    "cross_doc_repeat",
     # -- (a0) NEW earlier in round 4 (no driver row exists yet). 19 of
     # the original 38 rotated off-window to make room for (a-1); every
     # displaced entry is a same-module variant whose module keeps an
@@ -9449,7 +9488,9 @@ _WINDOW_PRIORITY = [
     "cc_incremental",
     "pagerank_warm_start",
     "heavy_hitter_tokens",
-    "countmin_estimates",
+    # countmin_estimates rotated off-window for cross_doc_repeat:
+    # heavyhitters.py keeps heavy_hitter_tokens as its in-window witness;
+    # countmin has an earlier driver row + local verification.
     "rrf_fusion_top",
     "triangles_total",
     # -- flagship fixpoints displaced by (a2): first off-window slots,
@@ -9460,8 +9501,17 @@ _WINDOW_PRIORITY = [
     "pagerank_converged",
     "lpa_labels",
     "lpa_modularity",
-    # -- (a0) entries displaced by the (a-1) rotation: first off-window
-    # slots right behind the flagships, so they lead the ROUND-5 window
+    # -- newest additions without a window slot: these lead the ROUND-5
+    # window together with the displaced (a0) block below (all locally
+    # verified by verify_entry.py) --
+    "salted_in_degree",
+    "link_pred_training_pairs",
+    "blocklist_hits",
+    "stream_distinct_in_degree",
+    "ngram_novelty_curve",
+    "countmin_estimates",
+    # -- (a0) entries displaced by the (a-1) rotation: next off-window
+    # slots, also leading the ROUND-5 window
     # (no driver row yet; locally verified by verify_entry.py) --
     "dyad_census",
     "landmark_distance_est",

@@ -61,3 +61,47 @@ def test_max_len_truncation(spark):
     df = spark.createDataFrame([(0, "abcabc" + "z" * 50)], "doc_id long, text string")
     got = longest_repeated_substring(df, max_len=6).collect()[0]
     assert (got["doc_len"], got["lrs_len"]) == (6, 3)
+
+
+def _py_cross_lrs(docs):
+    """Longest substring shared by two different docs (brute force)."""
+    best = 0
+    items = [(d, t) for d, t in docs if t]
+    for i, (da, ta) in enumerate(items):
+        for db, tb in items[i + 1:]:
+            for ln in range(min(len(ta), len(tb)), best, -1):
+                subs = {ta[k:k + ln] for k in range(len(ta) - ln + 1)}
+                if any(tb[k:k + ln] in subs for k in range(len(tb) - ln + 1)):
+                    best = max(best, ln)
+                    break
+    return best
+
+
+def test_cross_doc_longest_repeat(spark):
+    from tldr_spark.operators.suffix import cross_doc_longest_repeat
+
+    docs = [
+        (0, "the quick brown fox jumps"),
+        (1, "a lazy dog saw the quick brown cat"),   # shares "the quick brown "
+        (2, "zzz completely different yyy"),
+        (3, "xx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = cross_doc_longest_repeat(df).collect()[0]
+    want = _py_cross_lrs(docs)
+    assert got["lrs_len"] == want
+    # the witness pair must actually realize the length
+    texts = dict(docs)
+    a = texts[got["doc_a"]][got["pos_a"]:got["pos_a"] + got["lrs_len"]]
+    b = texts[got["doc_b"]][got["pos_b"]:got["pos_b"] + got["lrs_len"]]
+    assert a == b and len(a) == want
+
+
+def test_cross_doc_no_overlap(spark):
+    from tldr_spark.operators.suffix import cross_doc_longest_repeat
+
+    df = spark.createDataFrame(
+        [(0, "abc"), (1, "xyz")], "doc_id long, text string"
+    )
+    got = cross_doc_longest_repeat(df).collect()[0]
+    assert got["lrs_len"] == 0

@@ -173,3 +173,182 @@ def longest_repeated_substring(
     for t in tables:
         t.unpersist()
     return out
+
+
+def _dense_global_ranks(cur: DataFrame) -> DataFrame:
+    """(doc_id, pos, r, r2n) -> (doc_id, pos, r) with r = dense GLOBAL
+    rank of the (r, r2n) key — distinct keys ranked by the
+    range-partitioned prefix sum (never a single-partition window), then
+    joined back. The global-suffix-array analogue of the per-doc
+    dense_rank window."""
+    from tldr_spark.operators.packing import _global_prefix_sum
+
+    keys = (
+        cur.select("r", "r2n").distinct().withColumn("_one", F.lit(1).cast("long"))
+    )
+    ranked = _global_prefix_sum(keys, ["r", "r2n"], "_one", "_pre").select(
+        "r", "r2n", (F.col("_pre") + 1).alias("_nr")
+    )
+    return cur.join(ranked, ["r", "r2n"]).select(
+        "doc_id", "pos", F.col("_nr").alias("r")
+    )
+
+
+def global_suffix_tables(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int | None = None,
+) -> tuple[DataFrame, list[DataFrame], int]:
+    """Corpus-WIDE suffix ordering: ranks are comparable ACROSS documents
+    (suffixes still never cross doc boundaries). Identical suffixes in
+    different documents keep tied ranks — ties are real duplicates and
+    are broken by (doc_id, pos) only when a total order is needed.
+    Same return shape as :func:`suffix_array_ranks`."""
+    text = F.col(text_col)
+    if max_len is not None:
+        text = F.substring(text, 1, max_len)
+    chars = (
+        docs.select(F.col(id_col).alias("doc_id"), text.alias("t"))
+        .select("doc_id", F.posexplode(F.split(F.col("t"), "")).alias("pos", "ch"))
+        .filter(F.col("ch") != "")
+    )
+    cr = _char_ranks(chars)
+    r = (
+        chars.join(F.broadcast(cr), "ch")
+        .select("doc_id", "pos", F.col("crank").alias("r"))
+        .persist()
+    )
+    n_max = r.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    if n_max is None:
+        return r.select("doc_id", "pos", F.col("r").alias("rank")), [r], 0
+    tables = [r]
+    j = 0
+    step = 1
+    while step < n_max:
+        nxt = tables[-1].select(
+            "doc_id", (F.col("pos") - step).alias("pos"), F.col("r").alias("r2")
+        )
+        keyed = (
+            tables[-1]
+            .join(nxt, ["doc_id", "pos"], "left")
+            .select(
+                "doc_id", "pos", "r", F.coalesce(F.col("r2"), F.lit(-1)).alias("r2n")
+            )
+        )
+        new = _dense_global_ranks(keyed).localCheckpoint(eager=False).persist()
+        new.count()
+        tables.append(new)
+        j += 1
+        step *= 2
+    final = tables[-1].select("doc_id", "pos", F.col("r").alias("rank"))
+    return final, tables, j
+
+
+def _lcp_of_cross_pairs(
+    pairs: DataFrame, tables: list[DataFrame], j_top: int, doclen: DataFrame
+) -> DataFrame:
+    """pairs: (da, pa, db, pb) -> + lcp, via the same batched sparse-table
+    descent as :func:`_lcp_of_pairs` but with per-side (doc, pos) keys —
+    the cross-document variant.
+
+    Extra guard the within-doc descent does not need: two IDENTICAL
+    suffixes from different documents carry equal level-j ranks even
+    when fewer than 2^j characters remain (the truncated blocks match
+    end to end), so a step is added only when BOTH sides still have a
+    full 2^j block — the end-of-doc tail then resolves at the lower
+    levels, yielding exactly min-length for true duplicate suffixes.
+    ``doclen``: (doc_id, doc_len)."""
+    la = doclen.select(F.col("doc_id").alias("da"), F.col("doc_len").alias("_la"))
+    lb = doclen.select(F.col("doc_id").alias("db"), F.col("doc_len").alias("_lb"))
+    cur = (
+        pairs.select("da", "pa", "db", "pb", F.lit(0).cast("long").alias("acc"))
+        .join(la, "da")
+        .join(lb, "db")
+    )
+    for j in range(min(j_top, len(tables) - 1), -1, -1):
+        step = 1 << j
+        ra = tables[j].select(
+            F.col("doc_id").alias("da"), F.col("pos").alias("_pra"), F.col("r").alias("_ra")
+        )
+        rb = tables[j].select(
+            F.col("doc_id").alias("db"), F.col("pos").alias("_prb"), F.col("r").alias("_rb")
+        )
+        fits = (F.col("pa") + F.col("acc") + step <= F.col("_la")) & (
+            F.col("pb") + F.col("acc") + step <= F.col("_lb")
+        )
+        cur = (
+            cur.withColumn("_pra", F.col("pa") + F.col("acc"))
+            .withColumn("_prb", F.col("pb") + F.col("acc"))
+            .join(ra, ["da", "_pra"], "left")
+            .join(rb, ["db", "_prb"], "left")
+            .select(
+                "da",
+                "pa",
+                "db",
+                "pb",
+                "_la",
+                "_lb",
+                (
+                    F.col("acc")
+                    + F.when(
+                        fits
+                        & F.col("_ra").isNotNull()
+                        & (F.col("_ra") == F.col("_rb")),
+                        F.lit(step),
+                    ).otherwise(F.lit(0))
+                ).alias("acc"),
+            )
+        )
+    return cur.select("da", "pa", "db", "pb", F.col("acc").alias("lcp"))
+
+
+def cross_doc_longest_repeat(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int | None = None,
+) -> DataFrame:
+    """1-row (lrs_len, doc_a, doc_b, pos_a, pos_b) — the longest substring
+    shared by TWO DIFFERENT documents anywhere in the corpus (the exact
+    Lee et al. cross-document duplicated-span primitive, arbitrary
+    length — not n-gram-bounded). By the suffix-array boundary lemma the
+    max cross-doc LCP is achieved at an ADJACENT pair of suffixes from
+    different docs in the global suffix order, so the search is one
+    adjacency join + one LCP descent — never all-pairs. Deterministic
+    argmax: (lcp DESC, doc_a, doc_b, pos_a, pos_b). Empty/cross-doc-free
+    corpora yield lrs_len 0 with NULL ids."""
+    from tldr_spark.operators.packing import _global_prefix_sum
+
+    final, tables, j_top = global_suffix_tables(docs, id_col, text_col, max_len)
+    ordered = _global_prefix_sum(
+        final.withColumn("_one", F.lit(1).cast("long")),
+        ["rank", "doc_id", "pos"],
+        "_one",
+        "_p",
+    )
+    a = ordered.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), F.col("_p").alias("_p")
+    )
+    b = ordered.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), (F.col("_p") - 1).alias("_p")
+    )
+    adj = a.join(b, "_p").filter(F.col("da") != F.col("db")).select("da", "pa", "db", "pb")
+    doclen = tables[0].groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    lcps = _lcp_of_cross_pairs(adj, tables, j_top, doclen)
+    spark = docs.sparkSession
+    top = (
+        lcps.orderBy(F.desc("lcp"), "da", "db", "pa", "pb").limit(1).collect()
+    )
+    for t in tables:
+        t.unpersist()
+    if not top:
+        return spark.createDataFrame(
+            [(0, None, None, None, None)],
+            "lrs_len long, doc_a long, doc_b long, pos_a long, pos_b long",
+        )
+    r = top[0]
+    return spark.createDataFrame(
+        [(int(r["lcp"]), int(r["da"]), int(r["db"]), int(r["pa"]), int(r["pb"]))],
+        "lrs_len long, doc_a long, doc_b long, pos_a long, pos_b long",
+    )
