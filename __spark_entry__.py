@@ -8274,6 +8274,53 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_BUTTERFLY_SQL = """WITH e AS (
+    SELECT DISTINCT user_id AS u, CAST(json_extract(props, '$.k') AS BIGINT) AS i
+    FROM events
+    WHERE user_id IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+  du AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS du FROM e GROUP BY 1),
+  di AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS di FROM e GROUP BY 1),
+  co AS (SELECT a.u AS u1, b.u AS u2, CAST(COUNT(*) AS BIGINT) AS c
+         FROM e a JOIN e b ON b.i = a.i AND a.u < b.u GROUP BY 1, 2),
+  bf AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS butterflies
+         FROM co),
+  cat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                 CAST(COALESCE(SUM((du.du - 1) * (di.di - 1)), 0) AS BIGINT)
+                   AS caterpillars
+          FROM e JOIN du USING (u) JOIN di USING (i))
+SELECT cat.n_edges, bf.butterflies, cat.caterpillars,
+       CAST(ROUND(CASE WHEN cat.caterpillars > 0
+                  THEN 4.0 * bf.butterflies / cat.caterpillars END * 16384)
+            AS BIGINT) AS bcc_q,
+       CAST(0 AS BIGINT) AS n_pruned_hubs
+FROM cat CROSS JOIN bf"""
+
+
+@_q("butterfly_count", _BUTTERFLY_SQL)
+def q_butterfly_count(spark, sf_dir):
+    """Bipartite butterfly census over the user-item interaction graph
+    (Sanei-Mehri KDD'18): butterflies (2x2 bicliques) + caterpillars
+    (3-paths) + the bipartite clustering coefficient 4B/C — the
+    clustering primitive where triangles cannot exist. Item-keyed wedge
+    join with a documented max_degree prune slot (exact here); integer
+    counts, 2^-14 quantized bcc."""
+    from tldr_spark.operators.butterfly import butterfly_stats
+
+    ev = load(spark, sf_dir, "events")
+    bip = ev.select(
+        F.col("user_id").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("i"),
+    ).where(F.col("u").isNotNull() & F.col("i").isNotNull())
+    out = butterfly_stats(bip, "u", "i")
+    return out.select(
+        "n_edges",
+        "butterflies",
+        "caterpillars",
+        F.round(F.col("bcc") * 16384).cast("long").alias("bcc_q"),
+        "n_pruned_hubs",
+    )
+
+
 _CROSS_LRS_SQL = """WITH d AS (
     SELECT doc_id, substr(text, 1, 400) AS t FROM documents
     WHERE doc_id < 40 AND length(substr(text, 1, 400)) > 0),
