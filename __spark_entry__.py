@@ -8274,6 +8274,35 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_FORMAN_SQL = f"""WITH {_E},
+  und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e WHERE src <> dst),
+  adj AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+  deg AS (SELECT v AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+  cn AS (SELECT u.a, u.b, CAST(COUNT(*) AS BIGINT) AS cn
+         FROM und u JOIN adj n1 ON n1.v = u.a
+                    JOIN adj n2 ON n2.v = u.b AND n2.u = n1.u
+         GROUP BY 1, 2)
+SELECT u.a, u.b, COALESCE(cn.cn, 0) AS support,
+       CAST(4 - da.deg - db.deg + 3 * COALESCE(cn.cn, 0) AS BIGINT) AS curvature
+FROM und u
+LEFT JOIN cn USING (a, b)
+JOIN deg da ON da.id = u.a
+JOIN deg db ON db.id = u.b"""
+
+
+@_q("forman_curvature", _FORMAN_SQL)
+def q_forman_curvature(spark, sf_dir):
+    """Augmented Forman-Ricci curvature per undirected edge
+    (4 - deg_a - deg_b + 3*triangles): strongly negative = community
+    bridges/bottlenecks, positive = intra-cluster — the geometric
+    complement of edge betweenness at triangle-count cost. Pure integer
+    arithmetic on the degree-ordered triangle enumeration."""
+    from tldr_spark.operators.linksim import forman_curvature
+
+    return forman_curvature(derive_edges(spark, sf_dir))
+
+
 _BUTTERFLY_SQL = """WITH e AS (
     SELECT DISTINCT user_id AS u, CAST(json_extract(props, '$.k') AS BIGINT) AS i
     FROM events
