@@ -105,3 +105,22 @@ def test_cross_doc_no_overlap(spark):
     )
     got = cross_doc_longest_repeat(df).collect()[0]
     assert got["lrs_len"] == 0
+
+
+def test_bwt_runs_match_python(spark):
+    from tldr_spark.operators.suffix import bwt_run_stats
+
+    def _py_bwt_runs(text):
+        n = len(text)
+        sa = sorted(range(n), key=lambda i: text[i:])
+        bwt = [text[i - 1] if i > 0 else "\x00" for i in sa]
+        return 1 + sum(1 for x, y in zip(bwt, bwt[1:]) if x != y)
+
+    docs = [(d, t) for d, t in DOCS if t]
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["doc_len"], r["bwt_runs"])
+           for r in bwt_run_stats(df).collect()}
+    for d, t in docs:
+        assert got[d] == (len(t), _py_bwt_runs(t)), (d, got[d])
+    # repetitive text compresses: runs far below doc_len
+    assert got[6][1] <= 3  # "aaaaaaaa"

@@ -352,3 +352,50 @@ def cross_doc_longest_repeat(
         [(int(r["lcp"]), int(r["da"]), int(r["db"]), int(r["pa"]), int(r["pb"]))],
         "lrs_len long, doc_a long, doc_b long, pos_a long, pos_b long",
     )
+
+
+def bwt_run_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int | None = None,
+) -> DataFrame:
+    """(doc_id, doc_len, bwt_runs) — number of equal-character runs in
+    each document's Burrows-Wheeler transform, i.e. the `r` of the
+    r-index / bzip2 family: the standard COMPRESSIBILITY measure that
+    arbitrary-window entropy misses (r/doc_len near 0 = templated or
+    repetitive text, near 1 = incompressible). BWT comes free from the
+    suffix array already built here: BWT[i] = T[SA[i] - 1] (sentinel for
+    SA[i] = 0), runs counted with one rank-ordered per-doc window."""
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    if max_len is not None:
+        text = F.substring(text, 1, max_len)
+    chars = (
+        docs.select(F.col(id_col).alias("doc_id"), text.alias("t"))
+        .select("doc_id", F.posexplode(F.split(F.col("t"), "")).alias("pos", "ch"))
+        .filter(F.col("ch") != "")
+    )
+    final, tables, _ = suffix_array_ranks(docs, id_col, text_col, max_len)
+    prev_ch = chars.select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), F.col("ch").alias("pch")
+    )
+    bwt = final.join(prev_ch, ["doc_id", "pos"], "left").select(
+        "doc_id", "rank", F.coalesce(F.col("pch"), F.lit("\x00")).alias("bch")
+    )
+    w = Window.partitionBy("doc_id").orderBy("rank")
+    runs = (
+        bwt.withColumn("prev", F.lag("bch").over(w))
+        .select(
+            "doc_id",
+            (F.col("prev").isNull() | (F.col("prev") != F.col("bch")))
+            .cast("long")
+            .alias("brk"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("doc_len"), F.sum("brk").alias("bwt_runs"))
+    )
+    for t in tables:
+        t.unpersist()
+    return runs
