@@ -8274,6 +8274,44 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_TRIGRAM_PATHS_SQL = """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+  b AS (SELECT user_id, event_id, ts_us, event_type,
+          CASE WHEN LAG(ts_us) OVER w IS NULL
+                 OR ts_us - LAG(ts_us) OVER w > 21600 * 1000000::BIGINT
+               THEN 1 ELSE 0 END AS brk
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+  s AS (SELECT user_id, event_id, ts_us, event_type,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM b),
+  tr AS (SELECT event_type AS t1,
+                LEAD(event_type, 1) OVER w2 AS t2,
+                LEAD(event_type, 2) OVER w2 AS t3,
+                LEAD(session_seq, 1) OVER w2 AS s2,
+                LEAD(session_seq, 2) OVER w2 AS s3,
+                session_seq
+         FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+  counts AS (SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_paths
+             FROM tr WHERE s2 = session_seq AND s3 = session_seq
+             GROUP BY 1, 2, 3)
+SELECT t1, t2, t3, n_paths FROM counts
+ORDER BY n_paths DESC, t1, t2, t3 LIMIT 50"""
+
+
+@_q("session_trigram_paths", _TRIGRAM_PATHS_SQL)
+def q_session_trigram_paths(spark, sf_dir):
+    """Top-50 length-3 within-session event-type paths (order-2
+    behavioral motifs — retry loops vs purchase flows; 6h gap, same
+    pairing total order as session_transitions). |types|^3-bounded
+    aggregate + TakeOrderedAndProject with full deterministic
+    tie-break."""
+    from tldr_spark.operators.sessions import session_trigram_paths
+
+    return session_trigram_paths(
+        load(spark, sf_dir, "events"), top_k=50, gap_seconds=21600
+    )
+
+
 _BWT_SQL = """WITH d AS (
     SELECT doc_id, substr(text, 1, 400) AS t FROM documents
     WHERE doc_id < 40 AND length(substr(text, 1, 400)) > 0),
@@ -9608,6 +9646,10 @@ _WINDOW_PRIORITY = [
     # -- newest additions without a window slot: these lead the ROUND-5
     # window together with the displaced (a0) block below (all locally
     # verified by verify_entry.py) --
+    "butterfly_count",
+    "forman_curvature",
+    "bwt_run_counts",
+    "session_trigram_paths",
     "salted_in_degree",
     "link_pred_training_pairs",
     "blocklist_hits",

@@ -49,3 +49,40 @@ def test_matches_mirror(spark):
     # 'view' always leads to click -> 0 bits; 'click' is uncertain -> > 0
     assert got["view"][2] == 0.0
     assert got["click"][2] > 0.9
+
+
+def test_trigram_paths(spark):
+    from tldr_spark.operators.sessions import session_trigram_paths
+
+    df = _events(spark)
+    got = [
+        (r["t1"], r["t2"], r["t3"], r["n_paths"])
+        for r in session_trigram_paths(df, gap_seconds=1800).collect()
+    ]
+    # user1: view,click,view,click -> triples (v,c,v), (c,v,c)
+    # user2: click,view,click,purchase -> (c,v,c), (v,c,p)
+    assert set(got) == {
+        ("view", "click", "view", 1),
+        ("click", "view", "click", 2),
+        ("view", "click", "purchase", 1),
+    }
+    # deterministic order: n DESC then lexicographic
+    assert got[0] == ("click", "view", "click", 2)
+
+
+def test_trigram_paths_respect_session_boundary(spark):
+    import datetime as dt
+
+    from tldr_spark.operators.sessions import session_trigram_paths
+
+    rows = [
+        (0, 1, T0, "a"),
+        (1, 1, T0 + dt.timedelta(minutes=1), "b"),
+        # 2h gap: new session — no triple may span it
+        (2, 1, T0 + dt.timedelta(hours=2), "c"),
+        (3, 1, T0 + dt.timedelta(hours=2, minutes=1), "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    assert session_trigram_paths(df, gap_seconds=1800).count() == 0

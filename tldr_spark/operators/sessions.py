@@ -162,3 +162,43 @@ def transition_entropy(
             ).alias("entropy_bits"),
         )
     )
+
+
+def session_trigram_paths(
+    events: DataFrame,
+    top_k: int = 50,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(t1, t2, t3, n_paths) — the top_k most frequent length-3
+    within-session event-type paths (order-2 behavioral motifs: the
+    sequences funnels and order-1 transition matrices both miss, e.g.
+    view->error->view retry loops vs view->click->purchase flows).
+
+    Consecutive triples come from the same total order as
+    :func:`session_transitions` ((ts_us, event_id) — engine-independent
+    pairing) restricted to triples inside ONE session; counting is a
+    map-side-combined |types|^3-bounded aggregate; top_k is a
+    TakeOrderedAndProject with the full deterministic tie-break
+    (n DESC, t1, t2, t3)."""
+    s = sessionize(events, gap_seconds, user_col, ts_col)
+    w = Window.partitionBy(user_col).orderBy("ts_us", id_col)
+    trip = (
+        s.withColumn("t2", F.lead(type_col, 1).over(w))
+        .withColumn("t3", F.lead(type_col, 2).over(w))
+        .withColumn("s2", F.lead("session_seq", 1).over(w))
+        .withColumn("s3", F.lead("session_seq", 2).over(w))
+        .filter(
+            (F.col("s2") == F.col("session_seq"))
+            & (F.col("s3") == F.col("session_seq"))
+        )
+    )
+    return (
+        trip.groupBy(F.col(type_col).alias("t1"), "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
+        .limit(top_k)
+    )
