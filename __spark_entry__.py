@@ -8274,6 +8274,128 @@ def q_user_rec_ranking_eval(spark, sf_dir):
     )
 
 
+_BURSTINESS_SQL = """WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+  g AS (SELECT user_id,
+               (ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id))
+                 // 1000000 AS gap
+        FROM ev),
+  s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               SUM(gap) AS sg, SUM(gap * gap) AS sg2
+        FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2),
+  m AS (SELECT user_id, n_gaps,
+               CAST(sg AS DOUBLE) / n_gaps AS mu,
+               sqrt(CAST(sg2 AS DOUBLE) / n_gaps
+                    - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps))
+                 AS sigma
+        FROM s)
+SELECT user_id, n_gaps,
+       CAST(ROUND(mu) AS BIGINT) AS mean_gap_s,
+       CAST(ROUND(CASE WHEN sigma + mu > 0
+                  THEN (sigma - mu) / (sigma + mu) END * 16384) AS BIGINT)
+         AS burstiness_q
+FROM m"""
+
+
+@_q("user_burstiness", _BURSTINESS_SQL)
+def q_user_burstiness(spark, sf_dir):
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of each
+    user's inter-event gaps (B -> -1 periodic, 0 Poisson, +1 bursty) —
+    the activity-shape fingerprint bot detection and capacity models
+    start from. Integer-SECOND gaps over the (ts_us, event_id) total
+    order (us gaps overflow int64 when squared); only integer sums enter
+    the float algebra; users need >= 2 gaps. 2^-14 quantized."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # integer-SECOND gaps: microsecond gaps overflow int64 when squared
+    # (a week is 6e11 us; squared > 2^63); second granularity keeps the
+    # squared sum exact in int64 for gaps up to ~90 years
+    g = ev.select(
+        "user_id",
+        F.floor((F.col("ts_us") - F.lag("ts_us").over(w)) / 1000000).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).alias("sg2"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    mu = F.col("sg").cast("double") / F.col("n_gaps")
+    sigma = F.sqrt(F.col("sg2").cast("double") / F.col("n_gaps") - mu * mu)
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.round(mu).cast("long").alias("mean_gap_s"),
+        F.round(
+            F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu)) * 16384
+        )
+        .cast("long")
+        .alias("burstiness_q"),
+    )
+
+
+_SRC_LORENZ_SQL = f"""WITH {_SQL_TOKS},
+  dt AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+         FROM toks t JOIN documents d USING (doc_id) GROUP BY 1),
+  tot AS (SELECT SUM(n_tokens) AS tot, COUNT(*) AS k FROM dt),
+  r AS (SELECT source, n_tokens,
+               ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source ASC) AS rnk,
+               SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source ASC
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM dt)
+SELECT r.rnk, r.source, r.n_tokens,
+       CAST(ROUND(CAST(r.cum AS DOUBLE) / tot.tot * 16384) AS BIGINT)
+         AS cum_share_q
+FROM r CROSS JOIN tot"""
+
+
+@_q("source_token_lorenz", _SRC_LORENZ_SQL)
+def q_source_token_lorenz(spark, sf_dir):
+    """Corpus-concentration Lorenz curve: sources ranked by token mass
+    with cumulative share — 'the top 3 dumps are 80% of the corpus' is
+    the first line of any data-mix review. The window runs over the
+    |sources|-row aggregate (corpus metadata, never data-sized);
+    deterministic tie-break (n DESC, source ASC); 2^-14 quantized
+    integer-ratio shares."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    dt = (
+        _toks(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("source"))
+    tot = dt.agg(F.sum("n_tokens").alias("tot"))
+    return (
+        dt.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum",
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "source",
+            "n_tokens",
+            F.round(F.col("cum").cast("double") / F.col("tot") * 16384)
+            .cast("long")
+            .alias("cum_share_q"),
+        )
+    )
+
+
 _TRIGRAM_PATHS_SQL = """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
   b AS (SELECT user_id, event_id, ts_us, event_type,
           CASE WHEN LAG(ts_us) OVER w IS NULL
@@ -9648,6 +9770,8 @@ _WINDOW_PRIORITY = [
     # verified by verify_entry.py) --
     "butterfly_count",
     "forman_curvature",
+    "source_token_lorenz",
+    "user_burstiness",
     "bwt_run_counts",
     "session_trigram_paths",
     "salted_in_degree",
