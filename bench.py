@@ -670,6 +670,26 @@ def run_secondary(deadline: float | None = None) -> dict:
             spark, SF_DIR).count())
         from tldr_spark.operators.suffix import longest_repeated_substring
         t("suffix_lrs_full", lambda: longest_repeated_substring(docs).count())
+        # final-wave operators
+        from tldr_spark.operators.butterfly import butterfly_stats
+        def _bfly():
+            ev = load(spark, SF_DIR, "events")
+            bip = ev.select(
+                F.col("user_id").alias("u"),
+                F.get_json_object("props", "$.k").cast("long").alias("i"),
+            ).where(F.col("u").isNotNull() & F.col("i").isNotNull())
+            return butterfly_stats(bip, "u", "i").count()
+        t("butterflies", _bfly)
+        from tldr_spark.operators.linksim import forman_curvature
+        t("forman_curvature", lambda: forman_curvature(edges).count())
+        from tldr_spark.operators.suffix import bwt_run_stats
+        t("bwt_runs_full", lambda: bwt_run_stats(docs).count())
+        from tldr_spark.operators.sessions import session_trigram_paths
+        t("trigram_paths", lambda: session_trigram_paths(
+            load(spark, SF_DIR, "events"), top_k=50, gap_seconds=21600).count())
+        from tldr_spark.operators.linkpred import link_prediction_dataset
+        t("linkpred_dataset", lambda: link_prediction_dataset(
+            edges, neg_per_vertex=2).count())
     finally:
         spark.stop()
     return out
