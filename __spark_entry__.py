@@ -9530,7 +9530,7 @@ def _fiedler_parts(n_iter: int) -> list[str]:
         "adj AS MATERIALIZED (SELECT a AS v, b AS u FROM und UNION ALL SELECT b AS v, a AS u FROM und)",
         "deg AS MATERIALIZED (SELECT v AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY v)",
         "cs AS MATERIALIZED (SELECT 2 * MAX(deg) AS c, COUNT(*) AS n FROM deg)",
-        "h AS (SELECT id, CAST((id * 2654435761) % 1000003 AS DOUBLE) AS x FROM deg)",
+        "h AS (SELECT id, CAST(((id % 1000003) * 2654435761) % 1000003 AS DOUBLE) AS x FROM deg)",
         "x0 AS MATERIALIZED (SELECT id, x - (SELECT SUM(x) / (SELECT n FROM cs) FROM h) AS x FROM h)",
     ]
     for i in range(1, n_iter + 1):

@@ -46,3 +46,21 @@ def test_distortion_concentrates_near_one(spark):
     ]
     mean = sum(got) / len(got)
     assert 0.7 < mean < 1.3  # E[distortion] = 1; k=6 keeps variance visible
+
+
+def test_default_probes_bounded_not_all_pairs(spark):
+    # VERDICT r4: probes=None used to broadcast the WHOLE projected corpus
+    # into a self-join. Now it draws a deterministic bounded sample, so on
+    # a corpus much larger than max_probes the audit must pair far fewer
+    # than all C(n,2) rows — and exactly the same ones on every call.
+    rng = np.random.RandomState(11)
+    n, mp = 300, 32
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = jl_projection_distortion(df, k=4, dim=8, max_probes=mp).collect()
+    assert 0 < len(got) <= mp * (mp - 1) // 2
+    assert len(got) < n * (n - 1) // 2 // 10
+    again = jl_projection_distortion(df, k=4, dim=8, max_probes=mp).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {
+        (r["id_a"], r["id_b"]) for r in again
+    }

@@ -25,7 +25,7 @@ def _np_fiedler(edges: list[tuple[int, int]], iterations: int) -> dict[int, floa
         A[idx[b], idx[a]] = 1.0
     deg = A.sum(axis=1)
     c = 2 * int(deg.max())
-    x = np.array([float((v * _H_MULT) % _H_MOD) for v in ids])
+    x = np.array([float(((v % _H_MOD) * _H_MULT) % _H_MOD) for v in ids])
     x = x - x.mean()
     for _ in range(iterations):
         y = (c - deg) * x + A @ x

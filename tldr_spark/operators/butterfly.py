@@ -52,8 +52,12 @@ def butterfly_stats(
         .groupBy("u1", "u2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # per-row integer div (c*(c-1) is always even) keeps the sum exact in
+    # int64 — the previous double-division sum lost exactness above 2^53
+    # while the module claims all-integer arithmetic and the DuckDB
+    # oracle uses integer // (ADVICE r4)
     bf = co.agg(
-        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0))
+        F.coalesce(F.sum(F.expr("c * (c - 1) DIV 2")), F.lit(0))
         .cast("long")
         .alias("butterflies")
     )

@@ -46,13 +46,21 @@ def scan_clusters(
     deg = adj.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
-    cn2 = F.col("support") + 2
+    # decimal(38,0) keeps the squared-support product exact: (cn+2)^2 *
+    # e_den^2 wraps int64 once support exceeds ~3e9/e_den (dense web
+    # graphs), which would silently flip the filter (ADVICE r4). DuckDB
+    # raises on BIGINT overflow instead of wrapping; 38-digit decimals
+    # hold both sides exactly for any int64-valued support/degree.
+    dec = "decimal(38,0)"
+    cn2 = (F.col("support") + 2).cast(dec)
     eps = (
         ee.join(da, "a")
         .join(db, "b")
         .filter(
-            cn2 * cn2 * (e_den * e_den)
-            >= F.lit(e_num * e_num) * (F.col("da") + 1) * (F.col("db") + 1)
+            cn2 * cn2 * F.lit(e_den * e_den).cast(dec)
+            >= F.lit(e_num * e_num).cast(dec)
+            * (F.col("da") + 1).cast(dec)
+            * (F.col("db") + 1).cast(dec)
         )
         .select("a", "b")
         .persist()

@@ -73,7 +73,12 @@ def fiedler_vector(
     c = 2 * int(row[0]["md"])
     n = int(row[0]["n"])
 
-    h = (F.col("id") * _H_MULT) % _H_MOD
+    # pre-reduce the id mod _H_MOD before multiplying: (id % p) * M stays
+    # <= (p-1) * M ~ 2.7e15, safely inside int64, while id * M wraps for
+    # ids >= ~3.5e9 (web-scale id domains) — and by modular arithmetic
+    # ((id % p) * M) % p == (id * M) % p, so the values are unchanged.
+    # The DuckDB oracle applies the identical pre-reduction (ADVICE r4).
+    h = ((F.col("id") % _H_MOD) * _H_MULT) % _H_MOD
     x = deg.select("id", h.cast("double").alias("x"))
     m0 = x.agg((F.sum("x") / n).alias("m"))
     x = (

@@ -33,6 +33,18 @@ def windowed_in_degree(
     )
 
 
+def cleanup_stream_tmp(base: str) -> None:
+    """Remove a per-run _stream_tmp landing/checkpoint dir after the drain.
+
+    The memory sink materializes the drained rows in driver memory, so the
+    landing parquet and the checkpoint are dead weight the moment
+    awaitTermination returns; without this, repeated driver/bench runs
+    accrete parquet + checkpoint directories unboundedly (ADVICE r4)."""
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str):
     """Drain everything currently in the landing dir into a memory sink."""
     q = (
@@ -77,6 +89,7 @@ def streamed_hourly_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = windowed_in_degree(read_edge_stream(spark, landing), window="1 hour")
     name = f"stream_indeg_{uuid.uuid4().hex[:8]}"
     run_available_now(agg, name, ckpt)
+    cleanup_stream_tmp(base)
     return spark.table(name).select(
         F.unix_timestamp(F.col("win.start")).alias("hour_epoch"),
         "dst",
@@ -112,6 +125,7 @@ def streamed_sliding_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_slide_{uuid.uuid4().hex[:8]}"
     run_available_now(agg, name, ckpt)
+    cleanup_stream_tmp(base)
     return spark.table(name).select(
         F.unix_timestamp(F.col("win.start")).alias("win_start_epoch"),
         "dst",
@@ -162,6 +176,7 @@ def streamed_countmin_cells(
     )
     name = f"stream_cms_{uuid.uuid4().hex[:8]}"
     run_available_now(cells, name, ckpt)
+    cleanup_stream_tmp(base)
     return spark.table(name).select("rw", "bucket", F.col("cnt").cast("long").alias("cnt"))
 
 
@@ -200,6 +215,7 @@ def streamed_distinct_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    cleanup_stream_tmp(base)
     return (
         spark.table(name)
         .groupBy("dst")

@@ -130,6 +130,8 @@ def streamed_closed_sessions(spark, sf_dir: str, gap_seconds: int = 21600) -> Da
     closed session is a pure function of the user's full event history."""
     import uuid
 
+    from tldr_spark.streaming.edges_stream import cleanup_stream_tmp
+
     base = (
         f"{spark.conf.get('spark.sql.warehouse.dir', 'spark-warehouse').removeprefix('file:')}"
         f"/_stream_tmp/{uuid.uuid4().hex[:12]}"
@@ -153,4 +155,5 @@ def streamed_closed_sessions(spark, sf_dir: str, gap_seconds: int = 21600) -> Da
         .start()
     )
     q.awaitTermination()
+    cleanup_stream_tmp(base)
     return spark.table(name)

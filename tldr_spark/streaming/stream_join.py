@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import uuid
 
+from tldr_spark.streaming.edges_stream import cleanup_stream_tmp
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -75,6 +77,7 @@ def streamed_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         .start()
     )
     q.awaitTermination()
+    cleanup_stream_tmp(base)
     return (
         spark.table(name)
         .groupBy("user_id")
