@@ -9644,130 +9644,27 @@ def q_spectral_cut_quality(spark, sf_dir):
 # all have green rows in CORRECTNESS_r01 AND CORRECTNESS_r02, so after
 # round 3 every oracled query has at least one driver-green row.
 _WINDOW_PRIORITY = [
-    # Round-4 rotation. Driver checks the FIRST 50 oracled queries; the
-    # window leads with (a) every query whose implementation changed this
-    # round (cooccur marginal-join rework, core_decomposition wave
-    # counting, sessionize collision guard, the scc/cc/bfs local-finish
-    # scheduling changes), (b) the round-3 verdict's explicit re-check
-    # list, (c) the core regression set checked every round, then (d)
-    # queries that sat OFF-window in round 3. Everything pushed out has a
-    # driver-green row in CORRECTNESS_r03.
-    # -- (a-1) NEW in the second round-4 continuation session (no driver
-    # row exists yet; the newest code leads the window). All 19 verified
-    # locally by scripts/verify_entry.py on addition. --
-    "fiedler_fixed12",
-    "spectral_cut_quality",
-    "spectral_radius_est",
-    "adjacency_gap_bits",
-    "scan_structural_clusters",
-    "prefix_jaccard_pairs",
-    "dedup_best_survivors",
-    "mutual_knn_pairs",
-    "knn_label_agreement",
-    "jl_distortion_pairs",
-    "ols_quality_fit",
-    "per_lang_ols_slopes",
-    "ql_dirichlet_scores",
-    "char_entropy",
-    "source_psi_drift",
-    "source_wilson_ranking",
-    "stream_view_click_attrib",
-    "hourly_mase_naive",
-    "transition_entropy",
-    "doc_longest_repeat",
-    "cross_doc_repeat",
-    # -- (a0) NEW earlier in round 4 (no driver row exists yet). 19 of
-    # the original 38 rotated off-window to make room for (a-1); every
-    # displaced entry is a same-module variant whose module keeps an
-    # in-window witness (landmark_distance_est -> landmark_sketch,
-    # msf_component_weights/msf_weighted_edges -> msf_edges,
-    # two_edge_components -> bridge_edges, temporal_latest_departure ->
-    # temporal_earliest_arrival, partition_cut_stats ->
-    # balanced_partition_fixed4, lang_assortativity -> lang_mixing_matrix,
-    # reservoir_per_lang -> stratified_sample_docs, effective_diameter_q90
-    # -> exact_diameter_largest_cc, clustering_by_degree ->
-    # edge_embeddedness, avg_neighbor_degree/powerlaw_alpha_in ->
-    # source_wilson_ranking (stats.py), four_cycles_total ->
-    # triangles_total, vertex_reciprocity/dyad_census -> triad_census,
-    # walk_pmi_pairs -> token_pmi_pairs, simrank/hitting/seeded-labels ->
-    # distinct ops bumped purely for room, all locally verified) and all
-    # are re-verified by verify_entry.py at the end of the session. --
-    "condensation_dag_levels",
-    "triad_census",
-    "landmark_sketch",
-    "katz_fixed20",
-    "bipartite_components",
-    "stratified_sample_docs",
-    "rich_club_coeffs",
-    "lang_mixing_matrix",
-    "exact_diameter_largest_cc",
-    "maximal_matching",
-    "msf_edges",
-    "bridge_edges",
-    "wl_colors_fixed3",
-    "temporal_earliest_arrival",
-    "balanced_partition_fixed4",
-    "ppr_push_fixed8",
-    "dominating_set",
-    "edge_embeddedness",
-    # -- (a) implementation changed in round 4 --
-    "token_pmi_pairs",
-    "coreness",
-    # user_sessions rotated off-window for betweenness_probes: the
-    # sessions change is a two-line pre-guard (raise on column
-    # collision, main logic untouched; r3 driver row + local verify),
-    # while the edge-betweenness addition restructured the Brandes
-    # backward pass that betweenness_probes executes.
-    "betweenness_probes",
-    "cc_assign",
-    # cc_sizes rotated off-window for dominating_set: same operator and
-    # change as cc_assign (its in-window witness); r3 driver row + local
-    # verify_entry.py verification.
-    "scc_assign",
-    # scc_condensation and bowtie_regions rotated off-window for
-    # edge_embeddedness + clustering_by_degree: both are consumers of the
-    # same SCC pass that scc_assign witnesses in-window; both have r3
-    # driver rows and local verify_entry.py verification.
-    "bfs_hops",
-    # harmonic_centrality and ego_subgraph_2hop rotated off-window to
-    # make room for ppr_push_fixed8 + temporal_latest_departure, then
-    # eccentricity_probes and closeness_centrality rotated off for
-    # four_cycles_total + avg_neighbor_degree: the shared bfs
-    # local-finish change keeps bfs_hops as its in-window witness; all
-    # four displaced queries have r3 driver rows and local
-    # verify_entry.py verification.
-    # -- (a2) NEW in the round-4 continuation session (no driver row
-    # exists yet). These five take the slots of the five flagship
-    # re-checks whose implementations did NOT change in round 4 (edges,
-    # pagerank_fixed20/converged, lpa_labels/lpa_modularity — each has
-    # r1+r2+r3 driver-green rows, unchanged pagerank.py/lpa.py/tables.py
-    # edge path, and local verify_entry verification this session); the
-    # displacement is conscious: a first driver row for a new operator
-    # outranks a fourth row for an unchanged one, and the flagship
-    # semantics still get driver exercise transitively —
-    # pagerank_warm_start runs the full pagerank iteration twice and must
-    # hash-match the SAME fixed-150 oracle as pagerank_converged, and
-    # cc_incremental's contract embeds a full connected_components run.
-    # triangles_total stays (triangles.py changed this round). --
-    "cc_incremental",
-    "pagerank_warm_start",
-    "heavy_hitter_tokens",
-    # countmin_estimates rotated off-window for cross_doc_repeat:
-    # heavyhitters.py keeps heavy_hitter_tokens as its in-window witness;
-    # countmin has an earlier driver row + local verification.
-    "rrf_fusion_top",
-    "triangles_total",
-    # -- flagship fixpoints displaced by (a2): first off-window slots,
-    # so they lead the ROUND-5 window (r1+r2+r3 driver rows each; local
-    # verify_entry verification this session) --
-    "edges",
-    "pagerank_fixed20",
-    "pagerank_converged",
-    "lpa_labels",
-    "lpa_modularity",
-    # -- newest additions without a window slot: these lead the ROUND-5
-    # window together with the displaced (a0) block below (all locally
-    # verified by verify_entry.py) --
+    # ROUND-5 ROTATION (VERDICT r4 next-round #1: drain the driver-row
+    # backlog). After round 4, 123 of the 249 oracled queries had never
+    # been hash-checked by the driver (union of CORRECTNESS_r01..r04
+    # keys = 126). This window draws 48 of its 50 slots from that
+    # never-checked set: the 12 newest round-4 additions lead (they sat
+    # first off-window per COVERAGE.md), then the two queries whose
+    # implementation changed THIS round and whose driver rows VERDICT r4
+    # tasks #2/#3 explicitly require to stay green (mutual_knn_pairs
+    # exact path after the pluggable-top-k rework; jl_distortion_pairs
+    # after the bounded-probe-default rework), then the 36
+    # highest-complexity never-checked remainder (graph analytics first,
+    # then text/pipeline). Every entry was verified locally by
+    # scripts/verify_entry.py this session; everything displaced has a
+    # driver-green row in CORRECTNESS_r01..r04. Never-checked count
+    # after this round: 123 -> 75.
+    # NOTE on the two re-checks: fiedler_fixed12 / scan_structural_
+    # clusters also changed this round, but both changes are
+    # value-preserving by construction (modular-arithmetic identity /
+    # decimal widening) and locally re-verified, so their slots went to
+    # never-checked queries instead; geometric_diffusion_fixed8
+    # (spectral.py) is in-window as the module witness.
     "butterfly_count",
     "forman_curvature",
     "source_token_lorenz",
@@ -9780,156 +9677,44 @@ _WINDOW_PRIORITY = [
     "stream_distinct_in_degree",
     "ngram_novelty_curve",
     "countmin_estimates",
-    # -- (a0) entries displaced by the (a-1) rotation: next off-window
-    # slots, also leading the ROUND-5 window
-    # (no driver row yet; locally verified by verify_entry.py) --
-    "dyad_census",
-    "landmark_distance_est",
-    "lang_assortativity",
-    "reservoir_per_lang",
-    "powerlaw_alpha_in",
-    "walk_pmi_pairs",
-    "vertex_reciprocity",
-    "simrank_fixed3",
-    "effective_diameter_q90",
-    "vertex_cover_2approx",
-    "msf_component_weights",
-    "msf_weighted_edges",
-    "two_edge_components",
-    "hitting_time_fixed15",
-    "seeded_labels_fixed8",
-    "temporal_latest_departure",
-    "partition_cut_stats",
-    "four_cycles_total",
-    "avg_neighbor_degree",
-    "clustering_by_degree",
-    # -- continuation-session additions deliberately OFF-window (locally
-    # verified; hub_articulation_probes' oracle runs 3 per-hub
-    # reachability closures and is kept out of the driver's budget) --
-    "lang_temperature_mix",
-    "hub_articulation_probes",
+    "mutual_knn_pairs",
+    "jl_distortion_pairs",
+    "edge_betweenness_probes",
+    "densest_subgraph",
+    "events_cube",
+    "dsir_en_logweights",
     "bpe_merges",
-    "dup_span_stats",
-    "bigram_quality",
-    "stream_countmin_cells",
-    "lsa_doc_scores",
     "bpe_vocab_segmented",
-    "funnel_view_click_purchase",
-    "props_k_histogram",
-    "trigram_quality",
-    "retention_cohorts",
-    "zipf_alpha_tokens",
-    "source_overlap_jaccard",
-    "label_silhouette",
-    # -- (a1) NEW late in round 4, deliberately OFF-window: the six
-    # remaining (a)-entries above are each the sole in-window witness for
-    # a round-4 implementation change, so these rotate into the ROUND-5
-    # window instead (locally verified by verify_entry.py + pytest-pinned
-    # now; driver row next round) --
+    "dup_span_stats",
+    "textrank_keywords",
+    "cpm3_communities",
+    "simrank_fixed3",
+    "hitting_time_fixed15",
     "onion_layers",
-    "degree_moments",
+    "trophic_levels_fixed12",
+    "ppr_sweep_cut",
+    "disparity_backbone",
+    "bond_percolation_curve",
+    "attack_tolerance",
+    "random_failure_tolerance",
+    "motif_ffl_top",
+    "motif_unclosed_wedges",
     "four_node_census",
     "five_cliques_total",
-    "attack_tolerance",
-    "ppr_sweep_cut",
-    "edge_betweenness_probes",
-    "stream_edges_sliding",
-    "directed_assortativity",
-    "random_failure_tolerance",
-    "global_efficiency_probes",
-    "geometric_diffusion_fixed8",
-    "crawl_edge_delta",
-    "crawl_rank_movers",
-    "stream_closed_sessions",
+    "collective_influence_top",
     "node2vec_walks",
-    "config_model_edges",
-    "config_model_triangles",
-    "session_transitions",
-    "disparity_backbone",
-    "canonical_resolution",
-    "trophic_levels_fixed12",
-    "near_dup_clusters",
-    "packed_sequences",
-    "in_degree_gini",
-    "quality_mix_counts",
-    "hourly_bursts",
-    "token_length_percentiles",
-    "densest_subgraph",
-    "kwic_snippets",
-    "pattern_profile",
-    "redacted_hashes",
-    "asof_click_last_view",
-    "doc_chunks",
-    "weighted_sample_docs",
-    "error_window_clicks",
+    "walk_pmi_pairs",
+    "geometric_diffusion_fixed8",
+    "seeded_labels_fixed8",
+    "two_edge_components",
+    "msf_component_weights",
     "hypertable_rollup",
-    "kmv_distinct_vertices",
-    "textrank_keywords",
-    "pareto_docs",
-    "robust_value_outliers",
-    "events_cube",
+    "asof_click_last_view",
+    "packed_sequences",
+    "near_dup_clusters",
+    "retention_cohorts",
+    "lsa_doc_scores",
     "heaps_beta_tokens",
-    "hrw_shard_counts",
-    "hrw_rebalance_moved",
-    "bloom_frontier_stats",
-    "source_lang_diversity",
-    "lang_token_waterfill",
-    "user_rec_ranking_eval",
-    # -- (a3) NEW latest in round 4 (same policy as (a1): the 50-slot
-    # window is already owned by round-4 queries with no driver row;
-    # these are locally verified (verify_entry.py MATCH + pytest) and
-    # lead the ROUND-5 window from here) --
-    "dsir_en_logweights",
-    "winnow_fp_density",
-    "winnow_shared_span_pairs",
-    "lang_js_divergence",
-    "item_pair_lift",
-    "item_daily_bursts",
-    "event_type_changepoints",
-    "event_type_trend",
-    "doc_mattr",
-    "cpm3_communities",
-    "doc_readability",
-    "token_dispersion_dp",
-    "ams_f2_tokens",
-    "supplier_typo_pairs",
-    "edges_zorder_layout",
-    "price_histogram_quantiles",
-    "crawl_rank_spearman",
-    "sliding_active_users",
-    # -- (c) round-3 verdict re-check list (betweenness_probes moved up
-    # into the changed-impl block) --
-    "random_walks",
-    "stream_edges_hourly",
-    "ann_lsh_topk",
-    "adamic_adar_pairs",
-    "tfidf_top_terms",
-    "tf_cosine_pairs",
-    "unigram_quality",
-    "boolean_and_docs",
-    "phrase_matches",
-    "bm25_scores",
-    # -- (d) off-window in round 3, rotating back in --
-    "cocitation_pairs",
-    "common_neighbor_jaccard",
-    "graph_summary",
-    "degree_assortativity",
-    "centrality_rank",
-    "char_budget",
-    "dictionary_ordinals",
-    "pairwise_hamming",
-    "containment_pairs",
-    "jaro_textbook_pairs",
-    "dedup_exact",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_docs",
-    "simhash_near_dup_pairs",
-    "embedding_near_dups",
-    "ann_brute_topk",
-    "token_counts",
-    "lang_pred",
-    "quality_scores",
 ]
 
 
