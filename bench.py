@@ -402,6 +402,51 @@ def run_pagerank(cpus: int) -> dict:
         spark.stop()
 
 
+def run_local_cluster_pagerank() -> dict:
+    """Subprocess worker: ONE full 1e-6 fixpoint on a local-cluster
+    master — 2 separate executor JVMs x 8 cores with serialized task
+    dispatch, broadcast-over-RPC, and the network shuffle stack that
+    local[N] short-circuits in-process (VERDICT r4 task #4: the repo had
+    zero cross-JVM-executor evidence). Single trial, reported as a
+    secondary wall: the headline metric stays the local[N] capability
+    min; this leg is existence proof that the same plan executes across
+    executor boundaries at sf0.1, plus its wall for the record."""
+    from tldr_spark.operators.pagerank import pagerank, prepare_edges
+    from tldr_spark.session import build_session
+
+    os.makedirs(_BENCH_CONF["spark.local.dir"], exist_ok=True)
+    spark = build_session(
+        "bench-pr-lc",
+        master="local-cluster[2,8,8192]",
+        shuffle_partitions=16,
+        extra_conf={**_BENCH_CONF, "spark.executor.memory": "8g"},
+    )
+    try:
+        prep = _prep_dir()
+        if os.environ.get("TLDR_BENCH_SHARED_PREP", "1") != "0" and os.path.exists(prep):
+            en = spark.read.parquet(prep).repartition(16, "dst").persist()
+        else:
+            n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+            edges, _ = bench_edges(spark, n_docs)
+            en = prepare_edges(
+                edges, "weight", None, partition_by="dst", assume_distinct=True
+            ).persist()
+        en.count()
+        t0 = time.monotonic()
+        res = pagerank(
+            en, damping=DAMPING, tolerance=TOLERANCE, max_iter=200,
+            broadcast_ranks=True, edges_prepared=True,
+        )
+        wall = time.monotonic() - t0
+        return {
+            "pagerank_local_cluster_2x8": round(wall, 2),
+            "lc_iterations": res.iterations,
+            "lc_n_edges": res.n_edges,
+        }
+    finally:
+        spark.stop()
+
+
 def run_secondary(deadline: float | None = None) -> dict:
     """One-shot operator timings at SF_DIR on local[CPUS]. Ops whose start
     would pass ``deadline`` (monotonic seconds) are skipped and logged —
@@ -662,6 +707,11 @@ def run_secondary(deadline: float | None = None) -> dict:
         t("char_entropy", lambda: char_entropy(docs).count())
         from tldr_spark.operators.similarity import mutual_knn_pairs
         t("mutual_knn3", lambda: mutual_knn_pairs(embs, k=3).count())
+        # the scale path for the same operator (VERDICT r4 task #2): LSH
+        # bucket self-join top-k instead of the O(N^2) brute stage — the
+        # wall gap vs mutual_knn3 is the point of the pluggable stage
+        t("mutual_knn3_lsh", lambda: mutual_knn_pairs(
+            embs, k=3, method="lsh", dim=64).count())
         from tldr_spark.operators.forecast import seasonal_naive_eval
         t("mase_hourly", lambda: seasonal_naive_eval(
             load(spark, SF_DIR, "events")).count())
@@ -701,6 +751,9 @@ def main() -> int:
         return 0
     if len(sys.argv) > 1 and sys.argv[1] == "--prep-worker":
         run_prep()
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--local-cluster-worker":
+        print(json.dumps(run_local_cluster_pagerank()))
         return 0
 
     # Interleaved trial schedule: a contention burst on the judging host
@@ -975,6 +1028,37 @@ def main() -> int:
             trials[HIGH_CPUS].append(r)
             log(f"  -> per_iter={r['per_iter_s']}s probe={r['probe_s']}s")
             emit(partial=True)
+
+    # one cross-JVM-executor leg (subprocess: its master cannot coexist
+    # with the in-process secondary session); ~60-120s incl. JVM spin-up,
+    # only scheduled when the remaining budget holds it AND the secondary
+    # reserve
+    if time.monotonic() < deadline - secondary_reserve_s - 180:
+        log("local-cluster pagerank leg (2 executor JVMs x 8 cores, 8g each) ...")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--local-cluster-worker"],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "TLDR_SPARK_DRIVER_MEM": os.environ.get("TLDR_SPARK_DRIVER_MEM", "12g")},
+                check=False,
+                timeout=600,
+            )
+        except subprocess.TimeoutExpired:
+            proc = None
+            log("  local-cluster leg timed out (600s) — skipped, bench continues")
+        if proc is not None and proc.returncode == 0:
+            try:
+                lc = json.loads(proc.stdout.strip().splitlines()[-1])
+                secondary["pagerank_local_cluster_2x8"] = lc["pagerank_local_cluster_2x8"]
+                log(f"  -> wall {lc['pagerank_local_cluster_2x8']}s, {lc['lc_iterations']} iters")
+            except Exception as ex:
+                log(f"  local-cluster leg parse failed: {ex!r}")
+        elif proc is not None:
+            log(f"  local-cluster leg failed rc={proc.returncode}")
+            log(proc.stderr[-1500:])
+    else:
+        log("budget: skipping local-cluster leg")
 
     # secondary table inside whatever budget remains (run_secondary skips
     # ops whose start would pass the deadline and logs each skip)

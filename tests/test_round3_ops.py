@@ -108,6 +108,31 @@ class TestCoreDecomposition:
             got = {r["id"]: r["coreness"] for r in res.assignments.collect()}
             assert got == {1: 1, 2: 1, 3: 1}, lf
 
+    def test_local_finisher_mirrors_distributed_on_advice_boundary(self, spark):
+        # VERDICT r4 task #5: dedicated regression naming the ADVICE r3
+        # scenario — the kcore.py docstring claims the local finisher
+        # "mirrors the distributed peel EXACTLY"; pin that equality
+        # DIRECTLY (not just both-equal-a-constant) on the boundary
+        # family where the terminal implicit-drop wave used to diverge:
+        # the path 1-2-3 itself, a star (hub outlives all leaves by one
+        # wave), a pendant chain off a triangle (cascading waves), and
+        # two triangles sharing a vertex.
+        cases = [
+            [(1, 2), (2, 3)],
+            [(0, i) for i in range(1, 6)],
+            [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)],
+            [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)],
+        ]
+        for edges in cases:
+            df = _df(spark, edges)
+            r_loc = core_decomposition(df)
+            r_dist = core_decomposition(df, local_finish_edges=0)
+            assert r_dist.rounds_per_k == r_loc.rounds_per_k, edges
+            assert r_dist.max_k == r_loc.max_k, edges
+            a_loc = {r["id"]: r["coreness"] for r in r_loc.assignments.collect()}
+            a_dist = {r["id"]: r["coreness"] for r in r_dist.assignments.collect()}
+            assert a_loc == a_dist, edges
+
     def test_rounds_per_k_distributed_matches_local(self, spark):
         for seed, n, m in [(11, 30, 90), (12, 40, 160)]:
             df = _df(spark, _rand_edges(seed, n, m))
