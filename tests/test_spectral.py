@@ -130,3 +130,27 @@ def test_spectral_radius_cycle_is_one(spark):
     cycle = [(i, (i + 1) % 6) for i in range(6)]
     got = spectral_radius_estimate(_edges_df(spark, cycle), 9).collect()[0]
     assert got["lambda_est"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_fiedler_web_scale_ids_no_int64_wrap(spark):
+    # ADVICE r4 regression: the init hash used to compute
+    # (id * 2654435761) % 1000003 directly — for ids >= ~3.5e9 the
+    # product wraps int64 in Spark (silently, giving wrong hash values)
+    # while DuckDB/Python do not, diverging the engines. The fix
+    # pre-reduces id mod 1000003 first (value-identical by modular
+    # arithmetic, overflow-free). This graph's ids sit ABOVE the wrap
+    # threshold, so the old expression would produce hash values
+    # disagreeing with the NumPy mirror's arbitrary-precision result.
+    base = 4_000_000_000  # > 2^63 / 2654435761 ≈ 3.47e9
+    edges = [
+        (base + a, base + b)
+        for a, b in TWO_CLIQUES + [(3, 10), (10, 20), (20, 21)]
+    ]
+    got = {
+        r["id"]: r["f"]
+        for r in fiedler_vector(_edges_df(spark, edges), 12).collect()
+    }
+    want = _np_fiedler(edges, 12)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
