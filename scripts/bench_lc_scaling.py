@@ -1,10 +1,11 @@
 """Executor-COUNT scaling: the same PageRank fixpoint at 1 vs 4 real
-executor JVMs (`local-cluster[1,8,8192]` vs `local-cluster[4,8,8192]`).
+executor JVMs (`local-cluster[1,C,8192]` vs `local-cluster[4,C,8192]`,
+C = TLDR_LC_CORES, default 4).
 
 BASELINE.json's north rule asks for "N and 4N executors" with ≥0.8
 throughput scaling efficiency. bench.py evidences the ratio at the
 thread level (local[4] vs local[16] inside one JVM); this script holds
-cores-per-executor fixed at 8 and scales the number of executor
+cores-per-executor FIXED and scales the number of executor
 PROCESSES 1 → 4 — the closest sandbox analogue of adding machines:
 every extra executor brings its own JVM heap, task threads, and netty
 shuffle endpoints, and the map outputs really cross process boundaries.
