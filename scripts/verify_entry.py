@@ -44,13 +44,37 @@ def cells_equal(a, b):
     return a == b
 
 
+def _value_md5(sorted_rows) -> str:
+    """md5 over the sorted normalized rows with floats quantized to 8
+    significant digits — informational fingerprint; the authoritative
+    per-query verdict is the tolerance-based compare (values_match)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for row in sorted_rows:
+        for v in row:
+            if isinstance(v, float):
+                h.update(f"{v:.8g}|".encode())
+            else:
+                h.update((repr(v) + "|").encode())
+        h.update(b";")
+    return h.hexdigest()
+
+
 def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
     from tldr_spark.session import build_session
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
+    report: dict[str, dict] = {}
     spark = build_session("verify-entry", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -82,6 +106,15 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"{name}: rows-only, {len(rows)} rows [{time.monotonic()-t0:.1f}s]", file=sys.stderr)
+            report[name] = {
+                "status": "rows_only" if rows else "rows_only_empty",
+                "rows": len(rows),
+                "n_cols": len(cols),
+                "spark_value_md5": _value_md5(
+                    rows_to_sorted([tuple(r) for r in rows], cols)
+                ),
+                "elapsed_s": round(time.monotonic() - t0, 2),
+            }
             if len(rows) == 0:
                 failures.append(f"{name}: 0 rows (rows-only check)")
             continue
@@ -109,13 +142,47 @@ def main() -> int:
                         status.append(f"value diff: {ra} vs {rb}")
             if bad > 3:
                 status.append(f"... {bad} differing rows total")
+        a = rows_to_sorted([tuple(r) for r in rows], cols)
+        b = rows_to_sorted(orows, ocols)
+        report[name] = {
+            "status": "mismatch" if status else "match",
+            "rows": len(rows),
+            "n_cols": len(cols),
+            "spark_value_md5": _value_md5(a),
+            "oracle_value_md5": _value_md5(b),
+            "elapsed_s": round(time.monotonic() - t0, 2),
+        }
         if status:
+            report[name]["detail"] = status[:4]
             failures.append(f"{name}: " + "; ".join(status[:4]))
             print(f"{name}: MISMATCH — {status[0]}", file=sys.stderr)
         else:
             print(f"{name}: OK {len(rows)} rows [{time.monotonic()-t0:.1f}s]", file=sys.stderr)
 
     spark.stop()
+    if json_path:
+        import datetime
+        import json as jsonlib
+
+        payload = {
+            "generated_by": "scripts/verify_entry.py",
+            "sf_dir": SF_DIR,
+            "generated_at_utc": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(timespec="seconds"),
+            "n_queries": len(report),
+            "n_match": sum(1 for r in report.values() if r["status"] == "match"),
+            "n_rows_only": sum(
+                1 for r in report.values() if r["status"].startswith("rows_only")
+            ),
+            "n_mismatch": sum(
+                1 for r in report.values() if r["status"] == "mismatch"
+            ),
+            "queries": report,
+        }
+        with open(json_path, "w") as fh:
+            jsonlib.dump(payload, fh, indent=1)
+        print(f"wrote {json_path}", file=sys.stderr)
     if failures:
         print("\nFAILURES:", file=sys.stderr)
         for f in failures:
